@@ -1,0 +1,85 @@
+"""Bidirectional LSTM designed for the TPU compilation model.
+
+Design (vs the reference's CudnnLSTM / dynamic_rnn stacks,
+/root/reference/clair/model.py:266-325):
+
+- The input projection ``x @ W`` for ALL timesteps and BOTH directions is
+  hoisted out of the recurrence into one large batched matmul that XLA tiles
+  onto the MXU.
+- The two directions are fused into a single ``lax.scan``: the backward
+  direction runs on the time-reversed sequence stacked along the batch axis,
+  so each scan step does one (2B, H) @ (H, 4H) matmul instead of two half
+  sized ones. Sequence length (33) is a compile-time constant.
+- Gate order is (i, f, g, o) with a single bias and no extra forget bias
+  (cudnn-compatible layout, which is what published Clair checkpoints use —
+  relevant for the checkpoint converter).
+
+State is carried as (h, c); only ``h`` is emitted per step.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from clair_tpu.models.layers import glorot_uniform
+
+
+def init_bilstm_params(rng: jax.Array, input_dim: int, hidden: int) -> Dict:
+    keys = jax.random.split(rng, 4)
+    def one_direction(kw, ku):
+        return {
+            "w": glorot_uniform(kw, (input_dim, 4 * hidden), jnp.float32),
+            "u": glorot_uniform(ku, (hidden, 4 * hidden), jnp.float32),
+            "b": jnp.zeros((4 * hidden,), jnp.float32),
+        }
+    return {
+        "fw": one_direction(keys[0], keys[1]),
+        "bw": one_direction(keys[2], keys[3]),
+    }
+
+
+def bilstm(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Bidirectional LSTM over a (B, T, F) batch -> (B, T, 2H).
+
+    Forward and backward directions share one scan by stacking the reversed
+    sequence along the batch axis.
+    """
+    hidden = params["fw"]["u"].shape[0]
+    x_rev = jnp.flip(x, axis=1)
+
+    # (B, T, F) @ (F, 4H) for both directions in two big MXU matmuls
+    xw_fw = x @ params["fw"]["w"] + params["fw"]["b"]
+    xw_bw = x_rev @ params["bw"]["w"] + params["bw"]["b"]
+
+    # time-major, directions stacked on batch: (T, 2B, 4H)
+    xw = jnp.concatenate(
+        [xw_fw.transpose(1, 0, 2), xw_bw.transpose(1, 0, 2)], axis=1
+    )
+
+    # One scan for both directions; the recurrent matmul is per-direction
+    # (different U), computed on the stacked batch halves.
+    b = x.shape[0]
+
+    def step(carry, xw_t):
+        h, c = carry
+        h_fw, h_bw = h[:b], h[b:]
+        rec = jnp.concatenate(
+            [h_fw @ params["fw"]["u"], h_bw @ params["bw"]["u"]], axis=0
+        )
+        gates = xw_t + rec
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    n2 = 2 * b
+    h0 = jnp.zeros((n2, hidden), x.dtype)
+    c0 = jnp.zeros((n2, hidden), x.dtype)
+    (_, _), outputs = jax.lax.scan(step, (h0, c0), xw)  # (T, 2B, H)
+
+    out_fw = outputs[:, :b].transpose(1, 0, 2)                 # (B, T, H)
+    out_bw = jnp.flip(outputs[:, b:].transpose(1, 0, 2), axis=1)
+    return jnp.concatenate([out_fw, out_bw], axis=-1)

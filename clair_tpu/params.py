@@ -1,0 +1,121 @@
+"""Hyperparameter registry — single source of truth for tensor geometry and
+training constants.
+
+Mirrors the behavioural contract of the reference registry
+(/root/reference/shared/param.py:1-56): the 33x8x4 input geometry, batch
+sizes, LR schedule and CLR constants must be identical for data prep, model
+training and variant calling to interoperate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# ---------------------------------------------------------------------------
+# Tensor geometry (must match across data prep / training / calling)
+# ---------------------------------------------------------------------------
+FLANKING_BASE_NUM = 16
+NO_OF_POSITIONS = 2 * FLANKING_BASE_NUM + 1        # 33
+MATRIX_ROW = 8                                      # ACGT x strand
+MATRIX_NUM = 4                                      # channels: ref/ins/del/SNP
+INPUT_SHAPE = (NO_OF_POSITIONS, MATRIX_ROW, MATRIX_NUM)
+INPUT_TENSOR_SIZE = NO_OF_POSITIONS * MATRIX_ROW * MATRIX_NUM  # 1056
+
+# Expanded reference fetch around a region (bp), ref param.py:5
+EXPAND_REFERENCE_REGION = 1_000_000
+
+# BAM record filter: UNMAP|SECONDARY|QCFAIL|DUP|SUPPLEMENTARY (2316),
+# ref param.py:6
+BAM_EXCLUDE_FLAG = 2316
+
+# ---------------------------------------------------------------------------
+# Batch sizes and LR schedule (ref param.py:15-27)
+# ---------------------------------------------------------------------------
+TRAIN_BATCH_SIZE = 10_000
+PREDICT_BATCH_SIZE = 1_000
+INITIAL_LEARNING_RATE = 1e-3
+LEARNING_RATE_DECAY = 0.1
+MAX_LEARNING_RATE_SWITCH = 3
+TRAINING_DATASET_PERCENTAGE = 0.9
+
+L2_REGULARIZATION_LAMBDA = 0.005
+L2_REGULARIZATION_LAMBDA_DECAY = 1.0
+
+DEFAULT_OPTIMIZER = "Adam"            # Adam / SGDM
+DEFAULT_LOSS_FUNCTION = "FocalLoss"   # CrossEntropy / FocalLoss
+
+# Cyclical learning rate (ref param.py:32-37)
+CLR_MAX_LR = 3e-2
+CLR_MIN_LR = 1e-4
+CLR_STEPSIZE_CONSTANT = 1
+CLR_GAMMA = 0.95
+MOMENTUM = 0.9
+MAX_EPOCH = 30
+
+# LR finder (ref param.py:40-42)
+LR_FINDER_MIN_LR = 1e-6
+LR_FINDER_MAX_LR = 1e-1
+LR_FINDER_MAX_EPOCH = 1
+
+# Gradient clipping for recurrent structures (ref model.py:727)
+GRADIENT_CLIP_NORM = 5.0
+
+# Training-bin block size (ref param.py:12); our bins use zstd, not blosc
+BIN_BLOCK_SIZE = 500
+
+# Default candidate-site thresholds (ref ExtractVariantCandidates.py:424-431)
+MIN_CANDIDATE_AF = 0.125
+MIN_CANDIDATE_COVERAGE = 4
+MAX_DEPTH_PER_POSITION = 250          # --dcov
+
+# Random seed: None -> nondeterministic per run (ref param.py:44-48)
+RANDOM_SEED = None
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Structural hyperparameters of the multi-task BiLSTM network.
+
+    Defaults replicate the reference "2BiLSTM" structure
+    (/root/reference/clair/model.py:61-105).
+    """
+
+    input_shape: tuple = INPUT_SHAPE
+    lstm1_num_units: int = 128
+    lstm2_num_units: int = 128
+    lstm1_dropout_rate: float = 0.0
+    lstm2_dropout_rate: float = 0.5
+    # L3 "slice dense": an independent dense(time 33 -> 30) per feature column
+    l3_num_units: int = 30
+    l4_num_units: int = 192
+    l4_dropout_rate: float = 0.5
+    l5_num_units: int = 96
+    l5_dropout_rate: float = 0.2
+    output_gt21_shape: int = 21
+    output_genotype_shape: int = 3
+    output_indel_length_shape_1: int = 33
+    output_indel_length_shape_2: int = 33
+    # task loss weights: gt21, genotype, len1, len2, l2 (ref model.py:64-70)
+    task_loss_weights: tuple = (1.0, 1.0, 1.0, 1.0, 1.0)
+    l2_regularization_lambda: float = L2_REGULARIZATION_LAMBDA
+    optimizer_name: str = DEFAULT_OPTIMIZER
+    loss_function: str = DEFAULT_LOSS_FUNCTION
+    # compute dtype for matmuls; params are kept in float32
+    compute_dtype: str = "float32"
+
+    @property
+    def no_of_positions(self) -> int:
+        return self.input_shape[0]
+
+    @property
+    def feature_dim(self) -> int:
+        return self.input_shape[1] * self.input_shape[2]
+
+    @property
+    def output_shape(self) -> int:
+        return (
+            self.output_gt21_shape
+            + self.output_genotype_shape
+            + self.output_indel_length_shape_1
+            + self.output_indel_length_shape_2
+        )
