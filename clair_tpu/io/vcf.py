@@ -1,0 +1,90 @@
+"""VCF output writer.
+
+Header and row format match the reference caller's output
+(/root/reference/clair/call_var.py:304-331, 1184-1196) so downstream
+benchmarking tools (hap.py / rtg vcfeval) and the post-processing filters
+see identical records.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import IO, Iterable, Optional, Tuple
+
+
+HEADER_BODY = """\
+##fileformat=VCFv4.1
+##FILTER=<ID=PASS,Description="All filters passed">
+##FILTER=<ID=LowQual,Description="Confidence in this variant being real is below calling threshold.">
+##ALT=<ID=DEL,Description="Deletion">
+##ALT=<ID=INS,Description="Insertion of novel sequence">
+##INFO=<ID=SVTYPE,Number=1,Type=String,Description="Type of structural variant">
+##INFO=<ID=LENGUESS,Number=.,Type=Integer,Description="Best guess of the indel length">
+##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype Quality">
+##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read Depth">
+##FORMAT=<ID=AF,Number=1,Type=Float,Description="Estimated allele frequency in the range (0,1)">"""
+
+
+def filtration_value_from(quality_score_for_pass: Optional[int], quality_score: int) -> str:
+    if quality_score_for_pass is None:
+        return "."
+    return "PASS" if quality_score >= quality_score_for_pass else "LowQual"
+
+
+class VcfWriter:
+    def __init__(
+        self,
+        output: IO = sys.stdout,
+        sample_name: str = "SAMPLE",
+        contigs: Optional[Iterable[Tuple[str, int]]] = None,
+        quality_score_for_pass: Optional[int] = None,
+    ):
+        self._fh = output
+        self.sample_name = sample_name
+        self.contigs = list(contigs) if contigs else None
+        self.quality_score_for_pass = quality_score_for_pass
+
+    def write_header(self) -> None:
+        print(HEADER_BODY, file=self._fh)
+        if self.contigs:
+            for name, length in self.contigs:
+                print(f"##contig=<ID={name},length={length}>", file=self._fh)
+        print(
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t%s" % self.sample_name,
+            file=self._fh,
+        )
+
+    def write_site(self, chromosome: str, position: int, call) -> None:
+        """Write one SiteCall as a VCF row (ref call_var.py:1184-1196)."""
+        filtration = filtration_value_from(self.quality_score_for_pass, call.quality_score)
+        print(
+            "%s\t%d\t.\t%s\t%s\t%d\t%s\t%s\tGT:GQ:DP:AF\t%s:%d:%d:%.4f"
+            % (
+                chromosome,
+                position,
+                call.reference_base,
+                call.alternate_base,
+                call.quality_score,
+                filtration,
+                ".",
+                call.genotype_string,
+                call.quality_score,
+                call.read_depth,
+                call.allele_frequency,
+            ),
+            file=self._fh,
+        )
+
+    def close(self) -> None:
+        if self._fh not in (sys.stdout, sys.stderr):
+            self._fh.close()
+
+
+def contigs_from_fai(fai_path: str):
+    contigs = []
+    with open(fai_path) as fh:
+        for row in fh:
+            columns = row.strip().split("\t")
+            contigs.append((columns[0], int(columns[1])))
+    return contigs

@@ -1,0 +1,180 @@
+"""call_var: pileup tensors -> VCF (the reference's clair/call_var.py
+driver, re-designed for TPU).
+
+The reference runs a 3-Python-thread software pipeline (load / session.run /
+decode, ref :1312-1367). Here the pipeline falls out of JAX's async
+dispatch: every batch is padded to a fixed shape (so one compiled
+executable serves the whole stream), dispatched to the device, and the host
+decodes batch N-1 while the TPU computes batch N. Softmax outputs come back
+as one device->host transfer per batch.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+from dataclasses import dataclass
+from typing import IO, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from clair_tpu.data.tensor_stream import tensor_batches_from
+from clair_tpu.io.vcf import VcfWriter, contigs_from_fai
+from clair_tpu.params import PREDICT_BATCH_SIZE, ModelConfig
+from clair_tpu.pipeline.decode import IndelSources, OutputConfig, decode_site
+from clair_tpu.task.labels import split_label_vector
+from clair_tpu.utils.genomics import BASIC_BASES
+
+logging.basicConfig(format="%(message)s", level=logging.INFO)
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class Predictor:
+    """Fixed-shape jitted forward pass over padded batches."""
+
+    params: dict
+    config: ModelConfig
+    batch_size: int = PREDICT_BATCH_SIZE
+
+    def __post_init__(self):
+        import jax
+
+        from clair_tpu.models.clair import forward
+
+        self._fn = jax.jit(lambda p, x: forward(p, x, self.config))
+        self._jax = jax
+
+    def predict_async(self, x: np.ndarray):
+        """Dispatch one (possibly short) batch; returns device arrays + n."""
+        n = x.shape[0]
+        if n < self.batch_size:
+            pad = np.zeros((self.batch_size - n,) + x.shape[1:], dtype=x.dtype)
+            x = np.concatenate([x, pad], axis=0)
+        out = self._fn(self.params, x)
+        return out, n
+
+    def gather(self, out, n: int):
+        arrs = [np.asarray(a)[:n] for a in out]
+        return arrs
+
+
+def call_variants(
+    tensor_source,
+    predictor: Predictor,
+    output_config: OutputConfig,
+    vcf_writer: VcfWriter,
+    indel_sources: IndelSources = IndelSources(),
+    batch_size: Optional[int] = None,
+    debug_fh: Optional[IO] = None,
+) -> int:
+    """Stream tensors -> batched TPU inference -> per-site decode -> VCF.
+
+    Returns the number of sites processed.
+    """
+    batch_size = batch_size or predictor.batch_size
+    start_time = time.time()
+    total = 0
+
+    pending = None  # (infos, x, device_out, n)
+    for x, infos in tensor_batches_from(tensor_source, batch_size):
+        out, n = predictor.predict_async(x)  # dispatch batch N (async)
+        if pending is not None:
+            _decode_batch(pending, predictor, output_config, vcf_writer, indel_sources, debug_fh)
+            total += pending[3]
+        pending = (infos, x, out, n)
+    if pending is not None:
+        _decode_batch(pending, predictor, output_config, vcf_writer, indel_sources, debug_fh)
+        total += pending[3]
+
+    logger.info("Total time elapsed: %.2f s" % (time.time() - start_time))
+    return total
+
+
+def _decode_batch(pending, predictor, output_config, vcf_writer, indel_sources, debug_fh):
+    infos, x, out, n = pending
+    gt21_p, genotype_p, vl1_p, vl2_p = predictor.gather(out, n)
+    for i in range(n):
+        chromosome, position_str, sequence = infos[i]
+        call = decode_site(
+            x[i], chromosome, int(position_str), sequence,
+            gt21_p[i], genotype_p[i], vl1_p[i], vl2_p[i],
+            output_config, indel_sources,
+        )
+        if call is None:
+            continue
+        if output_config.is_debug and debug_fh is not None:
+            print(
+                "{}\t{}\t{}\t{}\t{}\t{}\t{}".format(
+                    chromosome, position_str,
+                    ["{:0.8f}".format(v) for v in gt21_p[i]],
+                    ["{:0.8f}".format(v) for v in genotype_p[i]],
+                    ["{:0.8f}".format(v) for v in vl1_p[i]],
+                    ["{:0.8f}".format(v) for v in vl2_p[i]],
+                    "Reference" if call.is_reference else "Normal output",
+                ),
+                file=debug_fh,
+            )
+            continue
+        vcf_writer.write_site(chromosome, int(position_str), call)
+
+
+def call_variants_for_ensemble(
+    tensor_source,
+    predictor: Predictor,
+    output_fh: IO,
+    batch_size: Optional[int] = None,
+) -> int:
+    """Ensemble output mode: dump tensor + the 4 probability vectors per
+    site (ref call_var.py:950-1000) for the ensemble combiner."""
+    batch_size = batch_size or predictor.batch_size
+    total = 0
+    for x, infos in tensor_batches_from(tensor_source, batch_size):
+        out, n = predictor.predict_async(x)
+        gt21_p, genotype_p, vl1_p, vl2_p = predictor.gather(out, n)
+        for i in range(n):
+            chromosome, position_str, sequence = infos[i]
+            if sequence[len(sequence) // 2] not in BASIC_BASES:
+                continue
+            tensor_str = "\t".join(x[i].reshape(-1).astype(int).astype(str))
+            probs = [
+                "{:0.6f}".format(p)
+                for vec in (gt21_p[i], genotype_p[i], vl1_p[i], vl2_p[i])
+                for p in vec
+            ]
+            print(
+                "\t".join([chromosome, position_str, sequence, tensor_str] + probs),
+                file=output_fh,
+            )
+            total += 1
+    return total
+
+
+def call_variants_from_probabilities(
+    rows: Iterator[str],
+    output_config: OutputConfig,
+    vcf_writer: VcfWriter,
+    indel_sources: IndelSources = IndelSources(),
+) -> int:
+    """Re-decode mode: rows carry tensor + probabilities (the ensemble
+    combiner's output), no model needed (ref call_var.py:1276-1309)."""
+    from clair_tpu.params import INPUT_TENSOR_SIZE, MATRIX_NUM, MATRIX_ROW, NO_OF_POSITIONS
+
+    total = 0
+    for row in rows:
+        columns = row.split("\t")
+        chromosome, position, sequence = columns[0], columns[1], columns[2]
+        x = np.array(columns[3:3 + INPUT_TENSOR_SIZE], dtype=np.float32).reshape(
+            NO_OF_POSITIONS, MATRIX_ROW, MATRIX_NUM
+        )
+        probabilities = np.array(columns[3 + INPUT_TENSOR_SIZE:], dtype=np.float32)
+        gt21_p, genotype_p, vl1_p, vl2_p = split_label_vector(probabilities)
+        call = decode_site(
+            x, chromosome, int(position), sequence,
+            gt21_p, genotype_p, vl1_p, vl2_p, output_config, indel_sources,
+        )
+        if call is not None:
+            vcf_writer.write_site(chromosome, int(position), call)
+        total += 1
+    return total
