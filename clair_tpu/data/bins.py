@@ -1,0 +1,326 @@
+"""Training-bin format: blocked, zstd-compressed tensor/label arrays.
+
+The reference pickles lists of blosc-lz4hc blocks of 500 examples
+(/root/reference/clair/utils.py:133-220, dataPrepScripts/Tensor2Bin.py).
+blosc is not available here, so this framework defines its own format with
+the same blocked layout (block = shuffle/IO unit) using zstandard, plus an
+optional compatibility reader for reference blosc bins when the blosc
+package is importable.
+
+Bins store CHANNEL-NORMALIZED X blocks (normalization happens at bin build
+time, like the reference utils.py:152-154).
+"""
+
+from __future__ import annotations
+
+import io as _io
+import pickle
+import sys
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+import zstandard
+
+from clair_tpu.data.tensor_stream import normalize_channels, open_maybe_gzip
+from clair_tpu.params import (
+    BIN_BLOCK_SIZE,
+    INPUT_TENSOR_SIZE,
+    MATRIX_NUM,
+    MATRIX_ROW,
+    NO_OF_POSITIONS,
+    PREDICT_BATCH_SIZE,
+    TRAIN_BATCH_SIZE,
+)
+from clair_tpu.task.labels import label_vector_from_reference, label_vector_from_truth
+from clair_tpu.utils.genomics import BASE2ACGT, BASIC_BASES
+from clair_tpu.utils.intervals import BedIntervals
+
+MAGIC = "clair_tpu_bin_v1"
+_DUP_PREFIXES = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _pack(array: np.ndarray) -> bytes:
+    buf = _io.BytesIO()
+    np.save(buf, array, allow_pickle=False)
+    return zstandard.ZstdCompressor(level=6).compress(buf.getvalue())
+
+
+def _unpack(blob: bytes) -> np.ndarray:
+    raw = zstandard.ZstdDecompressor().decompress(blob)
+    return np.load(_io.BytesIO(raw), allow_pickle=False)
+
+
+@dataclass
+class BinDataset:
+    dataset_size: int
+    x_blocks: List[bytes]
+    y_blocks: List[bytes]
+    pos_blocks: List[bytes]
+    block_size: int = BIN_BLOCK_SIZE
+    # set when train/val bins were concatenated (ref utils.py:276-289)
+    train_size_hint: Optional[int] = None
+    _codec: str = "zstd"
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.x_blocks)
+
+    def x_block(self, i: int) -> np.ndarray:
+        return self._load(self.x_blocks[i])
+
+    def y_block(self, i: int) -> np.ndarray:
+        return self._load(self.y_blocks[i])
+
+    def pos_block(self, i: int) -> np.ndarray:
+        return self._load(self.pos_blocks[i], allow_strings=True)
+
+    def _load(self, blob: bytes, allow_strings: bool = False) -> np.ndarray:
+        if self._codec == "zstd":
+            raw = zstandard.ZstdDecompressor().decompress(blob)
+            return np.load(_io.BytesIO(raw), allow_pickle=False)
+        if self._codec == "blosc":  # reference-bin compatibility
+            import blosc
+
+            return blosc.unpack_array(blob)
+        raise ValueError(f"unknown codec {self._codec}")
+
+
+def write_bin(path: str, dataset: BinDataset) -> None:
+    with open(path, "wb") as fh:
+        pickle.dump(
+            {
+                "magic": MAGIC,
+                "dataset_size": dataset.dataset_size,
+                "block_size": dataset.block_size,
+                "x_blocks": dataset.x_blocks,
+                "y_blocks": dataset.y_blocks,
+                "pos_blocks": dataset.pos_blocks,
+            },
+            fh,
+            protocol=4,
+        )
+
+
+def load_bin(path: str) -> BinDataset:
+    """Load a clair_tpu bin; falls back to the reference's 4-pickle blosc
+    layout (Tensor2Bin.py:15-33) when blosc is importable."""
+    with open(path, "rb") as fh:
+        head = pickle.load(fh)
+        if isinstance(head, dict) and head.get("magic") == MAGIC:
+            return BinDataset(
+                dataset_size=head["dataset_size"],
+                x_blocks=head["x_blocks"],
+                y_blocks=head["y_blocks"],
+                pos_blocks=head["pos_blocks"],
+                block_size=head["block_size"],
+            )
+        # reference layout: dataset_size, X[], Y[], pos[] as 4 pickles
+        dataset_size = head
+        x_blocks = pickle.load(fh)
+        y_blocks = pickle.load(fh)
+        pos_blocks = pickle.load(fh)
+        return BinDataset(
+            dataset_size=dataset_size,
+            x_blocks=x_blocks,
+            y_blocks=y_blocks,
+            pos_blocks=pos_blocks,
+            _codec="blosc",
+        )
+
+
+def load_train_val_bins(train_path: str, validation_path: str) -> BinDataset:
+    """Concatenate separate train/val bins; records the train size so the
+    split is by file rather than by percentage (ref utils.py:276-289)."""
+    train = load_bin(train_path)
+    val = load_bin(validation_path)
+    if train._codec != val._codec:
+        raise ValueError("cannot mix bin codecs")
+    return BinDataset(
+        dataset_size=train.dataset_size + val.dataset_size,
+        x_blocks=train.x_blocks + val.x_blocks,
+        y_blocks=train.y_blocks + val.y_blocks,
+        pos_blocks=train.pos_blocks + val.pos_blocks,
+        block_size=train.block_size,
+        train_size_hint=train.dataset_size,
+        _codec=train._codec,
+    )
+
+
+def combine_bins(paths: List[str], output_path: str) -> BinDataset:
+    """Merge bins (the reference's CombineBins.py)."""
+    datasets = [load_bin(p) for p in paths]
+    merged = BinDataset(
+        dataset_size=sum(d.dataset_size for d in datasets),
+        x_blocks=[b for d in datasets for b in d.x_blocks],
+        y_blocks=[b for d in datasets for b in d.y_blocks],
+        pos_blocks=[b for d in datasets for b in d.pos_blocks],
+        block_size=datasets[0].block_size,
+        _codec=datasets[0]._codec,
+    )
+    if merged._codec != "zstd":
+        raise ValueError("combine only supports clair_tpu bins")
+    write_bin(output_path, merged)
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# Bin building from tensor/truth text streams (Tensor2Bin equivalent)
+# ---------------------------------------------------------------------------
+
+def variant_map_from(var_fn: Optional[str], bed: BedIntervals) -> dict:
+    """Truth-label map keyed 'ctg:pos' from GetTruth-format lines
+    (ref clair/utils.py:112-130)."""
+    y = {}
+    if var_fn is None:
+        return y
+    with open_maybe_gzip(var_fn) as fh:
+        for row in fh:
+            columns = row.split()
+            ctg_name, position_str = columns[0], columns[1]
+            if not (bed.is_empty or bed.contains_point(ctg_name, int(position_str))):
+                continue
+            y[ctg_name + ":" + position_str] = label_vector_from_truth(
+                columns[2], columns[3], int(columns[4]), int(columns[5])
+            )
+    return y
+
+
+def build_bin_from_tensors(
+    tensor_fn: str,
+    var_fn: Optional[str] = None,
+    bed_fn: Optional[str] = None,
+    shuffle: bool = True,
+    is_allow_duplicate_chr_pos: bool = False,
+    block_size: int = BIN_BLOCK_SIZE,
+) -> BinDataset:
+    """Join tensors with truth labels into a blocked bin
+    (ref clair/utils.py:133-220 get_training_array)."""
+    bed = BedIntervals.from_bed(bed_fn)
+    y_map = variant_map_from(var_fn, bed)
+
+    x_map = {}
+    with open_maybe_gzip(tensor_fn) as fh:
+        for row in fh:
+            columns = row.split(maxsplit=3)
+            if len(columns) < 4:
+                continue
+            chrom, coord, seq = columns[0], columns[1], columns[2].upper()
+            if not (bed.is_empty or bed.contains_point(chrom, int(coord))):
+                continue
+            if seq[NO_OF_POSITIONS // 2] not in BASIC_BASES:
+                continue
+            x = np.fromstring(columns[3], dtype=np.float32, sep=" ").reshape(
+                NO_OF_POSITIONS, MATRIX_ROW, MATRIX_NUM
+            )
+            normalize_channels(x)
+            key = chrom + ":" + coord
+            if key not in x_map:
+                x_map[key] = x
+            elif is_allow_duplicate_chr_pos:
+                for ch in _DUP_PREFIXES:
+                    if ch + key not in x_map:
+                        x_map[ch + key] = x
+                        break
+            if key not in y_map:
+                y_map[key] = label_vector_from_reference(
+                    BASE2ACGT[seq[NO_OF_POSITIONS // 2]]
+                )
+
+    all_keys = sorted(x_map.keys())
+    if shuffle:
+        np.random.shuffle(all_keys)
+
+    x_blocks, y_blocks, pos_blocks = [], [], []
+    xs, ys, keys = [], [], []
+
+    def flush():
+        if not xs:
+            return
+        x_blocks.append(_pack(np.asarray(xs, dtype=np.float32)))
+        y_blocks.append(_pack(np.asarray(ys, dtype=np.float32)))
+        pos_blocks.append(_pack(np.asarray(keys)))
+        xs.clear(), ys.clear(), keys.clear()
+
+    total = 0
+    for key in all_keys:
+        # duplicate keys carry a one-char prefix and share the base truth label
+        base_key = key if key in y_map else key[1:]
+        xs.append(x_map[key])
+        ys.append(y_map[base_key])
+        keys.append(base_key)
+        total += 1
+        if len(xs) == block_size:
+            flush()
+    flush()
+
+    return BinDataset(
+        dataset_size=total,
+        x_blocks=x_blocks,
+        y_blocks=y_blocks,
+        pos_blocks=pos_blocks,
+        block_size=block_size,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Epoch iteration (the reference's decompress_array cursor, re-designed)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class EpochBatches:
+    """Iterate one epoch: train batches first (never crossing the train/val
+    boundary), then validation batches (ref train.py:134-187 semantics)."""
+
+    dataset: BinDataset
+    block_order: np.ndarray
+    n_train: int
+    train_batch_size: int = TRAIN_BATCH_SIZE
+    val_batch_size: int = PREDICT_BATCH_SIZE
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, bool]]:
+        ds = self.dataset
+        buffer_x: List[np.ndarray] = []
+        buffer_y: List[np.ndarray] = []
+        buffered = 0
+        produced = 0
+        block_iter = iter(self.block_order)
+
+        def fill(target: int) -> None:
+            nonlocal buffered
+            while buffered < target:
+                try:
+                    i = int(next(block_iter))
+                except StopIteration:
+                    return
+                buffer_x.append(ds.x_block(i))
+                buffer_y.append(ds.y_block(i))
+                buffered += len(buffer_x[-1])
+
+        def take(n: int):
+            nonlocal buffered
+            x = np.concatenate(buffer_x) if len(buffer_x) > 1 else buffer_x[0]
+            y = np.concatenate(buffer_y) if len(buffer_y) > 1 else buffer_y[0]
+            out_x, out_y = x[:n], y[:n]
+            buffer_x[:] = [x[n:]] if len(x) > n else []
+            buffer_y[:] = [y[n:]] if len(y) > n else []
+            buffered = len(x) - n
+            return out_x, out_y
+
+        while produced < self.n_train:
+            want = min(self.train_batch_size, self.n_train - produced)
+            fill(want)
+            if buffered == 0:
+                return
+            n = min(want, buffered)
+            x, y = take(n)
+            produced += n
+            yield x, y, True
+
+        while True:
+            fill(self.val_batch_size)
+            if buffered == 0:
+                return
+            n = min(self.val_batch_size, buffered)
+            x, y = take(n)
+            yield x, y, False

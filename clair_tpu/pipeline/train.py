@@ -1,0 +1,237 @@
+"""Training loop: blocked-bin epochs with adaptive-decay or cyclical LR.
+
+Replaces the TF1 session loops (/root/reference/clair/train.py:78-263 and
+train_clr.py) with a jitted (optionally pjit-sharded) train step. Host-side
+block decompression overlaps device compute through JAX async dispatch: the
+loss of batch N is only synced after batch N+1 has been dispatched.
+
+Semantics preserved from the reference:
+- 90/10 train/val split by index (or explicit train/val bins)
+- per-epoch shuffle of the TRAIN blocks only (ref train.py:256-259)
+- checkpoint every epoch as prefix-%06d, resume epoch parsed from the path
+- adaptive LR x0.1 decay driven by val-loss heuristics, up to 3 switches
+- CLR mode: fixed 30-epoch horizon, per-iteration cyclical LR
+- final: restore best-val epoch and run the evaluator
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import numpy as np
+
+from clair_tpu.data.bins import BinDataset, EpochBatches
+from clair_tpu.models.checkpoint import (
+    checkpoint_path,
+    epoch_from_path,
+    load_checkpoint,
+    save_checkpoint,
+)
+from clair_tpu.models.clair import init_params
+from clair_tpu.params import (
+    CLR_MAX_LR,
+    CLR_STEPSIZE_CONSTANT,
+    INITIAL_LEARNING_RATE,
+    L2_REGULARIZATION_LAMBDA,
+    L2_REGULARIZATION_LAMBDA_DECAY,
+    LEARNING_RATE_DECAY,
+    MAX_EPOCH,
+    MAX_LEARNING_RATE_SWITCH,
+    PREDICT_BATCH_SIZE,
+    TRAIN_BATCH_SIZE,
+    TRAINING_DATASET_PERCENTAGE,
+    ModelConfig,
+)
+from clair_tpu.parallel.sharding import (
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    set_learning_rate,
+)
+from clair_tpu.pipeline.schedules import AdaptiveDecay, CyclicalLR
+
+logging.basicConfig(format="%(message)s", level=logging.INFO)
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainingConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    learning_rate: float = INITIAL_LEARNING_RATE
+    l2_lambda: float = L2_REGULARIZATION_LAMBDA
+    l2_lambda_decay: float = L2_REGULARIZATION_LAMBDA_DECAY
+    lr_decay: float = LEARNING_RATE_DECAY
+    output_prefix: Optional[str] = None
+    init_checkpoint: Optional[str] = None
+    train_batch_size: int = TRAIN_BATCH_SIZE
+    val_batch_size: int = PREDICT_BATCH_SIZE
+    # "adaptive" (train.py) or a CLR mode "tri" / "tri2" / "exp" (train_clr.py)
+    schedule: str = "adaptive"
+    clr_max_lr: float = CLR_MAX_LR
+    max_epochs: int = MAX_EPOCH
+    seed: int = 0
+    evaluate_at_end: bool = True
+
+
+@dataclass
+class TrainResult:
+    params: dict
+    training_losses: list
+    validation_losses: list
+    best_epoch: int
+
+
+def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
+    model_config = config.model
+    rng = jax.random.PRNGKey(config.seed)
+    rng, init_rng = jax.random.split(rng)
+
+    if config.init_checkpoint is not None:
+        params, _ = load_checkpoint(config.init_checkpoint)
+        start_epoch = epoch_from_path(config.init_checkpoint) + 1
+    else:
+        params = init_params(init_rng, model_config)
+        start_epoch = 1
+
+    optimizer = make_optimizer(model_config.optimizer_name, config.learning_rate)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(model_config, optimizer)
+    eval_step = make_eval_step(model_config)
+
+    n_train = dataset.train_size_hint or int(
+        dataset.dataset_size * TRAINING_DATASET_PERCENTAGE
+    )
+    n_val = dataset.dataset_size - n_train
+    n_train_blocks = int(n_train / dataset.block_size)
+    block_order = np.arange(dataset.n_blocks)
+
+    learning_rate = config.learning_rate
+    l2_lambda = config.l2_lambda
+    decay = AdaptiveDecay(max_switches=MAX_LEARNING_RATE_SWITCH)
+    clr = None
+    if config.schedule != "adaptive":
+        iterations_per_epoch = max(int(np.ceil(n_train / config.train_batch_size)), 1)
+        clr = CyclicalLR(
+            step_size=CLR_STEPSIZE_CONSTANT * iterations_per_epoch,
+            max_lr=config.clr_max_lr,
+            mode=config.schedule,
+        )
+
+    training_losses, validation_losses = [], []
+    training_start = time.time()
+    logger.info("[INFO] Start training... LR %.2e, L2 lambda %.2e", learning_rate, l2_lambda)
+
+    epoch = start_epoch
+    while True:
+        epoch_start = time.time()
+        train_loss_sum = 0.0
+        val_loss_sum = 0.0
+        component_sums = {k: 0.0 for k in ("gt21", "genotype", "indel_length_1", "indel_length_2", "l2_without_lambda")}
+
+        pending = None  # (device_loss, is_training, components)
+        batches = EpochBatches(
+            dataset, block_order, n_train,
+            config.train_batch_size, config.val_batch_size,
+        )
+        for x, y, is_training in batches:
+            if is_training:
+                if clr is not None:
+                    learning_rate = clr()
+                    opt_state = set_learning_rate(opt_state, learning_rate)
+                rng, step_rng = jax.random.split(rng)
+                params, opt_state, loss, components = train_step(
+                    params, opt_state, x, y, step_rng, np.float32(l2_lambda)
+                )
+            else:
+                loss, components = eval_step(params, x, y, np.float32(l2_lambda))
+            # sync the PREVIOUS batch's loss -> device/host overlap
+            if pending is not None:
+                _accumulate(pending, component_sums)
+                if pending[1]:
+                    train_loss_sum += float(pending[0])
+                else:
+                    val_loss_sum += float(pending[0])
+            pending = (loss, is_training, components)
+        if pending is not None:
+            _accumulate(pending, component_sums)
+            if pending[1]:
+                train_loss_sum += float(pending[0])
+            else:
+                val_loss_sum += float(pending[0])
+
+        logger.info("%d Training loss: %s", epoch, train_loss_sum / max(n_train, 1))
+        logger.info(
+            "%d Validation loss (Total/Base/Genotype/Indel_1_2): %s\t%s\t%s\t%s\t%s",
+            epoch,
+            val_loss_sum / max(n_val, 1),
+            component_sums["gt21"] / max(n_val, 1),
+            component_sums["genotype"] / max(n_val, 1),
+            component_sums["indel_length_1"] / max(n_val, 1),
+            component_sums["indel_length_2"] / max(n_val, 1),
+        )
+        logger.info("[INFO] Epoch time elapsed: %.2f s", time.time() - epoch_start)
+        training_losses.append((train_loss_sum, epoch))
+        validation_losses.append((val_loss_sum, epoch))
+
+        if config.output_prefix is not None:
+            save_checkpoint(
+                checkpoint_path(config.output_prefix, epoch), params,
+                extra={"epoch": epoch, "learning_rate": learning_rate},
+            )
+
+        if clr is None:
+            should_stop, did_decay = decay.observe(val_loss_sum, epoch)
+            if should_stop:
+                break
+            if did_decay:
+                learning_rate *= config.lr_decay
+                l2_lambda *= config.l2_lambda_decay
+                opt_state = set_learning_rate(opt_state, learning_rate)
+                logger.info("[INFO] New learning rate: %.2e", learning_rate)
+        else:
+            if epoch >= config.max_epochs:
+                break
+
+        epoch += 1
+        # shuffle the train blocks only (ref train.py:256)
+        block_order = _shuffle_first_n(block_order, n_train_blocks)
+
+    logger.info("[INFO] Training time elapsed: %.2f s", time.time() - training_start)
+
+    best_epoch = sorted(validation_losses)[0][1]
+    logger.info("[INFO] Best validation loss at epoch: %d", best_epoch)
+    if config.output_prefix is not None:
+        params, _ = load_checkpoint(checkpoint_path(config.output_prefix, best_epoch))
+        if config.evaluate_at_end:
+            from clair_tpu.pipeline.evaluate import evaluate_model
+
+            evaluate_model(params, model_config, dataset)
+
+    return TrainResult(
+        params=params,
+        training_losses=training_losses,
+        validation_losses=validation_losses,
+        best_epoch=best_epoch,
+    )
+
+
+def _accumulate(pending, sums):
+    _, is_training, components = pending
+    if not is_training:
+        for key in sums:
+            sums[key] += float(components[key])
+
+
+def _shuffle_first_n(array: np.ndarray, n: int) -> np.ndarray:
+    array = array.copy()
+    if len(array) <= n:
+        np.random.shuffle(array)
+        return array
+    head = array[:n]
+    np.random.shuffle(head)
+    array[:n] = head
+    return array
