@@ -1,0 +1,598 @@
+"""Command-line dispatcher: ``python -m clair_tpu <command> [options]``.
+
+Covers the reference's full submodule surface (clair.py:13-34 registries):
+callVarBam / callVarBamParallel / call_var / train / train_clr / evaluate /
+learning_rate_finder / plot_tensor, the data-prep tools
+(ExtractVariantCandidates, CreateTensor, GetTruth, PairWithNonVariants,
+Tensor2Bin, CombineBins, TensorTransformer), and the post-processing
+filters (overlap_variant, ensemble). Reference command names are accepted
+as aliases of the snake_case names.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _predictor_from(checkpoint_path, batch_size=None):
+    from clair_tpu.models.checkpoint import load_checkpoint
+    from clair_tpu.params import PREDICT_BATCH_SIZE, ModelConfig
+    from clair_tpu.pipeline.call_var import Predictor
+
+    params, _ = load_checkpoint(checkpoint_path)
+    return Predictor(params, ModelConfig(), batch_size or PREDICT_BATCH_SIZE)
+
+
+# ---------------------------------------------------------------------------
+# calling commands
+# ---------------------------------------------------------------------------
+
+def cmd_call_var(argv):
+    parser = argparse.ArgumentParser(
+        prog="call_var", description="Call variants from pileup tensors"
+    )
+    parser.add_argument("--tensor_fn", default="PIPE")
+    parser.add_argument("--chkpnt_fn", default=None)
+    parser.add_argument("--call_fn", default=None)
+    parser.add_argument("--bam_fn", default=None)
+    parser.add_argument("--ref_fn", default=None)
+    parser.add_argument("--qual", type=int, default=None)
+    parser.add_argument("--sampleName", default="SAMPLE")
+    parser.add_argument("--showRef", action="store_true")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--haploid_precision", action="store_true")
+    parser.add_argument("--haploid_sensitive", action="store_true")
+    parser.add_argument("--input_probabilities", action="store_true")
+    parser.add_argument("--output_for_ensemble", action="store_true")
+    parser.add_argument("--bam_for_all_indel_bases", "--pysam_for_all_indel_bases",
+                        action="store_true", dest="bam_for_all_indel_bases")
+    args = parser.parse_args(argv)
+
+    from clair_tpu.io.vcf import VcfWriter, contigs_from_fai
+    from clair_tpu.pipeline.call_var import (
+        call_variants,
+        call_variants_for_ensemble,
+        call_variants_from_probabilities,
+    )
+    from clair_tpu.pipeline.decode import IndelSources, OutputConfig
+
+    output_fh = open(args.call_fn, "w") if args.call_fn else sys.stdout
+    output_config = OutputConfig(
+        is_show_reference=args.showRef,
+        is_debug=args.debug,
+        is_haploid_precision_mode_enabled=args.haploid_precision,
+        is_haploid_sensitive_mode_enabled=args.haploid_sensitive,
+        is_output_for_ensemble=args.output_for_ensemble,
+        quality_score_for_pass=args.qual,
+    )
+    contigs = contigs_from_fai(args.ref_fn + ".fai") if args.ref_fn else None
+    writer = VcfWriter(output_fh, args.sampleName, contigs, args.qual)
+
+    # tensor-stream mode recovers long indels from the tensor only; BAM
+    # re-pileup recovery is wired in call_bam where the contig is known
+    indel_sources = IndelSources()
+
+    if args.input_probabilities:
+        writer.write_header()
+        call_variants_from_probabilities(sys.stdin, output_config, writer, indel_sources)
+    elif args.output_for_ensemble:
+        predictor = _predictor_from(args.chkpnt_fn)
+        call_variants_for_ensemble(args.tensor_fn, predictor, output_fh)
+    else:
+        writer.write_header()
+        predictor = _predictor_from(args.chkpnt_fn)
+        call_variants(
+            args.tensor_fn, predictor, output_config, writer, indel_sources,
+            debug_fh=output_fh if args.debug else None,
+        )
+    if args.call_fn:
+        output_fh.close()
+
+
+def cmd_call_bam(argv):
+    parser = argparse.ArgumentParser(
+        prog="call_bam", description="Call variants from a BAM for one region"
+    )
+    parser.add_argument("--bam_fn", required=True)
+    parser.add_argument("--ref_fn", required=True)
+    parser.add_argument("--chkpnt_fn", required=True)
+    parser.add_argument("--call_fn", default=None)
+    parser.add_argument("--ctgName", required=True)
+    parser.add_argument("--ctgStart", type=int, default=None)
+    parser.add_argument("--ctgEnd", type=int, default=None)
+    parser.add_argument("--bed_fn", default=None)
+    parser.add_argument("--vcf_fn", default=None, help="candidate sites from a truth VCF")
+    parser.add_argument("--threshold", type=float, default=0.125)
+    parser.add_argument("--minCoverage", type=float, default=4)
+    parser.add_argument("--minMQ", type=int, default=0)
+    parser.add_argument("--dcov", type=int, default=250)
+    parser.add_argument("--qual", type=int, default=None)
+    parser.add_argument("--sampleName", default="SAMPLE")
+    parser.add_argument("--showRef", action="store_true")
+    parser.add_argument("--haploid_precision", action="store_true")
+    parser.add_argument("--haploid_sensitive", action="store_true")
+    parser.add_argument("--bam_for_all_indel_bases", "--pysam_for_all_indel_bases",
+                        action="store_true", dest="bam_for_all_indel_bases")
+    args = parser.parse_args(argv)
+
+    from clair_tpu.pipeline.call_bam import CallBamConfig, call_bam
+
+    config = CallBamConfig(
+        bam_path=args.bam_fn,
+        fasta_path=args.ref_fn,
+        contig=args.ctgName,
+        ctg_start=args.ctgStart,
+        ctg_end=args.ctgEnd,
+        bed_path=args.bed_fn,
+        minimum_af=args.threshold,
+        minimum_coverage=args.minCoverage,
+        minimum_mapq=args.minMQ,
+        dcov=args.dcov,
+        sample_name=args.sampleName,
+        qual=args.qual,
+        show_reference=args.showRef,
+        haploid_precision=args.haploid_precision,
+        haploid_sensitive=args.haploid_sensitive,
+        use_bam_for_all_indels=args.bam_for_all_indel_bases,
+        truth_vcf_path=args.vcf_fn,
+    )
+    total = call_bam(config, _predictor_from(args.chkpnt_fn), output_path=args.call_fn)
+    print(f"[INFO] {total} candidate sites processed", file=sys.stderr)
+
+
+def cmd_call_bam_parallel(argv):
+    parser = argparse.ArgumentParser(
+        prog="call_bam_parallel",
+        description="Emit per-window call_bam commands (or run them inline)",
+    )
+    parser.add_argument("--bam_fn", required=True)
+    parser.add_argument("--ref_fn", required=True)
+    parser.add_argument("--chkpnt_fn", required=True)
+    parser.add_argument("--output_prefix", required=True)
+    parser.add_argument("--bed_fn", default=None)
+    parser.add_argument("--refChunkSize", type=int, default=10_000_000)
+    parser.add_argument("--includingAllContigs", action="store_true")
+    parser.add_argument("--qual", type=int, default=None)
+    parser.add_argument("--run", action="store_true", help="execute inline instead of printing commands")
+    args = parser.parse_args(argv)
+
+    from clair_tpu.pipeline.call_bam_parallel import (
+        call_bam_parallel,
+        emit_command_sheet,
+        merge_vcfs,
+    )
+
+    if not args.run:
+        extra = f"--qual {args.qual}" if args.qual is not None else ""
+        if args.bed_fn:
+            extra += f" --bed_fn {args.bed_fn}"
+        emit_command_sheet(
+            args.ref_fn, args.bam_fn, args.chkpnt_fn, args.output_prefix,
+            chunk_size=args.refChunkSize,
+            include_all_contigs=args.includingAllContigs,
+            bed_path=args.bed_fn,
+            extra_flags=extra.strip(),
+        )
+        return
+
+    from clair_tpu.pipeline.call_bam import CallBamConfig
+
+    base = CallBamConfig(
+        bam_path=args.bam_fn, fasta_path=args.ref_fn,
+        bed_path=args.bed_fn, qual=args.qual,
+    )
+    paths = call_bam_parallel(
+        base, lambda: _predictor_from(args.chkpnt_fn), args.output_prefix,
+        chunk_size=args.refChunkSize,
+        include_all_contigs=args.includingAllContigs,
+    )
+    merge_vcfs(paths, args.output_prefix + ".vcf")
+
+
+# ---------------------------------------------------------------------------
+# training commands
+# ---------------------------------------------------------------------------
+
+def _load_dataset(args):
+    from clair_tpu.data.bins import build_bin_from_tensors, load_bin, load_train_val_bins
+
+    if args.train_bin_fn and args.validation_bin_fn:
+        return load_train_val_bins(args.train_bin_fn, args.validation_bin_fn)
+    if args.bin_fn:
+        return load_bin(args.bin_fn)
+    return build_bin_from_tensors(args.tensor_fn, args.var_fn, args.bed_fn)
+
+
+def _add_dataset_args(parser):
+    parser.add_argument("--bin_fn", default=None)
+    parser.add_argument("--train_bin_fn", default=None)
+    parser.add_argument("--validation_bin_fn", default=None)
+    parser.add_argument("--tensor_fn", default="vartensors")
+    parser.add_argument("--var_fn", default="truthvars")
+    parser.add_argument("--bed_fn", default=None)
+
+
+def cmd_train(argv, schedule="adaptive"):
+    parser = argparse.ArgumentParser(prog="train", description="Train the model")
+    _add_dataset_args(parser)
+    parser.add_argument("--chkpnt_fn", default=None)
+    parser.add_argument("--ochk_prefix", default=None)
+    parser.add_argument("--learning_rate", type=float, default=None)
+    parser.add_argument("--lambd", type=float, default=None)
+    parser.add_argument("--SGDM", action="store_true")
+    parser.add_argument("--Adam", action="store_true")
+    parser.add_argument("--cross_entropy", action="store_true")
+    parser.add_argument("--focal_loss", action="store_true")
+    parser.add_argument("--clr_mode", default="tri", choices=["tri", "tri2", "exp"])
+    parser.add_argument("--maxEpoch", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from clair_tpu.params import (
+        CLR_MAX_LR, INITIAL_LEARNING_RATE, L2_REGULARIZATION_LAMBDA, MAX_EPOCH,
+        ModelConfig,
+    )
+    from clair_tpu.pipeline.train import TrainingConfig, train_model
+
+    optimizer = "SGDM" if args.SGDM else ("Adam" if args.Adam else None)
+    loss = "CrossEntropy" if args.cross_entropy else ("FocalLoss" if args.focal_loss else None)
+    model = ModelConfig(
+        **{k: v for k, v in dict(optimizer_name=optimizer, loss_function=loss).items() if v}
+    )
+    config = TrainingConfig(
+        model=model,
+        learning_rate=args.learning_rate or INITIAL_LEARNING_RATE,
+        l2_lambda=args.lambd if args.lambd is not None else L2_REGULARIZATION_LAMBDA,
+        output_prefix=args.ochk_prefix,
+        init_checkpoint=args.chkpnt_fn,
+        schedule=schedule if schedule == "adaptive" else args.clr_mode,
+        clr_max_lr=CLR_MAX_LR,
+        max_epochs=args.maxEpoch or MAX_EPOCH,
+    )
+    train_model(_load_dataset(args), config)
+
+
+def cmd_train_clr(argv):
+    cmd_train(argv, schedule="clr")
+
+
+def cmd_evaluate(argv):
+    parser = argparse.ArgumentParser(prog="evaluate", description="Evaluate a model")
+    _add_dataset_args(parser)
+    parser.add_argument("--chkpnt_fn", required=True)
+    args = parser.parse_args(argv)
+
+    from clair_tpu.models.checkpoint import load_checkpoint
+    from clair_tpu.params import ModelConfig
+    from clair_tpu.pipeline.evaluate import evaluate_model
+
+    params, _ = load_checkpoint(args.chkpnt_fn)
+    evaluate_model(params, ModelConfig(), _load_dataset(args))
+
+
+def cmd_learning_rate_finder(argv):
+    parser = argparse.ArgumentParser(prog="learning_rate_finder")
+    _add_dataset_args(parser)
+    parser.add_argument("--olog_fn", default="lr_finder.txt")
+    args = parser.parse_args(argv)
+
+    from clair_tpu.pipeline.lr_finder import find_learning_rate
+
+    result = find_learning_rate(_load_dataset(args), output_path=args.olog_fn)
+    print(f"suggested min_lr {result.suggested_min_lr:.3e} max_lr {result.suggested_max_lr:.3e}")
+
+
+# ---------------------------------------------------------------------------
+# data-prep commands
+# ---------------------------------------------------------------------------
+
+def cmd_extract_candidates(argv):
+    parser = argparse.ArgumentParser(
+        prog="extract_candidates",
+        description="Generate 1-based variant candidates from a BAM",
+    )
+    parser.add_argument("--bam_fn", required=True)
+    parser.add_argument("--ref_fn", required=True)
+    parser.add_argument("--can_fn", default="PIPE")
+    parser.add_argument("--bed_fn", default=None)
+    parser.add_argument("--var_fn", default=None)
+    parser.add_argument("--threshold", type=float, default=0.125)
+    parser.add_argument("--minCoverage", type=float, default=4)
+    parser.add_argument("--minMQ", type=int, default=0)
+    parser.add_argument("--gen4Training", action="store_true")
+    parser.add_argument("--outputProb", type=float, default=None)
+    parser.add_argument("--ctgName", required=True)
+    parser.add_argument("--ctgStart", type=int, default=None)
+    parser.add_argument("--ctgEnd", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from clair_tpu.data.candidates import (
+        CandidateConfig,
+        DEFAULT_OUTPUT_PROBABILITY,
+        candidate_sites_from_events,
+        non_variant_positions_near_variants,
+        variant_positions_from,
+        write_candidates_text,
+    )
+    from clair_tpu.data.pileup import events_from_reads, soft_clip_fraction_ok
+    from clair_tpu.io.bam import BamReader
+    from clair_tpu.io.fasta import FastaReader
+    from clair_tpu.params import EXPAND_REFERENCE_REGION
+    from clair_tpu.utils.intervals import BedIntervals
+
+    fasta = FastaReader(args.ref_fn)
+    length = fasta.contig_length(args.ctgName)
+    ctg_start = args.ctgStart or 1
+    ctg_end = args.ctgEnd or length
+    ref_start = max(ctg_start - 1 - EXPAND_REFERENCE_REGION, 0)
+    ref_end = min(ctg_end + EXPAND_REFERENCE_REGION, length)
+    reference = fasta.fetch(args.ctgName, ref_start, ref_end)
+
+    with BamReader(args.bam_fn) as bam:
+        records = [
+            r for r in bam.fetch(args.ctgName, ctg_start - 1, ctg_end, min_mapq=args.minMQ)
+            if r.cigar_ops.size and soft_clip_fraction_ok(r)
+        ]
+    events = events_from_reads(records)
+
+    variant_positions = variant_positions_from(args.var_fn, args.ctgName)
+    config = CandidateConfig(
+        minimum_af=args.threshold,
+        minimum_coverage=args.minCoverage,
+        gen4training=args.gen4Training,
+        output_probability=args.outputProb or DEFAULT_OUTPUT_PROBABILITY,
+        variant_positions=variant_positions,
+        near_variant_positions=non_variant_positions_near_variants(variant_positions),
+        bed=BedIntervals.from_bed(args.bed_fn),
+        contig=args.ctgName,
+    )
+    sites = candidate_sites_from_events(
+        events, reference, ctg_start - 1, ctg_end - (ctg_start - 1), ref_start, config
+    )
+    out = sys.stdout if args.can_fn == "PIPE" else open(args.can_fn, "w")
+    write_candidates_text(sites, args.ctgName, out)
+    if args.can_fn != "PIPE":
+        out.close()
+
+
+def cmd_create_tensor(argv):
+    parser = argparse.ArgumentParser(
+        prog="create_tensor",
+        description="Generate pileup tensors for candidate positions",
+    )
+    parser.add_argument("--bam_fn", required=True)
+    parser.add_argument("--ref_fn", required=True)
+    parser.add_argument("--can_fn", default="PIPE")
+    parser.add_argument("--tensor_fn", default="PIPE")
+    parser.add_argument("--minMQ", type=int, default=0)
+    parser.add_argument("--dcov", type=int, default=250)
+    parser.add_argument("--minCoverage", type=int, default=0)
+    parser.add_argument("--ctgName", required=True)
+    parser.add_argument("--ctgStart", type=int, default=None)
+    parser.add_argument("--ctgEnd", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    import numpy as np
+
+    from clair_tpu.data.pileup import (
+        apply_depth_cap, create_tensors, events_from_reads,
+    )
+    from clair_tpu.data.tensor_stream import open_maybe_gzip, tensor_line_from
+    from clair_tpu.io.bam import BamReader
+    from clair_tpu.io.fasta import FastaReader
+    from clair_tpu.params import EXPAND_REFERENCE_REGION
+
+    centers = []
+    with open_maybe_gzip(args.can_fn) as fh:
+        for row in fh:
+            columns = row.split(maxsplit=2)
+            position = int(columns[1])
+            if args.ctgStart is not None and args.ctgEnd is not None:
+                if not (args.ctgStart <= position <= args.ctgEnd):
+                    continue
+            centers.append(position)
+    centers = np.array(sorted(centers), dtype=np.int64)
+
+    fasta = FastaReader(args.ref_fn)
+    length = fasta.contig_length(args.ctgName)
+    ctg_start = args.ctgStart or 1
+    ctg_end = args.ctgEnd or length
+    ref_start = max(ctg_start - 1 - EXPAND_REFERENCE_REGION, 0)
+    reference = fasta.fetch(
+        args.ctgName, ref_start, min(ctg_end + EXPAND_REFERENCE_REGION, length)
+    )
+
+    with BamReader(args.bam_fn) as bam:
+        records = list(
+            bam.fetch(args.ctgName, ctg_start - 1, ctg_end, min_mapq=args.minMQ)
+        )
+    records = apply_depth_cap(records, args.dcov)
+    tensors, kept, sequences = create_tensors(
+        events_from_reads(records), centers, reference, ref_start, args.minCoverage
+    )
+
+    out = sys.stdout if args.tensor_fn == "PIPE" else open_maybe_gzip(args.tensor_fn, "wt")
+    for i in range(len(kept)):
+        print(tensor_line_from(args.ctgName, int(kept[i]), sequences[i], tensors[i]), file=out)
+    if args.tensor_fn != "PIPE":
+        out.close()
+
+
+def cmd_get_truth(argv):
+    parser = argparse.ArgumentParser(prog="get_truth", description="Extract truth variants from VCF")
+    parser.add_argument("--vcf_fn", required=True)
+    parser.add_argument("--var_fn", default="PIPE")
+    parser.add_argument("--ref_fn", default=None)
+    parser.add_argument("--ctgName", required=True)
+    parser.add_argument("--ctgStart", type=int, default=None)
+    parser.add_argument("--ctgEnd", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from clair_tpu.data.tensor_stream import open_maybe_gzip
+    from clair_tpu.data.truth import write_truth
+    from clair_tpu.io.fasta import FastaReader
+
+    fasta = FastaReader(args.ref_fn) if args.ref_fn else None
+    out = sys.stdout if args.var_fn == "PIPE" else open_maybe_gzip(args.var_fn, "wt")
+    write_truth(args.vcf_fn, args.ctgName, out, args.ctgStart, args.ctgEnd, fasta)
+    if args.var_fn != "PIPE":
+        out.close()
+
+
+def cmd_pair_with_non_variants(argv):
+    parser = argparse.ArgumentParser(prog="pair_with_non_variants")
+    parser.add_argument("--tensor_can_fn", required=True)
+    parser.add_argument("--tensor_var_fn", required=True)
+    parser.add_argument("--output_fn", required=True)
+    parser.add_argument("--bed_fn", default=None)
+    parser.add_argument("--amp", type=float, default=2)
+    args = parser.parse_args(argv)
+
+    from clair_tpu.data.pairing import pair_with_non_variants
+
+    pair_with_non_variants(
+        args.tensor_can_fn, args.tensor_var_fn, args.output_fn, args.bed_fn, args.amp
+    )
+
+
+def cmd_tensor2bin(argv):
+    parser = argparse.ArgumentParser(prog="tensor2bin", description="Pack tensors into a training bin")
+    parser.add_argument("--tensor_fn", required=True)
+    parser.add_argument("--var_fn", default=None)
+    parser.add_argument("--bed_fn", default=None)
+    parser.add_argument("--bin_fn", required=True)
+    parser.add_argument("--allow_duplicate_chr_pos", action="store_true")
+    parser.add_argument("--no_shuffle", action="store_true")
+    args = parser.parse_args(argv)
+
+    from clair_tpu.data.bins import build_bin_from_tensors, write_bin
+
+    dataset = build_bin_from_tensors(
+        args.tensor_fn, args.var_fn, args.bed_fn,
+        shuffle=not args.no_shuffle,
+        is_allow_duplicate_chr_pos=args.allow_duplicate_chr_pos,
+    )
+    write_bin(args.bin_fn, dataset)
+    print(f"[INFO] wrote {dataset.dataset_size} examples", file=sys.stderr)
+
+
+def cmd_combine_bins(argv):
+    parser = argparse.ArgumentParser(prog="combine_bins")
+    parser.add_argument("inputs", nargs="+")
+    parser.add_argument("--output_fn", required=True)
+    args = parser.parse_args(argv)
+
+    from clair_tpu.data.bins import combine_bins
+
+    merged = combine_bins(args.inputs, args.output_fn)
+    print(f"[INFO] merged {merged.dataset_size} examples", file=sys.stderr)
+
+
+def cmd_convert_bin(argv):
+    parser = argparse.ArgumentParser(
+        prog="convert_bin",
+        description="Convert a reference blosc bin to the clair_tpu format",
+    )
+    parser.add_argument("--input_fn", required=True)
+    parser.add_argument("--output_fn", required=True)
+    args = parser.parse_args(argv)
+
+    from clair_tpu.data.bins import BinDataset, _pack, load_bin, write_bin
+
+    source = load_bin(args.input_fn)
+    converted = BinDataset(
+        dataset_size=source.dataset_size,
+        x_blocks=[_pack(source.x_block(i)) for i in range(source.n_blocks)],
+        y_blocks=[_pack(source.y_block(i)) for i in range(source.n_blocks)],
+        pos_blocks=[_pack(source.pos_block(i)) for i in range(source.n_blocks)],
+        block_size=source.block_size,
+    )
+    write_bin(args.output_fn, converted)
+
+
+def cmd_tensor_transform(argv):
+    parser = argparse.ArgumentParser(prog="tensor_transform")
+    parser.add_argument("--source_flanking", type=int, default=32)
+    parser.add_argument("--collapse_strand", action="store_true")
+    args = parser.parse_args(argv)
+
+    from clair_tpu.data.transform import transform_stream
+
+    transform_stream(
+        sys.stdin, sys.stdout, args.source_flanking, args.collapse_strand
+    )
+
+
+# ---------------------------------------------------------------------------
+# post-processing commands
+# ---------------------------------------------------------------------------
+
+def cmd_overlap_variant(argv):
+    from clair_tpu.post.overlap_variant import run_filter
+
+    run_filter(sys.stdin, sys.stdout)
+
+
+def cmd_ensemble(argv):
+    parser = argparse.ArgumentParser(prog="ensemble")
+    parser.add_argument("--minimum_count_to_output", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    from clair_tpu.post.ensemble import combine_ensemble
+
+    combine_ensemble(sys.stdin, sys.stdout, args.minimum_count_to_output)
+
+
+def cmd_plot_tensor(argv):
+    from clair_tpu.plot_tensor import main as plot_main
+
+    plot_main(argv)
+
+
+COMMANDS = {
+    "call_var": cmd_call_var,
+    "call_bam": cmd_call_bam,
+    "callVarBam": cmd_call_bam,
+    "call_bam_parallel": cmd_call_bam_parallel,
+    "callVarBamParallel": cmd_call_bam_parallel,
+    "train": cmd_train,
+    "train_clr": cmd_train_clr,
+    "evaluate": cmd_evaluate,
+    "learning_rate_finder": cmd_learning_rate_finder,
+    "extract_candidates": cmd_extract_candidates,
+    "ExtractVariantCandidates": cmd_extract_candidates,
+    "create_tensor": cmd_create_tensor,
+    "CreateTensor": cmd_create_tensor,
+    "get_truth": cmd_get_truth,
+    "GetTruth": cmd_get_truth,
+    "pair_with_non_variants": cmd_pair_with_non_variants,
+    "PairWithNonVariants": cmd_pair_with_non_variants,
+    "tensor2bin": cmd_tensor2bin,
+    "Tensor2Bin": cmd_tensor2bin,
+    "combine_bins": cmd_combine_bins,
+    "CombineBins": cmd_combine_bins,
+    "convert_bin": cmd_convert_bin,
+    "tensor_transform": cmd_tensor_transform,
+    "TensorTransformer": cmd_tensor_transform,
+    "overlap_variant": cmd_overlap_variant,
+    "ensemble": cmd_ensemble,
+    "plot_tensor": cmd_plot_tensor,
+}
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: python -m clair_tpu <command> [options]\n\ncommands:")
+        shown = set()
+        for name, fn in COMMANDS.items():
+            if fn not in shown:
+                print(f"  {name}")
+                shown.add(fn)
+        return 0
+    command = argv[0]
+    if command not in COMMANDS:
+        print(f"unknown command {command!r}; run with --help for the list", file=sys.stderr)
+        return 1
+    COMMANDS[command](argv[1:])
+    return 0

@@ -43,7 +43,7 @@ CONSUMES_REF = np.array([1, 0, 1, 1, 0, 0, 0, 1, 1], dtype=bool)
 
 FLAG_UNMAPPED = 4
 FLAG_REVERSE = 16
-# UNMAP | SECONDARY | QCFAIL | DUP | SUPPLEMENTARY == 2316 (ref param.py:6)
+# UNMAP | MUNMAP | SECONDARY | SUPPLEMENTARY == 2316 (ref param.py:6)
 DEFAULT_EXCLUDE_FLAG = 2316
 
 _BGZF_EOF = bytes.fromhex(

@@ -1,0 +1,243 @@
+"""call_bam: BAM -> VCF for one region, in ONE process.
+
+The reference forks a 3-stage Unix pipe of PyPy processes streaming gzip
+text (/root/reference/clair/callVarBam.py:185-201). Here the whole path —
+read fetch, candidate selection, tensor creation, TPU inference, decode,
+VCF — runs in-process on numpy arrays; chunk-level parallelism comes from
+call_bam_parallel sharding regions instead.
+
+Region semantics follow the reference: reads fetched with the 2316 flag
+filter, candidates restricted to [ctg_start, ctg_end], reference context
+fetched with a 1Mb expansion (shared/param.py:5).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from clair_tpu.data.candidates import (
+    CandidateConfig,
+    candidate_sites_from_events,
+    non_variant_positions_near_variants,
+    variant_positions_from,
+)
+from clair_tpu.data.pileup import (
+    apply_depth_cap,
+    create_tensors,
+    events_from_reads,
+    soft_clip_fraction_ok,
+)
+from clair_tpu.data.tensor_stream import normalize_channels
+from clair_tpu.io.bam import BamReader
+from clair_tpu.io.fasta import FastaReader
+from clair_tpu.io.vcf import VcfWriter
+from clair_tpu.params import EXPAND_REFERENCE_REGION, MAX_DEPTH_PER_POSITION
+from clair_tpu.pipeline.call_var import Predictor, _decode_batch
+from clair_tpu.pipeline.decode import (
+    IndelSources,
+    MAX_INFERRED_LENGTH,
+    OutputConfig,
+)
+from clair_tpu.utils.intervals import BedIntervals
+
+logger = logging.getLogger(__name__)
+
+
+class BamIndelSources(IndelSources):
+    """Long-indel allele recovery by re-examining reads around a site
+    (replaces the pysam re-pileup, ref call_var.py:102-170).
+
+    Collects, per site, the majority insertion sequence / deletion length
+    among reads carrying an indel op at exactly that position.
+    """
+
+    def __init__(self, bam_path: str, fasta: FastaReader, contig: str,
+                 use_bam_for_all: bool = False):
+        super().__init__(
+            insertion_bases=self._insertion_bases,
+            deletion_bases=self._deletion_bases,
+            use_bam_for_all=use_bam_for_all,
+        )
+        self._bam_path = bam_path
+        self._fasta = fasta
+        self._contig = contig
+
+    def _indels_at(self, position_1based: int):
+        """(insertions, deletion_lengths) from reads overlapping the site."""
+        insertions, deletions = [], []
+        target = position_1based  # 0-based position AFTER which the indel sits + 1
+        with BamReader(self._bam_path) as bam:
+            for record in bam.fetch(self._contig, target - 1, target + 1):
+                refpos = record.pos
+                qpos = 0
+                seq = record.seq_str()
+                for op, length in zip(record.cigar_ops, record.cigar_lens):
+                    opc = "MIDNSHP=X"[op]
+                    if opc == "S":
+                        qpos += length
+                    elif opc in "M=X":
+                        refpos += length
+                        qpos += length
+                    elif opc == "I":
+                        if refpos == target:
+                            insertions.append(seq[qpos:qpos + length].upper())
+                        qpos += length
+                    elif opc in "DN":
+                        if refpos == target and opc == "D":
+                            deletions.append(int(length))
+                        refpos += length
+        return insertions, deletions
+
+    def _insertion_bases(self, contig, position, minimum_length, maximum_length,
+                         bases_to_ignore=""):
+        insertions, _ = self._indels_at(position)
+        votes = {}
+        for bases in insertions:
+            if minimum_length <= len(bases) <= maximum_length and bases != bases_to_ignore:
+                votes[bases] = votes.get(bases, 0) + 1
+        return max(votes, key=votes.get) if votes else ""
+
+    def _deletion_bases(self, contig, position, minimum_length, maximum_length):
+        _, deletions = self._indels_at(position)
+        votes = {}
+        for length in deletions:
+            if minimum_length <= length <= maximum_length:
+                bases = self._fasta.fetch(contig, position, position + length)
+                votes[bases] = votes.get(bases, 0) + 1
+        return max(votes, key=votes.get) if votes else ""
+
+
+@dataclass
+class CallBamConfig:
+    bam_path: str = ""
+    fasta_path: str = ""
+    contig: str = ""
+    ctg_start: Optional[int] = None     # 1-based inclusive
+    ctg_end: Optional[int] = None       # 1-based inclusive
+    bed_path: Optional[str] = None
+    minimum_af: float = 0.125
+    minimum_coverage: float = 4
+    minimum_mapq: int = 0
+    dcov: int = MAX_DEPTH_PER_POSITION
+    sample_name: str = "SAMPLE"
+    qual: Optional[int] = None
+    show_reference: bool = False
+    haploid_precision: bool = False
+    haploid_sensitive: bool = False
+    use_bam_for_all_indels: bool = False
+    # GetTruth-mode: call at truth positions instead of extracted candidates
+    truth_vcf_path: Optional[str] = None
+
+
+def call_bam(
+    config: CallBamConfig,
+    predictor: Predictor,
+    output_path: Optional[str] = None,
+    output_fh=None,
+) -> int:
+    """Run the full BAM -> VCF pipeline for one region; returns the number
+    of candidate sites called."""
+    import sys
+
+    fasta = FastaReader(config.fasta_path)
+    contig_length = fasta.contig_length(config.contig)
+    ctg_start = config.ctg_start or 1
+    ctg_end = config.ctg_end or contig_length
+
+    # expanded reference context around the region (ref param.py:5)
+    ref_seq_start = max(ctg_start - 1 - EXPAND_REFERENCE_REGION, 0)
+    ref_seq_end = min(ctg_end + EXPAND_REFERENCE_REGION, contig_length)
+    reference_sequence = fasta.fetch(config.contig, ref_seq_start, ref_seq_end)
+
+    with BamReader(config.bam_path) as bam:
+        records = [
+            record
+            for record in bam.fetch(
+                config.contig, ctg_start - 1, ctg_end, min_mapq=config.minimum_mapq
+            )
+            if soft_clip_fraction_ok(record)
+        ]
+    records = apply_depth_cap(records, config.dcov)
+    events = events_from_reads(records)
+
+    if config.truth_vcf_path is not None:
+        from clair_tpu.data.truth import truth_variants_from_vcf
+
+        centers = np.array(
+            sorted(
+                int(v.position)
+                for v in truth_variants_from_vcf(
+                    config.truth_vcf_path, config.contig, ctg_start, ctg_end, fasta
+                )
+            ),
+            dtype=np.int64,
+        )
+    else:
+        candidate_config = CandidateConfig(
+            minimum_af=config.minimum_af,
+            minimum_coverage=config.minimum_coverage,
+            bed=BedIntervals.from_bed(config.bed_path),
+            contig=config.contig,
+        )
+        sites = candidate_sites_from_events(
+            events,
+            reference_sequence,
+            region_start=ctg_start - 1,
+            region_length=ctg_end - (ctg_start - 1),
+            ref_seq_start=ref_seq_start,
+            config=candidate_config,
+        )
+        centers = sites.positions + 1  # 1-based
+
+    tensors, centers, sequences = create_tensors(
+        events, centers, reference_sequence, ref_seq_start, minimum_coverage=0
+    )
+
+    close_output = False
+    if output_fh is None:
+        output_fh = open(output_path, "w") if output_path else sys.stdout
+        close_output = output_path is not None
+    writer = VcfWriter(
+        output_fh,
+        sample_name=config.sample_name,
+        contigs=fasta.contigs,
+        quality_score_for_pass=config.qual,
+    )
+    writer.write_header()
+
+    output_config = OutputConfig(
+        is_show_reference=config.show_reference,
+        is_haploid_precision_mode_enabled=config.haploid_precision,
+        is_haploid_sensitive_mode_enabled=config.haploid_sensitive,
+        quality_score_for_pass=config.qual,
+    )
+    indel_sources = BamIndelSources(
+        config.bam_path, fasta, config.contig, config.use_bam_for_all_indels
+    )
+
+    total = 0
+    batch = predictor.batch_size
+    pending = None
+    for off in range(0, len(tensors), batch):
+        x = normalize_channels(tensors[off:off + batch].copy())
+        infos = [
+            (config.contig, str(int(centers[off + i])), sequences[off + i])
+            for i in range(len(x))
+        ]
+        out, n = predictor.predict_async(x)
+        if pending is not None:
+            _decode_batch(pending, predictor, output_config, writer, indel_sources, None)
+            total += pending[3]
+        pending = (infos, x, out, n)
+    if pending is not None:
+        _decode_batch(pending, predictor, output_config, writer, indel_sources, None)
+        total += pending[3]
+
+    if close_output:
+        output_fh.close()
+    fasta.close()
+    return total
