@@ -1,0 +1,127 @@
+"""ctypes binding for the native BAM->events engine (clair_native.cpp).
+
+The library is built on first use (g++ is part of the environment); all
+callers fall back to the pure-Python/numpy path in clair_tpu.data.pileup
+when the toolchain or zlib headers are unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libclair_native.so")
+_lib = None
+_build_failed = False
+
+
+class _EventBuffers(ctypes.Structure):
+    _fields_ = [
+        ("match_pos", ctypes.POINTER(ctypes.c_int64)),
+        ("match_qcol", ctypes.POINTER(ctypes.c_int8)),
+        ("match_strand", ctypes.POINTER(ctypes.c_int8)),
+        ("n_match", ctypes.c_int64),
+        ("ins_pos", ctypes.POINTER(ctypes.c_int64)),
+        ("ins_adv", ctypes.POINTER(ctypes.c_int64)),
+        ("ins_qcol", ctypes.POINTER(ctypes.c_int8)),
+        ("ins_strand", ctypes.POINTER(ctypes.c_int8)),
+        ("n_ins", ctypes.c_int64),
+        ("del_pos", ctypes.POINTER(ctypes.c_int64)),
+        ("del_strand", ctypes.POINTER(ctypes.c_int8)),
+        ("n_del", ctypes.c_int64),
+        ("ins_op_pos", ctypes.POINTER(ctypes.c_int64)),
+        ("n_ins_op", ctypes.c_int64),
+        ("del_op_pos", ctypes.POINTER(ctypes.c_int64)),
+        ("n_del_op", ctypes.c_int64),
+        ("n_reads_used", ctypes.c_int64),
+    ]
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _DIR, "libclair_native.so"],
+            check=True, capture_output=True, timeout=120,
+        )
+        return os.path.isfile(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    if not os.path.isfile(_LIB_PATH) and not _build():
+        _build_failed = True
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.clair_bam_events.restype = ctypes.c_int
+    lib.clair_bam_events.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(_EventBuffers),
+    ]
+    lib.clair_free_events.argtypes = [ctypes.POINTER(_EventBuffers)]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def events_from_bam_native(
+    bam_path: str,
+    ref_id: int,
+    start: int = -1,
+    end: int = -1,
+    exclude_flag: int = 2316,
+    min_mapq: int = 0,
+    dcov: int = 0,
+    softclip_filter: bool = False,
+):
+    """Native replacement for events_from_reads over a whole region. Returns a
+    clair_tpu.data.pileup.ReadEvents or None when the library is missing."""
+    from clair_tpu.data.pileup import ReadEvents
+
+    lib = load_library()
+    if lib is None:
+        return None
+    buffers = _EventBuffers()
+    rc = lib.clair_bam_events(
+        bam_path.encode(), ref_id, start, end, exclude_flag, min_mapq,
+        dcov, int(softclip_filter), ctypes.byref(buffers),
+    )
+    if rc != 0:
+        raise RuntimeError(f"clair_bam_events failed with code {rc} on {bam_path}")
+
+    def arr(pointer, n, dtype):
+        if n == 0:
+            return np.empty(0, dtype=dtype)
+        return np.ctypeslib.as_array(pointer, shape=(n,)).astype(dtype, copy=True)
+
+    try:
+        events = ReadEvents(
+            match_pos=arr(buffers.match_pos, buffers.n_match, np.int64),
+            match_qcol=arr(buffers.match_qcol, buffers.n_match, np.int8),
+            match_strand=arr(buffers.match_strand, buffers.n_match, np.int8),
+            ins_pos=arr(buffers.ins_pos, buffers.n_ins, np.int64),
+            ins_adv=arr(buffers.ins_adv, buffers.n_ins, np.int64),
+            ins_qcol=arr(buffers.ins_qcol, buffers.n_ins, np.int8),
+            ins_strand=arr(buffers.ins_strand, buffers.n_ins, np.int8),
+            del_pos=arr(buffers.del_pos, buffers.n_del, np.int64),
+            del_strand=arr(buffers.del_strand, buffers.n_del, np.int8),
+            ins_op_pos=arr(buffers.ins_op_pos, buffers.n_ins_op, np.int64),
+            del_op_pos=arr(buffers.del_op_pos, buffers.n_del_op, np.int64),
+        )
+    finally:
+        lib.clair_free_events(ctypes.byref(buffers))
+    return events

@@ -51,7 +51,7 @@ def _bilstm_kernel(xw_ref, u_ref, out_ref, h_scratch, c_scratch):
 
 
 @functools.partial(jax.jit, static_argnames=("block_b",))
-def _lstm_pallas(xw: jnp.ndarray, u: jnp.ndarray, block_b: int = 128) -> jnp.ndarray:
+def _lstm_pallas(xw: jnp.ndarray, u: jnp.ndarray, block_b: int = 64) -> jnp.ndarray:
     """Run the recurrence: xw (2, T, N, 4H) dir-major time-major padded
     batch, u (2, H, 4H). Returns (2, T, N, H)."""
     _, t_len, n, gate_dim = xw.shape
@@ -85,7 +85,7 @@ def _lstm_pallas(xw: jnp.ndarray, u: jnp.ndarray, block_b: int = 128) -> jnp.nda
     )(xw, u)
 
 
-def bilstm_pallas(params: Dict, x: jnp.ndarray, block_b: int = 128) -> jnp.ndarray:
+def bilstm_pallas(params: Dict, x: jnp.ndarray, block_b: int = 64) -> jnp.ndarray:
     """Drop-in replacement for models.bilstm.bilstm using the fused kernel.
 
     x: (B, T, F) -> (B, T, 2H). The batch is padded to a block multiple;

@@ -47,6 +47,42 @@ from clair_tpu.utils.intervals import BedIntervals
 logger = logging.getLogger(__name__)
 
 
+def load_region_events(
+    bam_path: str,
+    contig: str,
+    start0: int,
+    end: int,
+    minimum_mapq: int,
+    dcov: int,
+):
+    """(candidate_events, tensor_events) for a region, via the native C++
+    engine when available, else the Python reader."""
+    from clair_tpu import native
+
+    if native.available():
+        with BamReader(bam_path) as bam:
+            ref_id = bam.reference_id(contig)
+        if ref_id is not None:
+            candidate_events = native.events_from_bam_native(
+                bam_path, ref_id, start0, end,
+                min_mapq=minimum_mapq, softclip_filter=True,
+            )
+            tensor_events = native.events_from_bam_native(
+                bam_path, ref_id, start0, end,
+                min_mapq=minimum_mapq, dcov=dcov,
+            )
+            if candidate_events is not None and tensor_events is not None:
+                return candidate_events, tensor_events
+
+    with BamReader(bam_path) as bam:
+        records = list(bam.fetch(contig, start0, end, min_mapq=minimum_mapq))
+    candidate_events = events_from_reads(
+        [r for r in records if soft_clip_fraction_ok(r)]
+    )
+    tensor_events = events_from_reads(apply_depth_cap(records, dcov))
+    return candidate_events, tensor_events
+
+
 class BamIndelSources(IndelSources):
     """Long-indel allele recovery by re-examining reads around a site
     (replaces the pysam re-pileup, ref call_var.py:102-170).
@@ -153,16 +189,15 @@ def call_bam(
     ref_seq_end = min(ctg_end + EXPAND_REFERENCE_REGION, contig_length)
     reference_sequence = fasta.fetch(config.contig, ref_seq_start, ref_seq_end)
 
-    with BamReader(config.bam_path) as bam:
-        records = [
-            record
-            for record in bam.fetch(
-                config.contig, ctg_start - 1, ctg_end, min_mapq=config.minimum_mapq
-            )
-            if soft_clip_fraction_ok(record)
-        ]
-    records = apply_depth_cap(records, config.dcov)
-    events = events_from_reads(records)
+    # Two event sets with the reference's per-stage filters: candidate
+    # extraction drops heavily-soft-clipped reads (EVC.py:155-170, no depth
+    # cap); tensor creation caps depth per start position (CreateTensor.py:
+    # 267-274, no soft-clip filter).
+    candidate_events, tensor_events = load_region_events(
+        config.bam_path, config.contig, ctg_start - 1, ctg_end,
+        config.minimum_mapq, config.dcov,
+    )
+    events = tensor_events
 
     if config.truth_vcf_path is not None:
         from clair_tpu.data.truth import truth_variants_from_vcf
@@ -184,7 +219,7 @@ def call_bam(
             contig=config.contig,
         )
         sites = candidate_sites_from_events(
-            events,
+            candidate_events,
             reference_sequence,
             region_start=ctg_start - 1,
             region_length=ctg_end - (ctg_start - 1),
