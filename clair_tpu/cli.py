@@ -47,7 +47,15 @@ def cmd_call_var(argv):
     parser.add_argument("--output_for_ensemble", action="store_true")
     parser.add_argument("--bam_for_all_indel_bases", "--pysam_for_all_indel_bases",
                         action="store_true", dest="bam_for_all_indel_bases")
+    parser.add_argument("--activation_only", action="store_true",
+                        help="dump layer activations instead of calling")
+    parser.add_argument("--log_path", default=None)
+    parser.add_argument("--max_plot", type=int, default=10)
     args = parser.parse_args(argv)
+
+    if args.activation_only:
+        _dump_activations(args)
+        return
 
     from clair_tpu.io.vcf import VcfWriter, contigs_from_fai
     from clair_tpu.pipeline.call_var import (
@@ -155,6 +163,8 @@ def cmd_call_bam_parallel(argv):
     parser.add_argument("--includingAllContigs", action="store_true")
     parser.add_argument("--qual", type=int, default=None)
     parser.add_argument("--run", action="store_true", help="execute inline instead of printing commands")
+    parser.add_argument("--workers", type=int, default=1,
+                        help="process-pool size when running inline")
     args = parser.parse_args(argv)
 
     from clair_tpu.pipeline.call_bam_parallel import (
@@ -186,8 +196,67 @@ def cmd_call_bam_parallel(argv):
         base, lambda: _predictor_from(args.chkpnt_fn), args.output_prefix,
         chunk_size=args.refChunkSize,
         include_all_contigs=args.includingAllContigs,
+        max_workers=args.workers,
+        checkpoint_path=args.chkpnt_fn,
     )
     merge_vcfs(paths, args.output_prefix + ".vcf")
+
+
+def _dump_activations(args):
+    """--activation_only mode: write per-batch named activations as npz
+    (the reference plotted them to TensorBoard, ref call_var.py:1239-1273)."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from clair_tpu.data.tensor_stream import tensor_batches_from
+    from clair_tpu.models.checkpoint import load_checkpoint
+    from clair_tpu.models.clair import forward_activations
+    from clair_tpu.params import ModelConfig
+
+    params, _ = load_checkpoint(args.chkpnt_fn)
+    config = ModelConfig()
+    fn = jax.jit(lambda p, x: forward_activations(p, x, config))
+    out_dir = args.log_path or "activations"
+    os.makedirs(out_dir, exist_ok=True)
+    dumped = 0
+    for x, infos in tensor_batches_from(args.tensor_fn, batch_size=64):
+        acts = {k: np.asarray(v) for k, v in fn(params, x).items()}
+        for i, (ctg, pos, _) in enumerate(infos):
+            if dumped >= args.max_plot >= 0:
+                return
+            np.savez_compressed(
+                os.path.join(out_dir, f"{ctg}_{pos}.npz"),
+                **{k: v[i] for k, v in acts.items()},
+            )
+            dumped += 1
+
+
+def cmd_variables(argv):
+    """Pretty-print parameters matching a regex (the reference's
+    `model.py --variables`, ref model.py:1119-1126)."""
+    parser = argparse.ArgumentParser(prog="variables")
+    parser.add_argument("--chkpnt_fn", required=True)
+    parser.add_argument("-v", "--variables", default=".*")
+    args = parser.parse_args(argv)
+
+    import re
+
+    import jax
+    import numpy as np
+
+    from clair_tpu.models.checkpoint import load_checkpoint
+
+    params, _ = load_checkpoint(args.chkpnt_fn)
+    pattern = re.compile(args.variables)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(getattr(k, "key", str(k)) for k in path)
+        if pattern.match(name):
+            arr = np.asarray(leaf)
+            print(f"{name} {arr.shape} mean={arr.mean():.6f} std={arr.std():.6f}")
+            if arr.size <= 64:
+                print(arr)
 
 
 # ---------------------------------------------------------------------------
@@ -574,6 +643,7 @@ COMMANDS = {
     "convert_bin": cmd_convert_bin,
     "tensor_transform": cmd_tensor_transform,
     "TensorTransformer": cmd_tensor_transform,
+    "variables": cmd_variables,
     "overlap_variant": cmd_overlap_variant,
     "ensemble": cmd_ensemble,
     "plot_tensor": cmd_plot_tensor,

@@ -270,15 +270,44 @@ def build_bin_from_tensors(
 @dataclass
 class EpochBatches:
     """Iterate one epoch: train batches first (never crossing the train/val
-    boundary), then validation batches (ref train.py:134-187 semantics)."""
+    boundary), then validation batches (ref train.py:134-187 semantics).
+
+    Block decompression runs on a background thread so host decompress
+    overlaps the device step — the reference does the same with a Thread
+    around session.run (ref train.py:141-161).
+    """
 
     dataset: BinDataset
     block_order: np.ndarray
     n_train: int
     train_batch_size: int = TRAIN_BATCH_SIZE
     val_batch_size: int = PREDICT_BATCH_SIZE
+    prefetch: int = 4
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, bool]]:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def producer():
+            try:
+                for item in self._generate():
+                    q.put(item)
+            finally:
+                q.put(_END)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        thread.join()
+
+    def _generate(self) -> Iterator[Tuple[np.ndarray, np.ndarray, bool]]:
         ds = self.dataset
         buffer_x: List[np.ndarray] = []
         buffer_y: List[np.ndarray] = []

@@ -100,12 +100,18 @@ def forward_logits(
     compute_dtype = jnp.dtype(config.compute_dtype)
     h = x.reshape(b, config.no_of_positions, config.feature_dim).astype(compute_dtype)
 
-    h = bilstm(params["lstm1"], h)
+    lstm = bilstm
+    if config.use_pallas_bilstm and jax.default_backend() != "cpu":
+        from clair_tpu.ops.pallas_bilstm import bilstm_pallas
+
+        lstm = bilstm_pallas
+
+    h = lstm(params["lstm1"], h)
     # lstm1 dropout rate is 0.0 by structure; keep the hook for configs
     if not deterministic and config.lstm1_dropout_rate > 0:
         h = dropout(k_lstm1, h, config.lstm1_dropout_rate)
 
-    h = bilstm(params["lstm2"], h)
+    h = lstm(params["lstm2"], h)
     if not deterministic and config.lstm2_dropout_rate > 0:
         h = dropout(k_lstm2, h, config.lstm2_dropout_rate)
 
@@ -151,3 +157,35 @@ def forward(
     """Forward pass returning the four softmax probability tensors."""
     logits = forward_logits(params, x, config, deterministic=deterministic, rng=rng)
     return tuple(jax.nn.softmax(l, axis=-1) for l in logits)
+
+
+def forward_activations(
+    params: Dict,
+    x: jnp.ndarray,
+    config: ModelConfig = ModelConfig(),
+) -> Dict[str, jnp.ndarray]:
+    """Named intermediate activations (the reference's --activation_only
+    layer dump, ref call_var.py:1239-1273 / model.py layers list)."""
+    b = x.shape[0]
+    h = x.reshape(b, config.no_of_positions, config.feature_dim).astype(jnp.float32)
+    acts: Dict[str, jnp.ndarray] = {"input": h}
+    h = bilstm(params["lstm1"], h)
+    acts["lstm1"] = h
+    h = bilstm(params["lstm2"], h)
+    acts["lstm2"] = h
+    l3 = jnp.einsum("btf,ftu->buf", h, params["l3"]["w"])
+    l3 = selu(l3 + params["l3"]["b"].T[None])
+    acts["l3"] = l3
+    l4 = selu(_dense(params["l4"], l3.reshape(b, -1)))
+    acts["l4"] = l4
+    for key in ("l5_1", "l5_2", "l5_3", "l5_4"):
+        acts[key] = selu(_dense(params[key], l4))
+    heads = (
+        ("gt21", "head_gt21", "l5_1"),
+        ("genotype", "head_genotype", "l5_2"),
+        ("indel_length_1", "head_len1", "l5_3"),
+        ("indel_length_2", "head_len2", "l5_4"),
+    )
+    for name, head_key, stem_key in heads:
+        acts[name] = jax.nn.softmax(selu(_dense(params[head_key], acts[stem_key])), axis=-1)
+    return acts

@@ -102,6 +102,9 @@ class ModelConfig:
     loss_function: str = DEFAULT_LOSS_FUNCTION
     # compute dtype for matmuls; params are kept in float32
     compute_dtype: str = "float32"
+    # use the fused Pallas BiLSTM kernel (TPU backends only; the lax.scan
+    # path is used automatically elsewhere)
+    use_pallas_bilstm: bool = False
 
     @property
     def no_of_positions(self) -> int:

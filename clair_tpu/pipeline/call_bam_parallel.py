@@ -51,6 +51,24 @@ def genome_windows(
             yield contig, start, end
 
 
+def _run_window(args_tuple):
+    """Worker entry: build a predictor in-process and call one window."""
+    base_config, checkpoint_path, window, output_prefix = args_tuple
+    from clair_tpu.models.checkpoint import load_checkpoint
+    from clair_tpu.params import ModelConfig
+    from clair_tpu.pipeline.call_var import Predictor
+
+    contig, start, end = window
+    params, _ = load_checkpoint(checkpoint_path)
+    predictor = Predictor(params, ModelConfig())
+    config = dataclasses.replace(
+        base_config, contig=contig, ctg_start=start, ctg_end=end
+    )
+    path = f"{output_prefix}.{contig}_{start}_{end}.vcf"
+    sites = call_bam(config, predictor, output_path=path)
+    return path, window, sites
+
+
 def call_bam_parallel(
     base_config: CallBamConfig,
     predictor_factory,
@@ -58,15 +76,36 @@ def call_bam_parallel(
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     include_all_contigs: bool = False,
     max_workers: int = 1,
+    checkpoint_path: Optional[str] = None,
 ) -> List[str]:
     """Run call_bam over every genome window; returns the per-window VCF
-    paths (merge with merge_vcfs)."""
+    paths (merge with merge_vcfs).
+
+    With max_workers > 1 (requires checkpoint_path), window pileups run on
+    a process pool — each worker has its own predictor, keeping the device
+    saturated while host pileups proceed in parallel (the reference's
+    GNU-parallel share-nothing model, in-process).
+    """
     fasta = FastaReader(base_config.fasta_path)
     bed = BedIntervals.from_bed(base_config.bed_path) if base_config.bed_path else None
     windows = list(genome_windows(fasta, chunk_size, include_all_contigs, bed))
     fasta.close()
 
     outputs = []
+    if max_workers > 1 and checkpoint_path is not None:
+        import multiprocessing
+
+        context = multiprocessing.get_context("spawn")
+        with context.Pool(max_workers) as pool:
+            work = [
+                (base_config, checkpoint_path, window, output_prefix)
+                for window in windows
+            ]
+            for path, window, sites in pool.imap(_run_window, work):
+                logger.info("window %s:%d-%d -> %d sites", *window, sites)
+                outputs.append(path)
+        return outputs
+
     predictor = predictor_factory()
     for contig, start, end in windows:
         config = dataclasses.replace(

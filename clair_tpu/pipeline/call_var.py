@@ -31,6 +31,14 @@ logger = logging.getLogger(__name__)
 
 
 @dataclass
+class BatchSource:
+    """Pre-built (x, infos) batches bypassing the text parser — the shape
+    call_bam and the benchmarks feed."""
+
+    batches: Iterator[Tuple[np.ndarray, List[Tuple[str, str, str]]]]
+
+
+@dataclass
 class Predictor:
     """Fixed-shape jitted forward pass over padded batches."""
 
@@ -40,19 +48,32 @@ class Predictor:
 
     def __post_init__(self):
         import jax
+        import jax.numpy as jnp
 
         from clair_tpu.models.clair import forward
+        from clair_tpu.utils.jaxcache import enable as enable_jax_cache
 
-        self._fn = jax.jit(lambda p, x: forward(p, x, self.config))
+        enable_jax_cache()
+
+        self._fn = jax.jit(
+            lambda p, x: forward(p, x.astype(jnp.float32), self.config)
+        )
         self._jax = jax
 
     def predict_async(self, x: np.ndarray):
-        """Dispatch one (possibly short) batch; returns device arrays + n."""
+        """Dispatch one (possibly short) batch; returns device arrays + n.
+
+        Tensors ship as int16: normalized pileup counts are integer-valued
+        and bounded by the depth cap, so the cast is exact and halves the
+        host->device transfer (the dominant per-batch cost; compute is
+        ~0.1 ms while an f32 transfer is ~4 ms through this link).
+        """
         n = x.shape[0]
+        x_int = x.astype(np.int16)
         if n < self.batch_size:
-            pad = np.zeros((self.batch_size - n,) + x.shape[1:], dtype=x.dtype)
-            x = np.concatenate([x, pad], axis=0)
-        out = self._fn(self.params, x)
+            pad = np.zeros((self.batch_size - n,) + x.shape[1:], dtype=np.int16)
+            x_int = np.concatenate([x_int, pad], axis=0)
+        out = self._fn(self.params, x_int)
         return out, n
 
     def gather(self, out, n: int):
@@ -77,8 +98,13 @@ def call_variants(
     start_time = time.time()
     total = 0
 
+    if isinstance(tensor_source, BatchSource):
+        batches = tensor_source.batches
+    else:
+        batches = tensor_batches_from(tensor_source, batch_size)
+
     pending = None  # (infos, x, device_out, n)
-    for x, infos in tensor_batches_from(tensor_source, batch_size):
+    for x, infos in batches:
         out, n = predictor.predict_async(x)  # dispatch batch N (async)
         if pending is not None:
             _decode_batch(pending, predictor, output_config, vcf_writer, indel_sources, debug_fh)
@@ -93,17 +119,15 @@ def call_variants(
 
 
 def _decode_batch(pending, predictor, output_config, vcf_writer, indel_sources, debug_fh):
+    from clair_tpu.pipeline.batch_decode import decode_batch
+
     infos, x, out, n = pending
     gt21_p, genotype_p, vl1_p, vl2_p = predictor.gather(out, n)
-    for i in range(n):
-        chromosome, position_str, sequence = infos[i]
-        call = decode_site(
-            x[i], chromosome, int(position_str), sequence,
-            gt21_p[i], genotype_p[i], vl1_p[i], vl2_p[i],
-            output_config, indel_sources,
-        )
-        if call is None:
-            continue
+    for i, call in decode_batch(
+        x[:n], infos[:n], gt21_p, genotype_p, vl1_p, vl2_p,
+        output_config, indel_sources,
+    ):
+        chromosome, position_str, _ = infos[i]
         if output_config.is_debug and debug_fh is not None:
             print(
                 "{}\t{}\t{}\t{}\t{}\t{}\t{}".format(

@@ -86,6 +86,9 @@ class TrainResult:
 
 
 def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
+    from clair_tpu.utils.jaxcache import enable as enable_jax_cache
+
+    enable_jax_cache()
     model_config = config.model
     rng = jax.random.PRNGKey(config.seed)
     rng, init_rng = jax.random.split(rng)
