@@ -69,10 +69,15 @@ class TrainingConfig:
     init_checkpoint: Optional[str] = None
     train_batch_size: int = TRAIN_BATCH_SIZE
     val_batch_size: int = PREDICT_BATCH_SIZE
-    # "adaptive" (train.py) or a CLR mode "tri" / "tri2" / "exp" (train_clr.py)
+    # "adaptive" (train.py), a CLR mode "tri" / "tri2" / "exp"
+    # (train_clr.py), or "fixed" (constant LR for max_epochs)
     schedule: str = "adaptive"
     clr_max_lr: float = CLR_MAX_LR
     max_epochs: int = MAX_EPOCH
+    # optional safety cap for the adaptive schedule (the reference trains
+    # until 3 LR switches with no epoch limit)
+    hard_max_epochs: Optional[int] = None
+    checkpoint_every: int = 1
     seed: int = 0
     evaluate_at_end: bool = True
 
@@ -116,7 +121,7 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
     l2_lambda = config.l2_lambda
     decay = AdaptiveDecay(max_switches=MAX_LEARNING_RATE_SWITCH)
     clr = None
-    if config.schedule != "adaptive":
+    if config.schedule not in ("adaptive", "fixed"):
         iterations_per_epoch = max(int(np.ceil(n_train / config.train_batch_size)), 1)
         clr = CyclicalLR(
             step_size=CLR_STEPSIZE_CONSTANT * iterations_per_epoch,
@@ -180,15 +185,25 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
         training_losses.append((train_loss_sum, epoch))
         validation_losses.append((val_loss_sum, epoch))
 
-        if config.output_prefix is not None:
+        is_last = (config.schedule == "fixed" and epoch >= config.max_epochs) or (
+            config.schedule not in ("adaptive", "fixed") and epoch >= config.max_epochs
+        )
+        if config.output_prefix is not None and (
+            epoch % config.checkpoint_every == 0 or is_last
+        ):
             save_checkpoint(
                 checkpoint_path(config.output_prefix, epoch), params,
                 extra={"epoch": epoch, "learning_rate": learning_rate},
             )
 
-        if clr is None:
+        if config.schedule == "fixed":
+            if epoch >= config.max_epochs:
+                break
+        elif clr is None:
             should_stop, did_decay = decay.observe(val_loss_sum, epoch)
             if should_stop:
+                break
+            if config.hard_max_epochs is not None and epoch >= config.hard_max_epochs:
                 break
             if did_decay:
                 learning_rate *= config.lr_decay
@@ -205,9 +220,17 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
 
     logger.info("[INFO] Training time elapsed: %.2f s", time.time() - training_start)
 
-    best_epoch = sorted(validation_losses)[0][1]
+    import os
+
+    saved = {
+        e for _, e in validation_losses
+        if config.output_prefix is not None
+        and os.path.exists(checkpoint_path(config.output_prefix, e))
+    }
+    restorable = [v for v in validation_losses if v[1] in saved] or validation_losses
+    best_epoch = sorted(restorable)[0][1]
     logger.info("[INFO] Best validation loss at epoch: %d", best_epoch)
-    if config.output_prefix is not None:
+    if config.output_prefix is not None and best_epoch in saved:
         params, _ = load_checkpoint(checkpoint_path(config.output_prefix, best_epoch))
         if config.evaluate_at_end:
             from clair_tpu.pipeline.evaluate import evaluate_model

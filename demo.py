@@ -1,0 +1,202 @@
+"""Self-contained end-to-end demo: the framework's equivalent of the
+reference's downloadable demo script (SURVEY §4 "quick demo as smoke test"),
+with no external data needed.
+
+Simulates a diploid genome with planted SNPs/indels, builds training data
+through the real pipeline (truth extraction -> candidate sampling -> tensor
+creation -> pairing -> binning), trains the model, calls variants on the
+BAM, and scores calls against the planted truth.
+
+    python demo.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+
+def run_demo(
+    genome_length=40_000,
+    n_variants=80,
+    coverage=30,
+    error_rate=0.002,
+    lstm_units=32,
+    epochs=400,
+    work_dir=None,
+    seed=7,
+    verbose=True,
+):
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pass  # fine
+    from clair_tpu.data.bins import build_bin_from_tensors
+    from clair_tpu.data.candidates import (
+        CandidateConfig,
+        candidate_sites_from_events,
+    )
+    from clair_tpu.data.pairing import pair_with_non_variants
+    from clair_tpu.data.pileup import create_tensors
+    from clair_tpu.data.tensor_stream import tensor_line_from
+    from clair_tpu.data.truth import write_truth
+    from clair_tpu.io.fasta import FastaReader
+    from clair_tpu.params import ModelConfig
+    from clair_tpu.pipeline.call_bam import CallBamConfig, call_bam, load_region_events
+    from clair_tpu.pipeline.call_var import Predictor
+    from clair_tpu.pipeline.train import TrainingConfig, train_model
+    from clair_tpu.utils.simulate import (
+        plant_variants,
+        random_reference,
+        simulate_bam,
+        write_fasta,
+        write_truth_vcf,
+    )
+
+    rs = np.random.RandomState(seed)
+    work_dir = work_dir or tempfile.mkdtemp(prefix="clair_tpu_demo_")
+    paths = {name: os.path.join(work_dir, name) for name in (
+        "ref.fa", "sample.bam", "truth.vcf", "truth.var", "var_tensors.txt",
+        "can_tensors.txt", "paired.txt", "train.bin", "calls.vcf",
+    )}
+
+    def log(*args):
+        if verbose:
+            print("[demo]", *args, file=sys.stderr)
+
+    # 1. simulate
+    reference = random_reference(rs, genome_length)
+    variants = plant_variants(rs, reference, n_variants=n_variants)
+    write_fasta(paths["ref.fa"], reference)
+    n_reads = simulate_bam(
+        paths["sample.bam"], reference, variants, rs,
+        coverage=coverage, error_rate=error_rate,
+    )
+    write_truth_vcf(paths["truth.vcf"], variants)
+    log(f"simulated {len(variants)} variants, {n_reads} reads at ~{coverage}x")
+
+    # 2. truth extraction (GetTruth equivalent)
+    with open(paths["truth.var"], "w") as fh:
+        write_truth(paths["truth.vcf"], "chr1", fh)
+
+    # 3. tensors at truth sites + sampled non-variant sites
+    candidate_events, tensor_events = load_region_events(
+        paths["sample.bam"], "chr1", 0, genome_length, minimum_mapq=0, dcov=250,
+    )
+    truth_centers = np.array(sorted(v.position for v in variants), dtype=np.int64)
+    xt, kept_t, seq_t = create_tensors(
+        tensor_events, truth_centers, reference, 0, minimum_coverage=4
+    )
+    with open(paths["var_tensors.txt"], "w") as fh:
+        for i in range(len(kept_t)):
+            print(tensor_line_from("chr1", int(kept_t[i]), seq_t[i], xt[i]), file=fh)
+
+    config = CandidateConfig(
+        gen4training=True, output_probability=0.05,
+        minimum_coverage=4, contig="chr1", seed=seed,
+    )
+    sites = candidate_sites_from_events(
+        candidate_events, reference, 0, genome_length, 0, config
+    )
+    xc, kept_c, seq_c = create_tensors(
+        tensor_events, sites.positions + 1, reference, 0, minimum_coverage=4
+    )
+    with open(paths["can_tensors.txt"], "w") as fh:
+        for i in range(len(kept_c)):
+            print(tensor_line_from("chr1", int(kept_c[i]), seq_c[i], xc[i]), file=fh)
+    log(f"{len(kept_t)} truth tensors, {len(kept_c)} candidate tensors")
+
+    # 4. pair truth with ~2x non-variants, bin
+    pair_with_non_variants(
+        paths["can_tensors.txt"], paths["var_tensors.txt"], paths["paired.txt"],
+        amplification=2.0, seed=seed,
+    )
+    dataset = build_bin_from_tensors(
+        paths["paired.txt"], paths["truth.var"], shuffle=True, block_size=100
+    )
+    log(f"training bin: {dataset.dataset_size} examples")
+
+    # 5. train (cyclical LR)
+    model_config = ModelConfig(
+        lstm1_num_units=lstm_units, lstm2_num_units=lstm_units,
+        l3_num_units=8, l4_num_units=64, l5_num_units=32,
+    )
+    result = train_model(
+        dataset,
+        TrainingConfig(
+            model=model_config,
+            output_prefix=os.path.join(work_dir, "model"),
+            learning_rate=1e-3,
+            train_batch_size=256, val_batch_size=32,
+            schedule="fixed", max_epochs=epochs, checkpoint_every=50,
+            evaluate_at_end=False, seed=seed,
+        ),
+    )
+    log(f"trained; best epoch {result.best_epoch}")
+
+    # 6. call variants on the BAM
+    predictor = Predictor(result.params, model_config, batch_size=256)
+    call_bam(
+        CallBamConfig(
+            bam_path=paths["sample.bam"], fasta_path=paths["ref.fa"],
+            contig="chr1", minimum_af=0.2, minimum_coverage=4,
+        ),
+        predictor,
+        output_path=paths["calls.vcf"],
+    )
+
+    # 7. score against planted truth (position+genotype-class level)
+    truth_by_pos = {v.position: v for v in variants}
+    called = {}
+    with open(paths["calls.vcf"]) as fh:
+        for row in fh:
+            if row.startswith("#"):
+                continue
+            columns = row.split("\t")
+            called[int(columns[1])] = (columns[3], columns[4], columns[9].split(":")[0])
+
+    tp = sum(1 for p in truth_by_pos if p in called)
+    fn = len(truth_by_pos) - tp
+    fp = len(called) - tp
+    exact = sum(
+        1 for p, v in truth_by_pos.items()
+        if p in called and called[p][0] == v.ref and called[p][1].split(",")[-1] == v.alt
+    )
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    log(
+        f"calls: {len(called)}; site recall {recall:.3f}, precision {precision:.3f}, "
+        f"exact allele matches {exact}/{len(truth_by_pos)}"
+    )
+    return {
+        "work_dir": work_dir,
+        "n_truth": len(truth_by_pos),
+        "n_called": len(called),
+        "recall": recall,
+        "precision": precision,
+        "exact": exact,
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser(description="clair_tpu end-to-end demo")
+    parser.add_argument("--quick", action="store_true", help="smaller/faster settings")
+    parser.add_argument("--work_dir", default=None)
+    args = parser.parse_args()
+
+    if args.quick:
+        stats = run_demo(genome_length=15_000, n_variants=40, epochs=400,
+                         work_dir=args.work_dir)
+    else:
+        stats = run_demo(work_dir=args.work_dir)
+    print(stats)
+    if stats["recall"] < 0.7:
+        sys.exit("demo recall below 0.7 — something is off")
+
+
+if __name__ == "__main__":
+    main()
