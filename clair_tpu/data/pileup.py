@@ -81,9 +81,11 @@ class ReadEvents:
     # per deleted reference base
     del_pos: np.ndarray
     del_strand: np.ndarray
-    # per indel OP (for candidate counting)
+    # per indel OP (for candidate counting and allele recovery)
     ins_op_pos: np.ndarray     # ref position after the insertion point
     del_op_pos: np.ndarray     # first deleted position
+    ins_op_len: np.ndarray
+    del_op_len: np.ndarray
 
 
 def _expand_spans(starts: np.ndarray, lengths: np.ndarray):
@@ -126,7 +128,7 @@ def events_from_reads(records: Iterable[BamRecord]) -> ReadEvents:
     m_pos, m_qc, m_st = [], [], []
     i_pos, i_adv, i_qc, i_st = [], [], [], []
     d_pos, d_st = [], []
-    iop_pos, dop_pos = [], []
+    iop_pos, dop_pos, iop_len, dop_len = [], [], [], []
 
     for record in records:
         ops, lens = record.cigar_ops, record.cigar_lens
@@ -159,6 +161,7 @@ def events_from_reads(records: Iterable[BamRecord]) -> ReadEvents:
             i_qc.append(qcol[q])
             i_st.append(np.full(len(span_id), strand, dtype=np.int8))
             iop_pos.append(ref_starts[is_ins])
+            iop_len.append(lens[is_ins].astype(np.int64))
 
         is_del = ops == OP_D
         if is_del.any():
@@ -166,6 +169,7 @@ def events_from_reads(records: Iterable[BamRecord]) -> ReadEvents:
             d_pos.append(pos)
             d_st.append(np.full(len(pos), strand, dtype=np.int8))
             dop_pos.append(ref_starts[is_del])
+            dop_len.append(lens[is_del].astype(np.int64))
 
     def cat(parts, dtype=np.int64):
         return np.concatenate(parts) if parts else np.empty(0, dtype=dtype)
@@ -176,6 +180,7 @@ def events_from_reads(records: Iterable[BamRecord]) -> ReadEvents:
         ins_strand=cat(i_st, np.int8),
         del_pos=cat(d_pos), del_strand=cat(d_st, np.int8),
         ins_op_pos=cat(iop_pos), del_op_pos=cat(dop_pos),
+        ins_op_len=cat(iop_len), del_op_len=cat(dop_len),
     )
 
 

@@ -38,6 +38,8 @@ class _EventBuffers(ctypes.Structure):
         ("n_ins_op", ctypes.c_int64),
         ("del_op_pos", ctypes.POINTER(ctypes.c_int64)),
         ("n_del_op", ctypes.c_int64),
+        ("ins_op_len", ctypes.POINTER(ctypes.c_int64)),
+        ("del_op_len", ctypes.POINTER(ctypes.c_int64)),
         ("n_reads_used", ctypes.c_int64),
     ]
 
@@ -121,6 +123,8 @@ def events_from_bam_native(
             del_strand=arr(buffers.del_strand, buffers.n_del, np.int8),
             ins_op_pos=arr(buffers.ins_op_pos, buffers.n_ins_op, np.int64),
             del_op_pos=arr(buffers.del_op_pos, buffers.n_del_op, np.int64),
+            ins_op_len=arr(buffers.ins_op_len, buffers.n_ins_op, np.int64),
+            del_op_len=arr(buffers.del_op_len, buffers.n_del_op, np.int64),
         )
     finally:
         lib.clair_free_events(ctypes.byref(buffers))

@@ -116,6 +116,8 @@ struct EventBuffers {
   int64_t n_ins_op;
   int64_t* del_op_pos;
   int64_t n_del_op;
+  int64_t* ins_op_len;
+  int64_t* del_op_len;
 
   int64_t n_reads_used;
 };
@@ -144,7 +146,8 @@ int clair_bam_events(const char* path, int32_t ref_id, int64_t start,
     p += 4 + l_name + 4;
   }
 
-  std::vector<int64_t> match_pos, ins_pos, ins_adv, del_pos, ins_op, del_op;
+  std::vector<int64_t> match_pos, ins_pos, ins_adv, del_pos, ins_op, del_op,
+      ins_op_len, del_op_len;
   std::vector<int8_t> match_qcol, match_strand, ins_qcol, ins_strand, del_strand;
   match_pos.reserve(1 << 20);
   match_qcol.reserve(1 << 20);
@@ -227,6 +230,7 @@ int clair_bam_events(const char* path, int32_t ref_id, int64_t start,
         }
         case 1: {  // I
           ins_op.push_back(refp);
+          ins_op_len.push_back(len);
           for (int64_t k = 0; k < len; k++) {
             int64_t q = qp + k;
             uint8_t code = seq_p[q >> 1];
@@ -241,6 +245,7 @@ int clair_bam_events(const char* path, int32_t ref_id, int64_t start,
         }
         case 2: {  // D
           del_op.push_back(refp);
+          del_op_len.push_back(len);
           for (int64_t k = 0; k < len; k++) {
             del_pos.push_back(refp + k);
             del_strand.push_back(strand);
@@ -276,6 +281,8 @@ int clair_bam_events(const char* path, int32_t ref_id, int64_t start,
   out->n_ins_op = ins_op.size();
   out->del_op_pos = to_heap(del_op);
   out->n_del_op = del_op.size();
+  out->ins_op_len = to_heap(ins_op_len);
+  out->del_op_len = to_heap(del_op_len);
   out->n_reads_used = reads_used;
   return 0;
 }
@@ -292,6 +299,8 @@ void clair_free_events(EventBuffers* buffers) {
   free(buffers->del_strand);
   free(buffers->ins_op_pos);
   free(buffers->del_op_pos);
+  free(buffers->ins_op_len);
+  free(buffers->del_op_len);
   memset(buffers, 0, sizeof(*buffers));
 }
 

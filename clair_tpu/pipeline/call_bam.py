@@ -83,68 +83,72 @@ def load_region_events(
     return candidate_events, tensor_events
 
 
-class BamIndelSources(IndelSources):
-    """Long-indel allele recovery by re-examining reads around a site
-    (replaces the pysam re-pileup, ref call_var.py:102-170).
+_QCOL_TO_BASE = "ACGT??N"
 
-    Collects, per site, the majority insertion sequence / deletion length
-    among reads carrying an indel op at exactly that position.
+
+class EventsIndelSources(IndelSources):
+    """Long-indel allele recovery from the region's event arrays.
+
+    Replaces the reference's per-site pysam re-pileup (ref
+    call_var.py:102-170), which reopened the BAM in the middle of decode.
+    The event arrays already carry every indel op (position, length, and
+    for insertions the inserted bases), so recovery is a dict lookup plus a
+    majority vote — no IO, no second CIGAR walk.
     """
 
-    def __init__(self, bam_path: str, fasta: FastaReader, contig: str,
+    def __init__(self, events, fasta: FastaReader, contig: str,
                  use_bam_for_all: bool = False):
         super().__init__(
             insertion_bases=self._insertion_bases,
             deletion_bases=self._deletion_bases,
             use_bam_for_all=use_bam_for_all,
         )
-        self._bam_path = bam_path
         self._fasta = fasta
         self._contig = contig
+        self._events = events
+        self._ins_index = None
+        self._del_index = None
 
-    def _indels_at(self, position_1based: int):
-        """(insertions, deletion_lengths) from reads overlapping the site."""
-        insertions, deletions = [], []
-        target = position_1based  # 0-based position AFTER which the indel sits + 1
-        with BamReader(self._bam_path) as bam:
-            for record in bam.fetch(self._contig, target - 1, target + 1):
-                refpos = record.pos
-                qpos = 0
-                seq = record.seq_str()
-                for op, length in zip(record.cigar_ops, record.cigar_lens):
-                    opc = "MIDNSHP=X"[op]
-                    if opc == "S":
-                        qpos += length
-                    elif opc in "M=X":
-                        refpos += length
-                        qpos += length
-                    elif opc == "I":
-                        if refpos == target:
-                            insertions.append(seq[qpos:qpos + length].upper())
-                        qpos += length
-                    elif opc in "DN":
-                        if refpos == target and opc == "D":
-                            deletions.append(int(length))
-                        refpos += length
-        return insertions, deletions
+    def _build(self):
+        events = self._events
+        ins_index: dict = {}
+        offsets = np.concatenate([[0], np.cumsum(events.ins_op_len)]).astype(np.int64)
+        codes = events.ins_qcol
+        for i in range(len(events.ins_op_pos)):
+            lo, hi = offsets[i], offsets[i + 1]
+            bases = "".join(
+                _QCOL_TO_BASE[min(int(c), 6)] if c >= 0 else "N"
+                for c in codes[lo:hi]
+            )
+            ins_index.setdefault(int(events.ins_op_pos[i]), []).append(bases)
+        del_index: dict = {}
+        for position, length in zip(events.del_op_pos, events.del_op_len):
+            del_index.setdefault(int(position), []).append(int(length))
+        self._ins_index, self._del_index = ins_index, del_index
 
     def _insertion_bases(self, contig, position, minimum_length, maximum_length,
                          bases_to_ignore=""):
-        insertions, _ = self._indels_at(position)
+        if self._ins_index is None:
+            self._build()
         votes = {}
-        for bases in insertions:
+        for bases in self._ins_index.get(int(position), []):
             if minimum_length <= len(bases) <= maximum_length and bases != bases_to_ignore:
                 votes[bases] = votes.get(bases, 0) + 1
         return max(votes, key=votes.get) if votes else ""
 
     def _deletion_bases(self, contig, position, minimum_length, maximum_length):
-        _, deletions = self._indels_at(position)
+        if self._del_index is None:
+            self._build()
         votes = {}
-        for length in deletions:
+        for length in self._del_index.get(int(position), []):
             if minimum_length <= length <= maximum_length:
                 bases = self._fasta.fetch(contig, position, position + length)
                 votes[bases] = votes.get(bases, 0) + 1
         return max(votes, key=votes.get) if votes else ""
+
+
+# backwards-compatible name
+BamIndelSources = EventsIndelSources
 
 
 @dataclass
@@ -250,8 +254,8 @@ def call_bam(
         is_haploid_sensitive_mode_enabled=config.haploid_sensitive,
         quality_score_for_pass=config.qual,
     )
-    indel_sources = BamIndelSources(
-        config.bam_path, fasta, config.contig, config.use_bam_for_all_indels
+    indel_sources = EventsIndelSources(
+        tensor_events, fasta, config.contig, config.use_bam_for_all_indels
     )
 
     total = 0
