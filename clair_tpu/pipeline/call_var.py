@@ -81,6 +81,56 @@ class Predictor:
         return arrs
 
 
+@dataclass
+class ShardedPredictor(Predictor):
+    """Predictor whose batch is sharded over the 'data' axis of a TPU
+    slice mesh — inference is a pure map, so batch sharding needs no
+    collectives (SURVEY §5.8's plan). The padded batch size must divide by
+    the data-axis size."""
+
+    mesh: object = None
+
+    def __post_init__(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from clair_tpu.models.clair import forward
+        from clair_tpu.utils.jaxcache import enable as enable_jax_cache
+
+        enable_jax_cache()
+        if self.mesh is None:
+            raise ValueError("ShardedPredictor needs a mesh")
+        data_size = self.mesh.shape["data"]
+        if self.batch_size % data_size != 0:
+            raise ValueError(
+                f"batch_size {self.batch_size} must divide by data axis {data_size}"
+            )
+        self._x_sharding = NamedSharding(self.mesh, P("data", None, None, None))
+        self._out_sharding = NamedSharding(self.mesh, P("data", None))
+        fn = jax.jit(
+            lambda p, x: forward(p, x.astype(jnp.float32), self.config),
+            out_shardings=(self._out_sharding,) * 4,
+        )
+        self._fn = fn
+        self._jax = jax
+        # params replicated over the mesh
+        self.params = jax.device_put(
+            self.params,
+            jax.tree.map(lambda _: NamedSharding(self.mesh, P()), self.params),
+        )
+
+    def predict_async(self, x: np.ndarray):
+        n = x.shape[0]
+        x_int = x.astype(np.int16)
+        if n < self.batch_size:
+            pad = np.zeros((self.batch_size - n,) + x.shape[1:], dtype=np.int16)
+            x_int = np.concatenate([x_int, pad], axis=0)
+        x_dev = self._jax.device_put(x_int, self._x_sharding)
+        out = self._fn(self.params, x_dev)
+        return out, n
+
+
 def call_variants(
     tensor_source,
     predictor: Predictor,
