@@ -98,6 +98,10 @@ def forward_logits(
 
     b = x.shape[0]
     compute_dtype = jnp.dtype(config.compute_dtype)
+    if compute_dtype != jnp.float32:
+        # true reduced-precision compute: cast weights once at use; the
+        # softmax/logits stay in the compute dtype and are upcast by callers
+        params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
     h = x.reshape(b, config.no_of_positions, config.feature_dim).astype(compute_dtype)
 
     lstm = bilstm
@@ -154,9 +158,12 @@ def forward(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Forward pass returning the four softmax probability tensors."""
+    """Forward pass returning the four softmax probability tensors (always
+    float32 — the decode lattice consumes them on host)."""
     logits = forward_logits(params, x, config, deterministic=deterministic, rng=rng)
-    return tuple(jax.nn.softmax(l, axis=-1) for l in logits)
+    return tuple(
+        jax.nn.softmax(l.astype(jnp.float32), axis=-1) for l in logits
+    )
 
 
 def forward_activations(
