@@ -55,10 +55,10 @@ class VcfWriter:
             file=self._fh,
         )
 
-    def write_site(self, chromosome: str, position: int, call) -> None:
-        """Write one SiteCall as a VCF row (ref call_var.py:1184-1196)."""
+    def format_site(self, chromosome: str, position: int, call) -> str:
+        """One SiteCall as a VCF row (ref call_var.py:1184-1196)."""
         filtration = filtration_value_from(self.quality_score_for_pass, call.quality_score)
-        print(
+        return (
             "%s\t%d\t.\t%s\t%s\t%d\t%s\t%s\tGT:GQ:DP:AF\t%s:%d:%d:%.4f"
             % (
                 chromosome,
@@ -72,8 +72,18 @@ class VcfWriter:
                 call.quality_score,
                 call.read_depth,
                 call.allele_frequency,
-            ),
-            file=self._fh,
+            )
+        )
+
+    def write_site(self, chromosome: str, position: int, call) -> None:
+        print(self.format_site(chromosome, position, call), file=self._fh)
+
+    def write_sites(self, rows) -> None:
+        """Bulk write of (chromosome, position, call) tuples — one IO call."""
+        if not rows:
+            return
+        self._fh.write(
+            "\n".join(self.format_site(c, p, call) for c, p, call in rows) + "\n"
         )
 
     def close(self) -> None:

@@ -53,6 +53,11 @@ for _i, _b1 in enumerate("ACGT"):
 
 _BASES = "ACGT"
 
+# SNP label base indices per winning subset class
+_HOMO_SNP_BASE = np.array([BASE2NUM[GT21(int(g)).name[0]] for g in _HOMO_SNP])
+_HETERO_SNP_B1 = np.array([BASE2NUM[GT21(int(g)).name[0]] for g in _HETERO_SNP])
+_HETERO_SNP_B2 = np.array([BASE2NUM[GT21(int(g)).name[1]] for g in _HETERO_SNP])
+
 
 def _top2(values: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(max, argmax, second_max) along the last axis."""
@@ -150,18 +155,82 @@ def decode_batch(
 
     results: List[Tuple[int, SiteCall]] = []
     gt21_64 = gt21_p.astype(np.float64)
+    geno_64 = genotype_p.astype(np.float64)
+    rows = np.arange(n)
 
     homo_snp_arg = gt21_64[:, _HOMO_SNP].argmax(-1)
     het_snp_arg = gt21_64[:, _HETERO_SNP].argmax(-1)
+
+    # --- vectorized fast-path fields (used for winners <= CAT_HET_SNP) ---
+    # SNP label base indices from the winning gt21 class
+    homo_base = _HOMO_SNP_BASE[homo_snp_arg]                 # (n,)
+    het_b1 = _HETERO_SNP_B1[het_snp_arg]
+    het_b2 = _HETERO_SNP_B2[het_snp_arg]
+
+    is_homo_w = winners == CAT_HOMO_SNP
+    is_het_w = winners == CAT_HET_SNP
+    # ALT selection compares against the RAW center base (decode_site uses
+    # the uncollapsed char); non-ACGT raw bases never equal a label base
+    raw_idx = np.array([_BASES.find(b) for b in center_bases], dtype=int)
+    het_multi = is_het_w & (het_b1 != raw_idx) & (het_b2 != raw_idx)
+    # the single ALT base for non-multi SNP rows
+    alt1 = np.where(is_homo_w, homo_base, np.where(het_b1 != raw_idx, het_b1, het_b2))
+
+    # quality: p = gt21[quality_code] * geno[genotype_for_task]
+    quality_code = np.where(
+        winners == CAT_REF, ref_codes,
+        np.where(
+            is_homo_w, _PAIR_CODE[homo_base, homo_base],
+            np.where(
+                het_multi, _PAIR_CODE[het_b1, het_b2],
+                _PAIR_CODE[ref_acgt_idx, alt1],
+            ),
+        ),
+    )
+    quality_geno = np.where(winners == CAT_REF, 0, np.where(is_homo_w, 1, 2))
+    p = gt21_64[rows, quality_code] * geno_64[rows, quality_geno]
+    tmp = np.maximum(
+        (-10 * np.log(np.e) / np.log(10.0))
+        * np.log(((1.0 - p) + 1e-300) / (p + 1e-300)) + 16,
+        0,
+    )
+    quality_vec = np.rint(tmp * tmp).astype(np.int64)
+
+    # supported reads: ref rows use the reference channel at the ref base;
+    # SNP rows sum SNP+ref channels over their ALT base(s)
+    center_ref = x[:, center, :, CH_REFERENCE]
+    center_snp = x[:, center, :, CH_SNP]
+
+    def base_support(base_idx):
+        return (
+            center_snp[rows, base_idx] + center_snp[rows, base_idx + 4]
+            + center_ref[rows, base_idx] + center_ref[rows, base_idx + 4]
+        )
+
+    ref_support = center_ref[rows, ref_acgt_idx] + center_ref[rows, ref_acgt_idx + 4]
+    snp_support = np.where(
+        het_multi, base_support(het_b1) + base_support(het_b2), base_support(alt1)
+    )
+    supported_vec = np.where(winners == CAT_REF, ref_support, snp_support)
+    af_vec = np.minimum(
+        np.divide(supported_vec, read_depth, out=np.zeros(n), where=read_depth > 0),
+        1.0,
+    )
+
+    haploid = (
+        output_config.is_haploid_precision_mode_enabled
+        or output_config.is_haploid_sensitive_mode_enabled
+    )
+    show_ref = output_config.is_show_reference or output_config.is_debug
 
     for i in range(n):
         if not valid[i]:
             continue
         winner = winners[i]
-        chromosome, position_str, sequence = infos[i]
 
         if winner > CAT_HET_SNP:
             # indel categories: exact per-site lattice (retry semantics)
+            chromosome, position_str, sequence = infos[i]
             call = decode_site(
                 x[i], chromosome, int(position_str), sequence,
                 gt21_p[i], genotype_p[i], vl1_p[i], vl2_p[i],
@@ -171,69 +240,43 @@ def decode_batch(
                 results.append((i, call))
             continue
 
-        ref_base_raw = sequence[center]
-        depth = float(read_depth[i])
-
         if winner == CAT_REF:
-            if not (output_config.is_show_reference or output_config.is_debug):
+            if not show_ref:
                 continue
-            ref_base = BASE2ACGT[ref_base_raw]
-            b = BASE2NUM[ref_base]
-            supported = float(
-                x[i, center, b, CH_REFERENCE] + x[i, center, b + 4, CH_REFERENCE]
-            )
-            genotype_string = genotype_string_from(Genotype.homo_reference)
+            ref_base = _BASES[ref_acgt_idx[i]]
+            reference = alternate = ref_base
             category = "homo_ref"
-            alternate = ref_base
-            reference = ref_base
+            genotype_string = "0/0"
             is_reference, is_multi = True, False
-        else:
-            if winner == CAT_HOMO_SNP:
-                label = GT21(int(_HOMO_SNP[homo_snp_arg[i]])).name
-                base1, base2 = label[0], label[1]
-                reference = ref_base_raw
-                alternate = base1 if base1 != reference else base2
-                is_multi = False
-                genotype_string = genotype_string_from(Genotype.homo_variant)
-                category = "homo_snp"
-            else:
-                label = GT21(int(_HETERO_SNP[het_snp_arg[i]])).name
-                base1, base2 = label[0], label[1]
-                reference = ref_base_raw
-                is_multi = base1 != reference and base2 != reference
-                if is_multi:
-                    alternate = f"{base1},{base2}"
-                    genotype_string = genotype_string_from(Genotype.hetero_variant_multi)
-                else:
-                    alternate = base1 if base1 != reference else base2
-                    genotype_string = genotype_string_from(Genotype.hetero_variant)
-                category = "hetero_snp"
-            is_reference = False
+        elif winner == CAT_HOMO_SNP:
+            reference = infos[i][2][center]
+            alternate = _BASES[homo_base[i]]
             if reference == alternate and not output_config.is_debug:
                 continue
-            supported = 0.0
-            for base in alternate:
-                if base == ",":
-                    continue
-                b = BASE2NUM[base]
-                supported += float(
-                    x[i, center, b, CH_SNP] + x[i, center, b + 4, CH_SNP]
-                    + x[i, center, b, CH_REFERENCE] + x[i, center, b + 4, CH_REFERENCE]
-                )
+            category = "homo_snp"
+            genotype_string = "1/1"
+            is_reference, is_multi = False, False
+        else:
+            reference = infos[i][2][center]
+            if het_multi[i]:
+                alternate = f"{_BASES[het_b1[i]]},{_BASES[het_b2[i]]}"
+                genotype_string = "1/2"
+                is_multi = True
+            else:
+                alternate = _BASES[alt1[i]]
+                genotype_string = "0/1"
+                is_multi = False
+            if reference == alternate and not output_config.is_debug:
+                continue
+            category = "hetero_snp"
+            is_reference = False
 
         # haploid modes (ref call_var.py:1077-1084)
         if output_config.is_haploid_precision_mode_enabled and category == "hetero_snp":
             continue
         if output_config.is_haploid_sensitive_mode_enabled and is_multi:
             continue
-
-        quality = quality_score_from(
-            reference, alternate, genotype_string, gt21_p[i], genotype_p[i]
-        )
-        if (
-            output_config.is_haploid_precision_mode_enabled
-            or output_config.is_haploid_sensitive_mode_enabled
-        ):
+        if haploid:
             genotype_string = "1" if "1" in genotype_string else "0"
 
         results.append((
@@ -243,9 +286,9 @@ def decode_batch(
                 reference_base=reference,
                 alternate_base=alternate,
                 genotype_string=genotype_string,
-                quality_score=quality,
-                read_depth=int(depth),
-                allele_frequency=min(supported / depth, 1.0) if depth else 0.0,
+                quality_score=int(quality_vec[i]),
+                read_depth=int(read_depth[i]),
+                allele_frequency=float(af_vec[i]),
                 is_reference=is_reference,
                 is_multi=is_multi,
             ),

@@ -173,6 +173,7 @@ def _decode_batch(pending, predictor, output_config, vcf_writer, indel_sources, 
 
     infos, x, out, n = pending
     gt21_p, genotype_p, vl1_p, vl2_p = predictor.gather(out, n)
+    rows = []
     for i, call in decode_batch(
         x[:n], infos[:n], gt21_p, genotype_p, vl1_p, vl2_p,
         output_config, indel_sources,
@@ -191,7 +192,8 @@ def _decode_batch(pending, predictor, output_config, vcf_writer, indel_sources, 
                 file=debug_fh,
             )
             continue
-        vcf_writer.write_site(chromosome, int(position_str), call)
+        rows.append((chromosome, int(position_str), call))
+    vcf_writer.write_sites(rows)
 
 
 def call_variants_for_ensemble(
