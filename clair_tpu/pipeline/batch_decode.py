@@ -15,7 +15,7 @@ vectors (tests/test_batch_decode.py).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 
@@ -28,9 +28,8 @@ from clair_tpu.pipeline.decode import (
     OutputConfig,
     SiteCall,
     decode_site,
-    quality_score_from,
 )
-from clair_tpu.task.genotype import Genotype, genotype_string_from
+
 from clair_tpu.task.gt21 import GT21, HETERO_SNP_GT21, HOMO_SNP_GT21
 from clair_tpu.utils.genomics import BASE2ACGT, BASE2NUM, BASIC_BASES
 

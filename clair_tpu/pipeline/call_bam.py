@@ -22,8 +22,6 @@ import numpy as np
 from clair_tpu.data.candidates import (
     CandidateConfig,
     candidate_sites_from_events,
-    non_variant_positions_near_variants,
-    variant_positions_from,
 )
 from clair_tpu.data.pileup import (
     apply_depth_cap,
@@ -37,11 +35,7 @@ from clair_tpu.io.fasta import FastaReader
 from clair_tpu.io.vcf import VcfWriter
 from clair_tpu.params import EXPAND_REFERENCE_REGION, MAX_DEPTH_PER_POSITION
 from clair_tpu.pipeline.call_var import Predictor, _decode_batch
-from clair_tpu.pipeline.decode import (
-    IndelSources,
-    MAX_INFERRED_LENGTH,
-    OutputConfig,
-)
+from clair_tpu.pipeline.decode import IndelSources, OutputConfig
 from clair_tpu.utils.intervals import BedIntervals
 
 logger = logging.getLogger(__name__)

@@ -12,7 +12,6 @@ as one device->host transfer per batch.
 from __future__ import annotations
 
 import logging
-import sys
 import time
 from dataclasses import dataclass
 from typing import IO, Iterator, List, Optional, Tuple
@@ -20,7 +19,7 @@ from typing import IO, Iterator, List, Optional, Tuple
 import numpy as np
 
 from clair_tpu.data.tensor_stream import tensor_batches_from
-from clair_tpu.io.vcf import VcfWriter, contigs_from_fai
+from clair_tpu.io.vcf import VcfWriter
 from clair_tpu.params import PREDICT_BATCH_SIZE, ModelConfig
 from clair_tpu.pipeline.decode import IndelSources, OutputConfig, decode_site
 from clair_tpu.task.labels import split_label_vector

@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 
 from clair_tpu.task.genotype import Genotype, genotype_code_from, genotype_for_task
-from clair_tpu.task.gt21 import GT21, gt21_code_from, gt21_code_from_label
+from clair_tpu.task.gt21 import gt21_code_from, gt21_code_from_label
 from clair_tpu.task.variant_length import VariantLength
 
 GT21_SPAN = (0, 21)
