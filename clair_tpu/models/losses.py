@@ -21,12 +21,18 @@ from clair_tpu.task.labels import (
 )
 
 
-def focal_loss(logits: jnp.ndarray, labels: jnp.ndarray, gamma: float = 2.0) -> jnp.ndarray:
+def focal_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    gamma: float = 2.0,
+    sample_weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Multi-class focal loss, summed over batch and classes.
 
     Positive entries weight by (y - p)^gamma on log(p); negative entries by
     p^gamma on log(1 - p) (ref model.py:783-805). ``alpha`` in the reference
-    signature is unused there, so it is omitted here.
+    signature is unused there, so it is omitted here. ``sample_weights``
+    zeroes padded rows in sharded training.
     """
     p = jax.nn.softmax(logits, axis=-1)
     is_pos = labels > 0
@@ -36,6 +42,8 @@ def focal_loss(logits: jnp.ndarray, labels: jnp.ndarray, gamma: float = 2.0) -> 
         (pos_sub ** gamma) * jnp.log(jnp.clip(p, 1e-8, 1.0))
         + (neg_sub ** gamma) * jnp.log(jnp.clip(1.0 - p, 1e-8, 1.0))
     )
+    if sample_weights is not None:
+        per_entry = per_entry * sample_weights[:, None]
     return jnp.sum(per_entry)
 
 
@@ -44,10 +52,13 @@ def weighted_cross_entropy(
     labels: jnp.ndarray,
     class_weights: jnp.ndarray,
     epsilon: float = 1e-10,
+    sample_weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Per-class-weighted CE over softmaxed probabilities, summed over batch
     (ref model.py:246-263 + reduce_sum at :638)."""
     per_example = -jnp.sum(labels * jnp.log(probs + epsilon) * class_weights, axis=-1)
+    if sample_weights is not None:
+        per_example = per_example * sample_weights
     return jnp.sum(per_example)
 
 
@@ -74,10 +85,13 @@ def total_loss(
     l2_lambda: float = 0.005,
     task_weights: Sequence[float] = (1.0, 1.0, 1.0, 1.0, 1.0),
     class_weights: Sequence[jnp.ndarray] | None = None,
+    sample_weights: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Weighted sum of the 4 task losses + L2 (ref model.py:697-709).
 
-    Returns (scalar, dict of unweighted components).
+    Returns (scalar, dict of unweighted components). ``sample_weights``
+    zeroes padded rows (sharded training pads batches to the data-axis
+    multiple).
     """
     spans = (GT21_SPAN, GENOTYPE_SPAN, LENGTH1_SPAN, LENGTH2_SPAN)
     labels = [y[..., s[0]:s[1]] for s in spans]
@@ -86,11 +100,16 @@ def total_loss(
         if class_weights is None:
             class_weights = [jnp.ones(l.shape[-1]) for l in labels]
         task_losses = [
-            weighted_cross_entropy(jax.nn.softmax(lg, axis=-1), lb, cw)
+            weighted_cross_entropy(
+                jax.nn.softmax(lg, axis=-1), lb, cw, sample_weights=sample_weights
+            )
             for lg, lb, cw in zip(logits, labels, class_weights)
         ]
     else:
-        task_losses = [focal_loss(lg, lb) for lg, lb in zip(logits, labels)]
+        task_losses = [
+            focal_loss(lg, lb, sample_weights=sample_weights)
+            for lg, lb in zip(logits, labels)
+        ]
 
     l2_raw = l2_regularization(params)
     l2 = l2_raw * l2_lambda

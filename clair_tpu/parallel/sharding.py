@@ -87,7 +87,8 @@ def set_learning_rate(opt_state, learning_rate: float):
     return (opt_state[0], inner._replace(hyperparams=new_hyper))
 
 
-def loss_fn(params, x, y, rng, config: ModelConfig, l2_lambda, deterministic=False):
+def loss_fn(params, x, y, rng, config: ModelConfig, l2_lambda, deterministic=False,
+            sample_weights=None):
     logits = forward_logits(params, x, config, deterministic=deterministic, rng=rng)
     return total_loss(
         logits,
@@ -96,6 +97,7 @@ def loss_fn(params, x, y, rng, config: ModelConfig, l2_lambda, deterministic=Fal
         loss_function=config.loss_function,
         l2_lambda=l2_lambda,
         task_weights=config.task_loss_weights,
+        sample_weights=sample_weights,
     )
 
 
@@ -111,9 +113,9 @@ def make_train_step(
     and the model-axis psum for the sharded trunk.
     """
 
-    def step(params, opt_state, x, y, rng, l2_lambda):
+    def step(params, opt_state, x, y, rng, l2_lambda, sample_weights=None):
         (loss, components), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, x, y, rng, config, l2_lambda
+            params, x, y, rng, config, l2_lambda, False, sample_weights
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -129,9 +131,10 @@ def make_train_step(
 def make_eval_step(config: ModelConfig):
     """Jitted validation step: loss components without gradient/update."""
 
-    def step(params, x, y, l2_lambda):
+    def step(params, x, y, l2_lambda, sample_weights=None):
         loss, components = loss_fn(
-            params, x, y, jax.random.PRNGKey(0), config, l2_lambda, deterministic=True
+            params, x, y, jax.random.PRNGKey(0), config, l2_lambda,
+            deterministic=True, sample_weights=sample_weights,
         )
         return loss, components
 

@@ -78,6 +78,10 @@ class TrainingConfig:
     # until 3 LR switches with no epoch limit)
     hard_max_epochs: Optional[int] = None
     checkpoint_every: int = 1
+    # optional jax.sharding.Mesh: batch shards over 'data' (ICI all-reduce
+    # for gradients), dense trunk over 'model'; batches pad to the data-axis
+    # multiple with zero-weight rows
+    mesh: Optional[object] = None
     seed: int = 0
     evaluate_at_end: bool = True
 
@@ -107,8 +111,39 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
 
     optimizer = make_optimizer(model_config.optimizer_name, config.learning_rate)
     opt_state = optimizer.init(params)
-    train_step = make_train_step(model_config, optimizer)
+    train_step = make_train_step(model_config, optimizer, config.mesh)
     eval_step = make_eval_step(model_config)
+
+    shard = None
+    if config.mesh is not None:
+        from clair_tpu.parallel.sharding import (
+            batch_sharding,
+            param_shardings,
+            replicate,
+        )
+
+        data_size = config.mesh.shape["data"]
+        params = jax.device_put(params, param_shardings(params, config.mesh))
+        opt_state = jax.device_put(
+            opt_state, jax.tree.map(lambda _: replicate(config.mesh), opt_state)
+        )
+        x_sharding = batch_sharding(config.mesh, 4)
+        flat_sharding = batch_sharding(config.mesh, 2)
+        w_sharding = batch_sharding(config.mesh, 1)
+
+        def shard(x, y):
+            n = len(x)
+            padded = -(-n // data_size) * data_size
+            w = np.zeros(padded, dtype=np.float32)
+            w[:n] = 1.0
+            if padded != n:
+                x = np.concatenate([x, np.zeros((padded - n,) + x.shape[1:], x.dtype)])
+                y = np.concatenate([y, np.zeros((padded - n,) + y.shape[1:], y.dtype)])
+            return (
+                jax.device_put(x, x_sharding),
+                jax.device_put(y, flat_sharding),
+                jax.device_put(w, w_sharding),
+            )
 
     n_train = dataset.train_size_hint or int(
         dataset.dataset_size * TRAINING_DATASET_PERCENTAGE
@@ -146,16 +181,19 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
             config.train_batch_size, config.val_batch_size,
         )
         for x, y, is_training in batches:
+            weights = None
+            if shard is not None:
+                x, y, weights = shard(np.asarray(x), np.asarray(y))
             if is_training:
                 if clr is not None:
                     learning_rate = clr()
                     opt_state = set_learning_rate(opt_state, learning_rate)
                 rng, step_rng = jax.random.split(rng)
                 params, opt_state, loss, components = train_step(
-                    params, opt_state, x, y, step_rng, np.float32(l2_lambda)
+                    params, opt_state, x, y, step_rng, np.float32(l2_lambda), weights
                 )
             else:
-                loss, components = eval_step(params, x, y, np.float32(l2_lambda))
+                loss, components = eval_step(params, x, y, np.float32(l2_lambda), weights)
             # sync the PREVIOUS batch's loss -> device/host overlap
             if pending is not None:
                 _accumulate(pending, component_sums)
