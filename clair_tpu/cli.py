@@ -163,8 +163,10 @@ def cmd_call_bam_parallel(argv):
     parser.add_argument("--includingAllContigs", action="store_true")
     parser.add_argument("--qual", type=int, default=None)
     parser.add_argument("--run", action="store_true", help="execute inline instead of printing commands")
-    parser.add_argument("--workers", type=int, default=1,
-                        help="process-pool size when running inline")
+    parser.add_argument("--workers", type=int, default=4,
+                        help="pileup worker threads (or process-pool size with --process_pool)")
+    parser.add_argument("--process_pool", action="store_true",
+                        help="one process per window (for multi-device hosts) instead of the threaded single-device runner")
     args = parser.parse_args(argv)
 
     from clair_tpu.pipeline.call_bam_parallel import (
@@ -187,19 +189,28 @@ def cmd_call_bam_parallel(argv):
         return
 
     from clair_tpu.pipeline.call_bam import CallBamConfig
+    from clair_tpu.pipeline.call_bam_parallel import call_bam_windows_threaded
 
     base = CallBamConfig(
         bam_path=args.bam_fn, fasta_path=args.ref_fn,
         bed_path=args.bed_fn, qual=args.qual,
     )
-    paths = call_bam_parallel(
-        base, lambda: _predictor_from(args.chkpnt_fn), args.output_prefix,
-        chunk_size=args.refChunkSize,
-        include_all_contigs=args.includingAllContigs,
-        max_workers=args.workers,
-        checkpoint_path=args.chkpnt_fn,
-    )
-    merge_vcfs(paths, args.output_prefix + ".vcf")
+    if args.process_pool:
+        paths = call_bam_parallel(
+            base, lambda: _predictor_from(args.chkpnt_fn), args.output_prefix,
+            chunk_size=args.refChunkSize,
+            include_all_contigs=args.includingAllContigs,
+            max_workers=args.workers,
+            checkpoint_path=args.chkpnt_fn,
+        )
+        merge_vcfs(paths, args.output_prefix + ".vcf")
+    else:
+        call_bam_windows_threaded(
+            base, _predictor_from(args.chkpnt_fn), args.output_prefix + ".vcf",
+            chunk_size=args.refChunkSize,
+            include_all_contigs=args.includingAllContigs,
+            pileup_workers=args.workers,
+        )
 
 
 def _dump_activations(args):

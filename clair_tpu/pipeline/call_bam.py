@@ -167,17 +167,26 @@ class CallBamConfig:
     truth_vcf_path: Optional[str] = None
 
 
-def call_bam(
-    config: CallBamConfig,
-    predictor: Predictor,
-    output_path: Optional[str] = None,
-    output_fh=None,
-) -> int:
-    """Run the full BAM -> VCF pipeline for one region; returns the number
-    of candidate sites called."""
-    import sys
+@dataclass
+class WindowWork:
+    """Host-side pileup result for one region, ready for device inference."""
 
-    fasta = FastaReader(config.fasta_path)
+    config: CallBamConfig
+    tensors: np.ndarray
+    centers: np.ndarray
+    sequences: list
+    indel_sources: EventsIndelSources
+    contigs: list
+    output_config: OutputConfig
+
+
+def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -> WindowWork:
+    """Host pileup for one region: read fetch -> candidate selection ->
+    tensor creation. Pure host work (runs on worker threads in the WGS
+    runner; numpy releases the GIL in the hot loops)."""
+    own_fasta = fasta is None
+    if own_fasta:
+        fasta = FastaReader(config.fasta_path)
     contig_length = fasta.contig_length(config.contig)
     ctg_start = config.ctg_start or 1
     ctg_end = config.ctg_end or contig_length
@@ -195,7 +204,6 @@ def call_bam(
         config.bam_path, config.contig, ctg_start - 1, ctg_end,
         config.minimum_mapq, config.dcov,
     )
-    events = tensor_events
 
     if config.truth_vcf_path is not None:
         from clair_tpu.data.truth import truth_variants_from_vcf
@@ -227,8 +235,70 @@ def call_bam(
         centers = sites.positions + 1  # 1-based
 
     tensors, centers, sequences = create_tensors(
-        events, centers, reference_sequence, ref_seq_start, minimum_coverage=0
+        tensor_events, centers, reference_sequence, ref_seq_start, minimum_coverage=0
     )
+
+    work = WindowWork(
+        config=config,
+        tensors=tensors,
+        centers=centers,
+        sequences=sequences,
+        indel_sources=EventsIndelSources(
+            tensor_events, fasta, config.contig, config.use_bam_for_all_indels
+        ),
+        contigs=fasta.contigs,
+        output_config=OutputConfig(
+            is_show_reference=config.show_reference,
+            is_haploid_precision_mode_enabled=config.haploid_precision,
+            is_haploid_sensitive_mode_enabled=config.haploid_sensitive,
+            quality_score_for_pass=config.qual,
+        ),
+    )
+    if own_fasta:
+        # keep the FASTA open: the indel sources fetch deletion bases lazily
+        work._fasta_to_close = fasta  # type: ignore[attr-defined]
+    return work
+
+
+def call_window(work: WindowWork, predictor: Predictor, writer: VcfWriter) -> int:
+    """Device inference + decode + VCF rows for one prepared window."""
+    config = work.config
+    total = 0
+    batch = predictor.batch_size
+    pending = None
+    for off in range(0, len(work.tensors), batch):
+        x = normalize_channels(work.tensors[off:off + batch].copy())
+        infos = [
+            (config.contig, str(int(work.centers[off + i])), work.sequences[off + i])
+            for i in range(len(x))
+        ]
+        out, n = predictor.predict_async(x)
+        if pending is not None:
+            _decode_batch(pending, predictor, work.output_config, writer,
+                          work.indel_sources, None)
+            total += pending[3]
+        pending = (infos, x, out, n)
+    if pending is not None:
+        _decode_batch(pending, predictor, work.output_config, writer,
+                      work.indel_sources, None)
+        total += pending[3]
+    fasta = getattr(work, "_fasta_to_close", None)
+    if fasta is not None:
+        fasta.close()
+    return total
+
+
+def call_bam(
+    config: CallBamConfig,
+    predictor: Predictor,
+    output_path: Optional[str] = None,
+    output_fh=None,
+) -> int:
+    """Run the full BAM -> VCF pipeline for one region; returns the number
+    of candidate sites called."""
+    import sys
+
+    work = prepare_window(config)
 
     close_output = False
     if output_fh is None:
@@ -237,40 +307,13 @@ def call_bam(
     writer = VcfWriter(
         output_fh,
         sample_name=config.sample_name,
-        contigs=fasta.contigs,
+        contigs=work.contigs,
         quality_score_for_pass=config.qual,
     )
     writer.write_header()
 
-    output_config = OutputConfig(
-        is_show_reference=config.show_reference,
-        is_haploid_precision_mode_enabled=config.haploid_precision,
-        is_haploid_sensitive_mode_enabled=config.haploid_sensitive,
-        quality_score_for_pass=config.qual,
-    )
-    indel_sources = EventsIndelSources(
-        tensor_events, fasta, config.contig, config.use_bam_for_all_indels
-    )
-
-    total = 0
-    batch = predictor.batch_size
-    pending = None
-    for off in range(0, len(tensors), batch):
-        x = normalize_channels(tensors[off:off + batch].copy())
-        infos = [
-            (config.contig, str(int(centers[off + i])), sequences[off + i])
-            for i in range(len(x))
-        ]
-        out, n = predictor.predict_async(x)
-        if pending is not None:
-            _decode_batch(pending, predictor, output_config, writer, indel_sources, None)
-            total += pending[3]
-        pending = (infos, x, out, n)
-    if pending is not None:
-        _decode_batch(pending, predictor, output_config, writer, indel_sources, None)
-        total += pending[3]
+    total = call_window(work, predictor, writer)
 
     if close_output:
         output_fh.close()
-    fasta.close()
     return total

@@ -148,6 +148,76 @@ def emit_command_sheet(
     return n
 
 
+def call_bam_windows_threaded(
+    base_config: CallBamConfig,
+    predictor,
+    output_path: str,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    include_all_contigs: bool = False,
+    pileup_workers: int = 4,
+    prefetch: int = 2,
+) -> int:
+    """Single-process WGS runner: ONE predictor owns the device while
+    window pileups run on a thread pool (numpy releases the GIL in the hot
+    loops). Windows are consumed in genome order into one merged VCF.
+
+    This is the preferred topology for a host attached to one chip — the
+    process-pool mode exists for multi-chip hosts where each worker can own
+    a device.
+    """
+    import concurrent.futures
+    import sys
+
+    from clair_tpu.io.vcf import VcfWriter
+    from clair_tpu.pipeline.call_bam import call_window, prepare_window
+
+    fasta = FastaReader(base_config.fasta_path)
+    bed = BedIntervals.from_bed(base_config.bed_path) if base_config.bed_path else None
+    windows = list(genome_windows(fasta, chunk_size, include_all_contigs, bed))
+    contigs = fasta.contigs
+    fasta.close()
+
+    output_fh = open(output_path, "w") if output_path else sys.stdout
+    writer = VcfWriter(
+        output_fh,
+        sample_name=base_config.sample_name,
+        contigs=contigs,
+        quality_score_for_pass=base_config.qual,
+    )
+    writer.write_header()
+
+    total = 0
+    with concurrent.futures.ThreadPoolExecutor(pileup_workers) as pool:
+        pending = []
+        cursor = 0
+
+        def submit_next():
+            nonlocal cursor
+            if cursor >= len(windows):
+                return
+            contig, start, end = windows[cursor]
+            cursor += 1
+            config = dataclasses.replace(
+                base_config, contig=contig, ctg_start=start, ctg_end=end
+            )
+            pending.append(pool.submit(prepare_window, config))
+
+        for _ in range(min(pileup_workers + prefetch, len(windows))):
+            submit_next()
+        while pending:
+            work = pending.pop(0).result()
+            submit_next()
+            sites = call_window(work, predictor, writer)
+            logger.info(
+                "window %s:%d-%d -> %d sites",
+                work.config.contig, work.config.ctg_start, work.config.ctg_end, sites,
+            )
+            total += sites
+    if output_path:
+        output_fh.close()
+    return total
+
+
 def merge_vcfs(paths: List[str], output_path: str) -> None:
     """Concatenate per-window VCFs, keeping the first header."""
     wrote_header = False
