@@ -69,6 +69,7 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.clair_bam_events.argtypes = [
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(_EventBuffers),
     ]
     lib.clair_free_events.argtypes = [ctypes.POINTER(_EventBuffers)]
@@ -89,18 +90,40 @@ def events_from_bam_native(
     min_mapq: int = 0,
     dcov: int = 0,
     softclip_filter: bool = False,
+    use_index: bool = True,
 ):
     """Native replacement for events_from_reads over a whole region. Returns a
-    clair_tpu.data.pileup.ReadEvents or None when the library is missing."""
+    clair_tpu.data.pileup.ReadEvents or None when the library is missing.
+
+    With ``use_index`` and a .bai next to the BAM, the scan seeks straight
+    to the region's first candidate block instead of inflating the whole
+    file (the win for per-window WGS calling).
+    """
+    import os
+
     from clair_tpu.data.pileup import ReadEvents
 
     lib = load_library()
     if lib is None:
         return None
+
+    start_coffset, start_uoffset = -1, -1
+    if use_index and start >= 0 and ref_id >= 0 and os.path.isfile(bam_path + ".bai"):
+        try:
+            from clair_tpu.io.bai import BaiIndex
+
+            voffset = BaiIndex(bam_path + ".bai").min_virtual_offset(ref_id, start)
+            if voffset:
+                start_coffset = voffset >> 16
+                start_uoffset = voffset & 0xFFFF
+        except Exception:
+            pass
+
     buffers = _EventBuffers()
     rc = lib.clair_bam_events(
         bam_path.encode(), ref_id, start, end, exclude_flag, min_mapq,
-        dcov, int(softclip_filter), ctypes.byref(buffers),
+        dcov, int(softclip_filter), start_coffset, start_uoffset,
+        ctypes.byref(buffers),
     )
     if rc != 0:
         raise RuntimeError(f"clair_bam_events failed with code {rc} on {bam_path}")

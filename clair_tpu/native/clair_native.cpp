@@ -15,6 +15,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 #include <zlib.h>
 
@@ -37,22 +38,117 @@ struct Inflated {
   bool ok = false;
 };
 
-// Inflate a whole BGZF/gzip file (concatenated members).
-Inflated inflate_file(const char* path) {
+// Size of the BGZF block starting at raw[offset]: walk the gzip extra
+// subfields for BC (SAM spec §4.1). Returns 0 on parse failure.
+size_t bgzf_block_size(const std::vector<uint8_t>& raw, size_t offset) {
+  if (offset + 18 > raw.size()) return 0;
+  if (raw[offset] != 0x1f || raw[offset + 1] != 0x8b) return 0;
+  if (!(raw[offset + 3] & 4)) return 0;
+  uint16_t xlen;
+  memcpy(&xlen, raw.data() + offset + 10, 2);
+  size_t cursor = offset + 12, end = cursor + xlen;
+  while (cursor + 4 <= end && end <= raw.size()) {
+    uint8_t si1 = raw[cursor], si2 = raw[cursor + 1];
+    uint16_t slen;
+    memcpy(&slen, raw.data() + cursor + 2, 2);
+    if (si1 == 'B' && si2 == 'C' && slen == 2) {
+      uint16_t bsize_m1;
+      memcpy(&bsize_m1, raw.data() + cursor + 4, 2);
+      return (size_t)bsize_m1 + 1;
+    }
+    cursor += 4 + slen;
+  }
+  return 0;
+}
+
+bool inflate_one_block(const uint8_t* src, size_t src_size,
+                       std::vector<uint8_t>& dst) {
+  // ISIZE (mod 2^32) is the last 4 bytes of the member
+  uint32_t isize;
+  memcpy(&isize, src + src_size - 4, 4);
+  dst.resize(isize);
+  if (isize == 0) return true;
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, 15 + 16) != Z_OK) return false;
+  zs.next_in = const_cast<uint8_t*>(src);
+  zs.avail_in = src_size;
+  zs.next_out = dst.data();
+  zs.avail_out = isize;
+  int rc = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  return rc == Z_STREAM_END;
+}
+
+// Inflate a BGZF file from byte offset `start_coffset`, block-parallel.
+// Falls back to streaming zlib when block headers don't parse as BGZF
+// (e.g. plain multi-member gzip from our own Python fallback tools).
+Inflated inflate_file(const char* path, int64_t start_coffset = 0,
+                      int n_threads = 4) {
   Inflated out;
   FILE* fp = fopen(path, "rb");
   if (!fp) return out;
   fseek(fp, 0, SEEK_END);
   long file_size = ftell(fp);
-  fseek(fp, 0, SEEK_SET);
-  std::vector<uint8_t> raw(file_size);
-  if (fread(raw.data(), 1, file_size, fp) != (size_t)file_size) {
+  if (start_coffset >= file_size) {
+    fclose(fp);
+    out.ok = true;
+    return out;
+  }
+  fseek(fp, start_coffset, SEEK_SET);
+  std::vector<uint8_t> raw(file_size - start_coffset);
+  if (fread(raw.data(), 1, raw.size(), fp) != raw.size()) {
     fclose(fp);
     return out;
   }
   fclose(fp);
 
-  out.data.reserve(file_size * 4);
+  // scan block boundaries
+  std::vector<std::pair<size_t, size_t>> blocks;
+  size_t offset = 0;
+  bool bgzf_ok = true;
+  while (offset < raw.size()) {
+    size_t size = bgzf_block_size(raw, offset);
+    if (size == 0 || offset + size > raw.size()) {
+      bgzf_ok = false;
+      break;
+    }
+    blocks.push_back({offset, size});
+    offset += size;
+  }
+
+  if (bgzf_ok && !blocks.empty()) {
+    std::vector<std::vector<uint8_t>> parts(blocks.size());
+    int workers = n_threads > 1 ? n_threads : 1;
+    if ((int)blocks.size() < workers) workers = blocks.size();
+    std::vector<std::thread> threads;
+    std::vector<bool> block_ok(blocks.size(), true);
+    for (int t = 0; t < workers; t++) {
+      threads.emplace_back([&, t]() {
+        for (size_t i = t; i < blocks.size(); i += workers) {
+          block_ok[i] = inflate_one_block(
+              raw.data() + blocks[i].first, blocks[i].second, parts[i]);
+        }
+      });
+    }
+    for (auto& th : threads) th.join();
+    size_t total = 0;
+    for (size_t i = 0; i < blocks.size(); i++) {
+      if (!block_ok[i]) { bgzf_ok = false; break; }
+      total += parts[i].size();
+    }
+    if (bgzf_ok) {
+      out.data.reserve(total);
+      for (auto& part : parts)
+        out.data.insert(out.data.end(), part.begin(), part.end());
+      out.ok = true;
+      return out;
+    }
+  }
+
+  // streaming fallback (plain concatenated gzip)
+  out.data.clear();
+  out.data.reserve(raw.size() * 4);
   z_stream zs;
   memset(&zs, 0, sizeof(zs));
   if (inflateInit2(&zs, 15 + 16) != Z_OK) return out;
@@ -66,11 +162,12 @@ Inflated inflate_file(const char* path) {
     size_t produced = chunk.size() - zs.avail_out;
     out.data.insert(out.data.end(), chunk.data(), chunk.data() + produced);
     if (rc == Z_STREAM_END) {
-      // next gzip member (BGZF block)
       if (inflateReset2(&zs, 15 + 16) != Z_OK) break;
     } else if (rc != Z_OK) {
       inflateEnd(&zs);
-      return out;  // ok=false
+      out.ok = false;
+      out.data.clear();
+      return out;
     }
   }
   inflateEnd(&zs);
@@ -125,25 +222,35 @@ struct EventBuffers {
 // Scan one contig's reads and emit flat event arrays.
 // ref_id: target reference index (from the BAM header, resolved by caller).
 // start/end: 0-based half-open region filter (-1 -> whole contig).
+// start_coffset/start_uoffset: BAI seek point (compressed byte offset of a
+// BGZF block + offset within its inflated data); pass -1/-1 to scan from
+// the top of the file (the header is then parsed and skipped).
 // Returns 0 on success.
 int clair_bam_events(const char* path, int32_t ref_id, int64_t start,
                      int64_t end, int32_t exclude_flag, int32_t min_mapq,
                      int32_t dcov, int32_t softclip_filter,
+                     int64_t start_coffset, int32_t start_uoffset,
                      EventBuffers* out) {
   memset(out, 0, sizeof(*out));
-  Inflated inflated = inflate_file(path);
+  bool seeked = start_coffset >= 0 && start_uoffset >= 0;
+  Inflated inflated = inflate_file(path, seeked ? start_coffset : 0);
   if (!inflated.ok) return 1;
   const uint8_t* p = inflated.data.data();
   const uint8_t* pe = p + inflated.data.size();
 
-  if (pe - p < 8 || memcmp(p, "BAM\x01", 4) != 0) return 2;
-  int32_t l_text = read_le<int32_t>(p + 4);
-  p += 8 + l_text;
-  int32_t n_ref = read_le<int32_t>(p);
-  p += 4;
-  for (int i = 0; i < n_ref; i++) {
-    int32_t l_name = read_le<int32_t>(p);
-    p += 4 + l_name + 4;
+  if (seeked) {
+    if (start_uoffset > (int64_t)inflated.data.size()) return 3;
+    p += start_uoffset;
+  } else {
+    if (pe - p < 8 || memcmp(p, "BAM\x01", 4) != 0) return 2;
+    int32_t l_text = read_le<int32_t>(p + 4);
+    p += 8 + l_text;
+    int32_t n_ref = read_le<int32_t>(p);
+    p += 4;
+    for (int i = 0; i < n_ref; i++) {
+      int32_t l_name = read_le<int32_t>(p);
+      p += 4 + l_name + 4;
+    }
   }
 
   std::vector<int64_t> match_pos, ins_pos, ins_adv, del_pos, ins_op, del_op,
@@ -170,7 +277,7 @@ int clair_bam_events(const char* path, int32_t ref_id, int64_t start,
     uint8_t mapq = rec[9];
     uint16_t n_cigar = read_le<uint16_t>(rec + 12);
     uint16_t flag = read_le<uint16_t>(rec + 14);
-    int32_t l_seq = read_le<int32_t>(rec + 16);
+    // l_seq at rec+16 is implied by the CIGAR walk; not read directly
 
     if (rec_ref != ref_id) {
       if (ref_id >= 0 && rec_ref > ref_id) break;  // sorted past target

@@ -51,7 +51,18 @@ def load_region_events(
 ):
     """(candidate_events, tensor_events) for a region, via the native C++
     engine when available, else the Python reader."""
+    import os
+
     from clair_tpu import native
+
+    # index once so every window after the first seeks instead of scanning
+    if not os.path.isfile(bam_path + ".bai"):
+        try:
+            from clair_tpu.io.bai import build_bai
+
+            build_bai(bam_path)
+        except Exception:
+            pass
 
     if native.available():
         with BamReader(bam_path) as bam:
