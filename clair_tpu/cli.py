@@ -306,6 +306,9 @@ def cmd_train(argv, schedule="adaptive"):
     parser.add_argument("--focal_loss", action="store_true")
     parser.add_argument("--clr_mode", default="tri", choices=["tri", "tri2", "exp"])
     parser.add_argument("--maxEpoch", type=int, default=None)
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="shard training over a ('data','model') mesh of this many devices")
+    parser.add_argument("--model_parallel", type=int, default=1)
     args = parser.parse_args(argv)
 
     from clair_tpu.params import (
@@ -319,6 +322,12 @@ def cmd_train(argv, schedule="adaptive"):
     model = ModelConfig(
         **{k: v for k, v in dict(optimizer_name=optimizer, loss_function=loss).items() if v}
     )
+    mesh = None
+    if args.num_devices:
+        from clair_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.num_devices, model_parallel=args.model_parallel)
+
     config = TrainingConfig(
         model=model,
         learning_rate=args.learning_rate or INITIAL_LEARNING_RATE,
@@ -328,6 +337,9 @@ def cmd_train(argv, schedule="adaptive"):
         schedule=schedule if schedule == "adaptive" else args.clr_mode,
         clr_max_lr=CLR_MAX_LR,
         max_epochs=args.maxEpoch or MAX_EPOCH,
+        # for the adaptive schedule --maxEpoch acts as a hard safety cap
+        hard_max_epochs=args.maxEpoch if schedule == "adaptive" else None,
+        mesh=mesh,
     )
     train_model(_load_dataset(args), config)
 

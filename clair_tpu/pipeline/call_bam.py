@@ -195,6 +195,9 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
     """Host pileup for one region: read fetch -> candidate selection ->
     tensor creation. Pure host work (runs on worker threads in the WGS
     runner; numpy releases the GIL in the hot loops)."""
+    import time
+
+    t_start = time.perf_counter()
     own_fasta = fasta is None
     if own_fasta:
         fasta = FastaReader(config.fasta_path)
@@ -268,6 +271,11 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
     if own_fasta:
         # keep the FASTA open: the indel sources fetch deletion bases lazily
         work._fasta_to_close = fasta  # type: ignore[attr-defined]
+    logger.debug(
+        "prepare %s:%s-%s: %d candidates in %.2fs",
+        config.contig, ctg_start, ctg_end, len(centers),
+        time.perf_counter() - t_start,
+    )
     return work
 
 
