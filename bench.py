@@ -97,8 +97,11 @@ def decode_throughput(params, config) -> float:
     iters = 5
     start = time.perf_counter()
     for _ in range(iters):
-        for i, call in decode_batch(xs, infos, *out, output_config):
-            writer.write_site("chr1", 1000 + i, call)
+        rows = [
+            ("chr1", 1000 + i, call)
+            for i, call in decode_batch(xs, infos, *out, output_config)
+        ]
+        writer.write_sites(rows)
     return BATCH * iters / (time.perf_counter() - start)
 
 
@@ -139,14 +142,16 @@ def cpu_baseline_throughput() -> float:
 
     net = RefNet().eval()
     x = torch.rand(BATCH, 33, 8, 4)
+    best = 0.0
     with torch.no_grad():
         net(x)
-        start = time.perf_counter()
-        iters = 5
-        for _ in range(iters):
-            net(x)
-        elapsed = time.perf_counter() - start
-    return BATCH * iters / elapsed
+        for _ in range(3):  # best-of-3: robust to transient machine load
+            start = time.perf_counter()
+            iters = 5
+            for _ in range(iters):
+                net(x)
+            best = max(best, BATCH * iters / (time.perf_counter() - start))
+    return best
 
 
 def main():

@@ -123,17 +123,32 @@ class BamReader:
         end: Optional[int] = None,
         exclude_flag: int = DEFAULT_EXCLUDE_FLAG,
         min_mapq: int = 0,
+        use_index: bool = True,
     ) -> Iterator[BamRecord]:
-        """Sequential scan with region/flag/MAPQ filtering.
+        """Region scan with flag/MAPQ filtering.
 
         start/end are 0-based half-open; a record overlaps if its reference
-        span intersects [start, end). Scanning stops early once records
-        start past `end` (input BAMs are coordinate-sorted).
+        span intersects [start, end). With a .bai next to the BAM the scan
+        seeks to the region's first candidate block; otherwise it streams
+        from the top, stopping early once records start past ``end``
+        (input BAMs are coordinate-sorted).
         """
         want_ref = self._name_to_id.get(contig) if contig is not None else None
         if contig is not None and want_ref is None:
             return
-        for record in self:
+
+        source: Iterator[BamRecord] = iter(self)
+        if (
+            use_index
+            and want_ref is not None
+            and start is not None
+            and __import__("os").path.isfile(self.path + ".bai")
+        ):
+            seeked = self._records_from_index(want_ref, start)
+            if seeked is not None:
+                source = seeked
+
+        for record in source:
             if record.flag & exclude_flag:
                 continue
             if record.mapq < min_mapq:
@@ -148,6 +163,34 @@ class BamReader:
                 if start is not None and record.reference_end <= start:
                     continue
             yield record
+
+    def _records_from_index(self, ref_id: int, start: int) -> Optional[Iterator[BamRecord]]:
+        """Records from the BAI-resolved seek point onward (None -> stream)."""
+        try:
+            from clair_tpu.io.bai import BaiIndex
+            from clair_tpu.io.bgzf import inflate_range, resolve_virtual_offset
+
+            voffset = BaiIndex(self.path + ".bai").min_virtual_offset(ref_id, start)
+            if not voffset:
+                return None
+            with open(self.path, "rb") as fh:
+                raw = fh.read()
+            coffset = voffset >> 16
+            data, block_index = inflate_range(raw, coffset, threads=4)
+            upos = resolve_virtual_offset(block_index, voffset, 0)
+        except Exception:
+            return None
+
+        def generate():
+            cursor = upos
+            while cursor + 4 <= len(data):
+                (block_size,) = struct.unpack_from("<i", data, cursor)
+                if cursor + 4 + block_size > len(data):
+                    return
+                yield _decode_record(data[cursor + 4: cursor + 4 + block_size])
+                cursor += 4 + block_size
+
+        return generate()
 
     def close(self) -> None:
         self._fh.close()
