@@ -295,8 +295,9 @@ class EpochBatches:
             try:
                 for item in self._generate():
                     q.put(item)
-            finally:
                 q.put(_END)
+            except BaseException as exc:  # surface in the consumer
+                q.put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -304,6 +305,9 @@ class EpochBatches:
             item = q.get()
             if item is _END:
                 break
+            if isinstance(item, BaseException):
+                thread.join()
+                raise item
             yield item
         thread.join()
 

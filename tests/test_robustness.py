@@ -1,0 +1,99 @@
+"""Robustness: prefetch-thread error propagation, truncated BAM handling,
+VCF writer details, overlap-filter unit semantics."""
+
+import io
+
+import numpy as np
+import pytest
+
+from clair_tpu.data.bins import BinDataset, EpochBatches, _pack
+from clair_tpu.io.bam import BamReader, BamWriter
+from clair_tpu.io.vcf import VcfWriter, filtration_value_from
+from clair_tpu.pipeline.decode import SiteCall
+from clair_tpu.post.overlap_variant import Variant, filter_overlapping_variants
+
+
+def test_epoch_batches_propagates_producer_errors():
+    ds = BinDataset(
+        dataset_size=10,
+        x_blocks=[b"garbage-not-zstd"],
+        y_blocks=[b"garbage"],
+        pos_blocks=[b"garbage"],
+        block_size=10,
+    )
+    with pytest.raises(Exception):
+        list(EpochBatches(ds, np.array([0]), n_train=10, train_batch_size=5))
+
+
+def test_truncated_bam_stops_cleanly(tmp_path):
+    path = str(tmp_path / "t.bam")
+    seq = "ACGT" * 30
+    with BamWriter(path, [("chr1", 1000)]) as writer:
+        for i in range(50):
+            writer.write(f"r{i}", 0, i * 5, 60, 0, [(100, "M")], seq[:100])
+    raw = open(path, "rb").read()
+    # cut the file mid-block (drop the EOF marker and then some)
+    open(path, "wb").write(raw[: len(raw) // 2])
+    with BamReader(path) as reader:
+        try:
+            records = list(reader)
+        except EOFError:
+            records = []  # acceptable: truncated final block raises cleanly
+    assert len(records) < 50  # no silent full-read of a truncated file
+
+
+def _call(**kw):
+    defaults = dict(
+        category="homo_snp", reference_base="A", alternate_base="G",
+        genotype_string="1/1", quality_score=500, read_depth=30,
+        allele_frequency=0.97, is_reference=False, is_multi=False,
+    )
+    defaults.update(kw)
+    return SiteCall(**defaults)
+
+
+def test_vcf_writer_qual_filtration_and_bulk():
+    sink = io.StringIO()
+    writer = VcfWriter(sink, sample_name="S", contigs=[("chr1", 1000)],
+                       quality_score_for_pass=100)
+    writer.write_header()
+    writer.write_sites([
+        ("chr1", 10, _call(quality_score=150)),
+        ("chr1", 20, _call(quality_score=50)),
+    ])
+    text = sink.getvalue()
+    assert "##contig=<ID=chr1,length=1000>" in text
+    rows = [r.split("\t") for r in text.splitlines() if not r.startswith("#")]
+    assert rows[0][6] == "PASS" and rows[1][6] == "LowQual"
+    assert filtration_value_from(None, 5) == "."
+
+
+def test_overlap_filter_unit_semantics():
+    def variant(pos, ref, alt, qual):
+        return Variant(
+            chromosome="chr1", position=pos, reference_base=ref,
+            alternate_base=alt, alternate_base_multi=None,
+            quality_score=qual, genotype="1/1", depth="30",
+            allele_frequency="0.9",
+        )
+
+    # deletion at 100 spans 100..103; SNP at 102 inside -> lower qual drops
+    deletion = variant(100, "GAAA", "G", 300)
+    snp_inside = variant(102, "A", "T", 50)
+    kept = filter_overlapping_variants([deletion, snp_inside])
+    assert [v.position for v in kept] == [100]
+
+    # tie goes to the LATER variant (strict > keeps earlier only when higher)
+    snp_tie = variant(102, "A", "T", 300)
+    kept = filter_overlapping_variants([deletion, snp_tie])
+    assert [v.position for v in kept] == [102]
+
+    # non-overlapping pair both kept
+    far_snp = variant(200, "C", "G", 10)
+    kept = filter_overlapping_variants([deletion, far_snp])
+    assert [v.position for v in kept] == [100, 200]
+
+    # deletion-vs-deletion overlap
+    second_del = variant(103, "TTT", "T", 400)
+    kept = filter_overlapping_variants([deletion, second_del])
+    assert [v.position for v in kept] == [103]
