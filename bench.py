@@ -74,16 +74,16 @@ def device_throughput(params, config) -> float:
 
 
 def decode_throughput(params, config) -> float:
-    """Host decode + VCF emission over the realistic probability mix the
-    biased model produces (mostly ref/SNP -> the vectorized fast path, as
-    with a trained model)."""
+    """Host decode + VCF emission through the production path (the native
+    C++ fast-path decoder with Python lattice fallback) over the realistic
+    probability mix the biased model produces."""
     import jax
     import jax.numpy as jnp
 
     from clair_tpu.io.vcf import VcfWriter
     from clair_tpu.models.clair import forward
-    from clair_tpu.pipeline.batch_decode import decode_batch
-    from clair_tpu.pipeline.decode import OutputConfig
+    from clair_tpu.pipeline.call_var import _decode_batch
+    from clair_tpu.pipeline.decode import IndelSources, OutputConfig
 
     fn = jax.jit(lambda p, x: forward(p, x.astype(jnp.float32), config))
     xs, seq = _synthetic_batch()
@@ -92,16 +92,18 @@ def decode_throughput(params, config) -> float:
     sink = io.StringIO()
     writer = VcfWriter(sink)
     output_config = OutputConfig(is_show_reference=True)
+    sources = IndelSources()
 
-    decode_batch(xs[:50], infos[:50], *(a[:50] for a in out), output_config)  # warmup
-    iters = 5
+    class _Pre:
+        def gather(self, o, n):
+            return o
+
+    pending = (infos, xs, out, BATCH)
+    _decode_batch(pending, _Pre(), output_config, writer, sources, None)  # warmup
+    iters = 10
     start = time.perf_counter()
     for _ in range(iters):
-        rows = [
-            ("chr1", 1000 + i, call)
-            for i, call in decode_batch(xs, infos, *out, output_config)
-        ]
-        writer.write_sites(rows)
+        _decode_batch(pending, _Pre(), output_config, writer, sources, None)
     return BATCH * iters / (time.perf_counter() - start)
 
 

@@ -78,6 +78,10 @@ class VcfWriter:
     def write_site(self, chromosome: str, position: int, call) -> None:
         print(self.format_site(chromosome, position, call), file=self._fh)
 
+    def write_raw(self, text: str) -> None:
+        """Write pre-formatted row text (the native decoder's output)."""
+        self._fh.write(text)
+
     def write_sites(self, rows) -> None:
         """Bulk write of (chromosome, position, call) tuples — one IO call."""
         if not rows:

@@ -73,8 +73,86 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(_EventBuffers),
     ]
     lib.clair_free_events.argtypes = [ctypes.POINTER(_EventBuffers)]
+    lib.clair_decode_fast.restype = ctypes.c_int
+    lib.clair_decode_fast.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_char_p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_char)), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.clair_decode_free.argtypes = [
+        ctypes.POINTER(ctypes.c_char),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return lib
+
+
+def decode_fast_native(
+    x, gt21, geno, vl1, vl2, positions, center_bases, contig,
+    show_ref=False, haploid_precision=False, haploid_sensitive=False,
+    qual_cutoff=None,
+):
+    """Native fast-path decode. Returns (rows_text, row_sites, fallback_sites)
+    or None when the library is unavailable.
+
+    rows_text: '\\n'-joined formatted VCF rows for decided fast-path sites;
+    row_sites/fallback_sites: site indices (fallback = indel winners to run
+    through the exact Python lattice).
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+
+    def fp(a):
+        a = np.ascontiguousarray(a, dtype=np.float32)
+        return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    x_c, x_p = fp(x)
+    g_c, g_p = fp(gt21)
+    ge_c, ge_p = fp(geno)
+    v1_c, v1_p = fp(vl1)
+    v2_c, v2_p = fp(vl2)
+    pos = np.ascontiguousarray(positions, dtype=np.int64)
+    bases = np.asarray(center_bases, dtype="S1").tobytes()
+
+    rows_ptr = ctypes.POINTER(ctypes.c_char)()
+    rows_len = ctypes.c_int64()
+    row_sites_ptr = ctypes.POINTER(ctypes.c_int64)()
+    n_rows = ctypes.c_int64()
+    fallback_ptr = ctypes.POINTER(ctypes.c_int64)()
+    n_fallback = ctypes.c_int64()
+
+    rc = lib.clair_decode_fast(
+        x_p, g_p, ge_p, v1_p, v2_p,
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        bases, len(pos), contig.encode(),
+        int(show_ref), int(haploid_precision), int(haploid_sensitive),
+        -(2 ** 31) if qual_cutoff is None else int(qual_cutoff),
+        ctypes.byref(rows_ptr), ctypes.byref(rows_len),
+        ctypes.byref(row_sites_ptr), ctypes.byref(n_rows),
+        ctypes.byref(fallback_ptr), ctypes.byref(n_fallback),
+    )
+    if rc != 0:
+        return None
+    try:
+        rows_text = ctypes.string_at(rows_ptr, rows_len.value).decode("ascii")
+        row_sites = (
+            np.ctypeslib.as_array(row_sites_ptr, shape=(n_rows.value,)).copy()
+            if n_rows.value else np.empty(0, np.int64)
+        )
+        fallback = (
+            np.ctypeslib.as_array(fallback_ptr, shape=(n_fallback.value,)).copy()
+            if n_fallback.value else np.empty(0, np.int64)
+        )
+    finally:
+        lib.clair_decode_free(rows_ptr, row_sites_ptr, fallback_ptr)
+    return rows_text, row_sites, fallback
 
 
 def available() -> bool:

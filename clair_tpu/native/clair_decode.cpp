@@ -1,0 +1,284 @@
+// clair_decode: native fast-path variant decode.
+//
+// Mirrors clair_tpu/pipeline/batch_decode.py exactly for the three
+// fast-path categories (homo-reference / homo-SNP / hetero-SNP): category
+// maxima factorize over the two length heads, the winner is the first
+// category attaining the global max (the reference's tie order,
+// call_var.py:693-947), and winning indel categories are returned as
+// fallback indices for the exact Python lattice walk.
+//
+// Outputs fully formatted VCF row strings so the Python layer only merges
+// them (in site order) with the rare fallback rows.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+// gt21 class codes (clair_tpu/task/gt21.py)
+const int kHomoSnp[4] = {0, 4, 7, 9};                 // AA CC GG TT
+const int kHeteroSnp[6] = {1, 2, 3, 5, 6, 8};         // AC AG AT CG CT GT
+const char kHomoBase[4] = {'A', 'C', 'G', 'T'};
+const char kHeteroB1[6] = {'A', 'A', 'A', 'C', 'C', 'G'};
+const char kHeteroB2[6] = {'C', 'G', 'T', 'G', 'T', 'T'};
+const int kInsIns = 15, kDelDel = 10, kInsDel = 20;
+const int kHetIns[4] = {16, 17, 18, 19};              // AIns..TIns
+const int kHetDel[4] = {11, 12, 13, 14};              // ADel..TDel
+
+// unordered base-pair -> gt21 code (A=0 C=1 G=2 T=3)
+const int kPairCode[4][4] = {
+    {0, 1, 2, 3},
+    {1, 4, 5, 6},
+    {2, 5, 7, 8},
+    {3, 6, 8, 9},
+};
+
+int base_index(char b) {
+  switch (b) {
+    case 'A': return 0;
+    case 'C': return 1;
+    case 'G': return 2;
+    case 'T': return 3;
+    default: return -1;
+  }
+}
+
+// IUPAC -> ACGT index (shared/utils maps; N -> A(0))
+int acgt_index(char b) {
+  switch (b) {
+    case 'A': case 'W': case 'M': case 'D': case 'H': case 'V': case 'N':
+    case 'R': return 0;
+    case 'C': case 'Y': case 'S': case 'B': return 1;
+    case 'G': case 'K': return 2;
+    case 'T': case 'U': return 3;
+    default: return -1;
+  }
+}
+
+bool is_basic_base(char b) {
+  return b == 'A' || b == 'C' || b == 'G' || b == 'T' || b == 'U';
+}
+
+struct Maxima {
+  double v[10];
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success. rows_out: malloc'd '\n'-joined VCF rows;
+// row_sites: site index of each row (ascending); fallback: site indices
+// needing the Python lattice. Free all three with clair_decode_free.
+int clair_decode_fast(
+    const float* x,            // (n, 33, 8, 4) channel-normalized
+    const float* gt21,         // (n, 21)
+    const float* geno,         // (n, 3)
+    const float* vl1,          // (n, 33)
+    const float* vl2,          // (n, 33)
+    const int64_t* positions,  // 1-based
+    const char* center_bases,  // (n,)
+    int64_t n,
+    const char* contig,
+    int32_t show_ref, int32_t haploid_precision, int32_t haploid_sensitive,
+    int32_t qual_cutoff,       // INT32_MIN -> '.', else PASS/LowQual
+    char** rows_out, int64_t* rows_len,
+    int64_t** row_sites_out, int64_t* n_rows_out,
+    int64_t** fallback_out, int64_t* n_fallback_out) {
+  std::string rows;
+  rows.reserve((size_t)n * 48);
+  std::vector<int64_t> row_sites;
+  std::vector<int64_t> fallback;
+  row_sites.reserve(n);
+
+  const int center = 16;
+  char line[256];
+
+  for (int64_t i = 0; i < n; i++) {
+    const char raw_base = center_bases[i];
+    if (!is_basic_base(raw_base)) continue;
+
+    const float* xi = x + i * 33 * 8 * 4;
+    // read depth: center row, channels delete(2) + reference(0)
+    double depth = 0.0;
+    for (int r = 0; r < 8; r++) depth += xi[center * 32 + r * 4 + 2] + xi[center * 32 + r * 4 + 0];
+    if (depth == 0.0) continue;
+
+    const float* g21 = gt21 + i * 21;
+    const float* gn = geno + i * 3;
+    const float* v1 = vl1 + i * 33;
+    const float* v2 = vl2 + i * 33;
+
+    const double p_ref = gn[0], p_homo = gn[1], p_het = gn[2];
+    const double z1 = v1[16], z2 = v2[16];
+    const double vl0 = z1 * z2;
+
+    double pos1max = 0, pos2max = 0;
+    double n1max = 0, n2max = 0, n1second = 0, n2second = 0;
+    int n1arg = 0, n2arg = 0;
+    double homo_ins_pair = 0, homo_del_pair = 0;
+    for (int k = 0; k < 16; k++) {
+      double a1 = v1[17 + k], a2 = v2[17 + k];
+      if (a1 > pos1max) pos1max = a1;
+      if (a2 > pos2max) pos2max = a2;
+      homo_ins_pair = std::max(homo_ins_pair, a1 * a2);
+      double b1 = v1[k], b2 = v2[k];
+      if (b1 > n1max) { n1second = n1max; n1max = b1; n1arg = k; }
+      else if (b1 > n1second) n1second = b1;
+      if (b2 > n2max) { n2second = n2max; n2max = b2; n2arg = k; }
+      else if (b2 > n2second) n2second = b2;
+      homo_del_pair = std::max(homo_del_pair, b1 * b2);
+    }
+    double deldel_pair = (n1arg == n2arg)
+        ? std::max(n1max * n2second, n1second * n2max)
+        : n1max * n2max;
+
+    int ref_idx = acgt_index(raw_base);
+    int ref_code = kPairCode[ref_idx][ref_idx];
+
+    double homo_snp_g = 0, het_snp_g = 0, het_ins_g = 0, het_del_g = 0;
+    int homo_arg = 0, het_arg = 0;
+    for (int k = 0; k < 4; k++) {
+      if (g21[kHomoSnp[k]] > homo_snp_g) { homo_snp_g = g21[kHomoSnp[k]]; homo_arg = k; }
+      het_ins_g = std::max(het_ins_g, (double)g21[kHetIns[k]]);
+      het_del_g = std::max(het_del_g, (double)g21[kHetDel[k]]);
+    }
+    for (int k = 0; k < 6; k++) {
+      if (g21[kHeteroSnp[k]] > het_snp_g) { het_snp_g = g21[kHeteroSnp[k]]; het_arg = k; }
+    }
+
+    Maxima m;
+    m.v[0] = vl0 * p_ref * g21[ref_code];
+    m.v[1] = vl0 * p_homo * homo_snp_g;
+    m.v[2] = vl0 * p_het * het_snp_g;
+    m.v[3] = homo_ins_pair * p_homo * g21[kInsIns];
+    m.v[4] = std::max(z1 * pos2max, pos1max * z2) * het_ins_g * p_het;
+    m.v[5] = pos1max * pos2max * p_het * g21[kInsIns];
+    m.v[6] = homo_del_pair * p_homo * g21[kDelDel];
+    m.v[7] = std::max(z1 * n2max, n1max * z2) * het_del_g * p_het;
+    m.v[8] = deldel_pair * p_het * g21[kDelDel];
+    m.v[9] = std::max(pos1max * n2max, n1max * pos2max) * p_het * g21[kInsDel];
+
+    int winner = 0;
+    double best = m.v[0];
+    for (int c = 1; c < 10; c++) {
+      if (m.v[c] > best) { best = m.v[c]; winner = c; }
+    }
+
+    if (winner > 2) {
+      fallback.push_back(i);
+      continue;
+    }
+
+    char ref_out[2] = {0, 0};
+    char alt_out[4] = {0, 0, 0, 0};
+    const char* genotype = nullptr;
+    int quality_code, quality_geno;
+    double supported = 0.0;
+    bool is_multi = false;
+
+    auto base_support = [&](int b) {
+      // SNP(3) + reference(0) channels, both strands, at the center row
+      return (double)xi[center * 32 + b * 4 + 3] + xi[center * 32 + (b + 4) * 4 + 3]
+           + xi[center * 32 + b * 4 + 0] + xi[center * 32 + (b + 4) * 4 + 0];
+    };
+
+    if (winner == 0) {
+      if (!show_ref) continue;
+      ref_out[0] = "ACGT"[ref_idx];
+      alt_out[0] = ref_out[0];
+      genotype = "0/0";
+      quality_code = ref_code;
+      quality_geno = 0;
+      supported = (double)xi[center * 32 + ref_idx * 4 + 0]
+                + xi[center * 32 + (ref_idx + 4) * 4 + 0];
+    } else if (winner == 1) {
+      char b = kHomoBase[homo_arg];
+      ref_out[0] = raw_base;
+      alt_out[0] = b;
+      if (ref_out[0] == alt_out[0]) continue;  // degenerate, matches Python skip
+      genotype = "1/1";
+      int bi = base_index(b);
+      quality_code = kPairCode[bi][bi];
+      quality_geno = 1;
+      supported = base_support(bi);
+    } else {
+      char b1 = kHeteroB1[het_arg], b2 = kHeteroB2[het_arg];
+      ref_out[0] = raw_base;
+      int raw_idx = base_index(raw_base);  // -1 for U: labels never match
+      bool multi = (base_index(b1) != raw_idx) && (base_index(b2) != raw_idx);
+      if (multi) {
+        alt_out[0] = b1; alt_out[1] = ','; alt_out[2] = b2;
+        genotype = "1/2";
+        is_multi = true;
+        quality_code = kPairCode[base_index(b1)][base_index(b2)];
+        supported = base_support(base_index(b1)) + base_support(base_index(b2));
+      } else {
+        char alt = (base_index(b1) != raw_idx) ? b1 : b2;
+        alt_out[0] = alt;
+        if (ref_out[0] == alt_out[0]) continue;
+        genotype = "0/1";
+        quality_code = kPairCode[ref_idx][base_index(alt)];
+        supported = base_support(base_index(alt));
+      }
+      quality_geno = 2;
+      if (haploid_precision) continue;   // hetero dropped in precision mode
+      if (haploid_sensitive && is_multi) continue;
+    }
+
+    // Phred-like quality (decode.py quality_score_from)
+    double p = (double)g21[quality_code] * (double)gn[quality_geno];
+    double tmp = (-10.0 * std::log(std::exp(1.0)) / std::log(10.0))
+                 * std::log(((1.0 - p) + 1e-300) / (p + 1e-300)) + 16.0;
+    if (tmp < 0) tmp = 0;
+    long quality = llrint(tmp * tmp);
+
+    const char* genotype_out = genotype;
+    if (haploid_precision || haploid_sensitive) {
+      genotype_out = strchr(genotype, '1') ? "1" : "0";
+    }
+
+    double af = supported / depth;
+    if (af > 1.0) af = 1.0;
+    const char* filter = ".";
+    if (qual_cutoff != INT32_MIN) {
+      filter = quality >= qual_cutoff ? "PASS" : "LowQual";
+    }
+
+    int len = snprintf(
+        line, sizeof(line),
+        "%s\t%lld\t.\t%s\t%s\t%ld\t%s\t.\tGT:GQ:DP:AF\t%s:%ld:%lld:%.4f\n",
+        contig, (long long)positions[i], ref_out, alt_out, quality, filter,
+        genotype_out, quality, (long long)llrint(depth), af);
+    rows.append(line, len);
+    row_sites.push_back(i);
+  }
+
+  *rows_len = (int64_t)rows.size();
+  *rows_out = (char*)malloc(rows.size() + 1);
+  memcpy(*rows_out, rows.data(), rows.size());
+  (*rows_out)[rows.size()] = 0;
+  *n_rows_out = (int64_t)row_sites.size();
+  *row_sites_out = (int64_t*)malloc(row_sites.size() * sizeof(int64_t));
+  if (!row_sites.empty())
+    memcpy(*row_sites_out, row_sites.data(), row_sites.size() * sizeof(int64_t));
+  *n_fallback_out = (int64_t)fallback.size();
+  *fallback_out = (int64_t*)malloc(fallback.size() * sizeof(int64_t));
+  if (!fallback.empty())
+    memcpy(*fallback_out, fallback.data(), fallback.size() * sizeof(int64_t));
+  return 0;
+}
+
+void clair_decode_free(char* rows, int64_t* row_sites, int64_t* fallback) {
+  free(rows);
+  free(row_sites);
+  free(fallback);
+}
+
+}  // extern "C"

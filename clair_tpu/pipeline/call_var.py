@@ -172,6 +172,13 @@ def _decode_batch(pending, predictor, output_config, vcf_writer, indel_sources, 
 
     infos, x, out, n = pending
     gt21_p, genotype_p, vl1_p, vl2_p = predictor.gather(out, n)
+
+    if not output_config.is_debug and _native_decode_batch(
+        infos, x, n, gt21_p, genotype_p, vl1_p, vl2_p,
+        output_config, vcf_writer, indel_sources,
+    ):
+        return
+
     rows = []
     for i, call in decode_batch(
         x[:n], infos[:n], gt21_p, genotype_p, vl1_p, vl2_p,
@@ -193,6 +200,67 @@ def _decode_batch(pending, predictor, output_config, vcf_writer, indel_sources, 
             continue
         rows.append((chromosome, int(position_str), call))
     vcf_writer.write_sites(rows)
+
+
+def _native_decode_batch(
+    infos, x, n, gt21_p, genotype_p, vl1_p, vl2_p,
+    output_config, vcf_writer, indel_sources,
+) -> bool:
+    """Fast path: C++ decode of ref/SNP winners + exact Python lattice for
+    the indel fallback sites, merged in site order. Returns False when the
+    native library is unavailable or the batch spans contigs."""
+    from clair_tpu import native
+
+    if not native.available():
+        return False
+    contig = infos[0][0]
+    if any(info[0] != contig for info in infos[:n]):
+        return False
+
+    from clair_tpu.pipeline.decode import decode_site
+
+    positions = np.fromiter((int(info[1]) for info in infos[:n]), np.int64, count=n)
+    center_bases = [info[2][len(info[2]) // 2] for info in infos[:n]]
+    result = native.decode_fast_native(
+        x[:n], gt21_p, genotype_p, vl1_p, vl2_p, positions, center_bases, contig,
+        show_ref=output_config.is_show_reference,
+        haploid_precision=output_config.is_haploid_precision_mode_enabled,
+        haploid_sensitive=output_config.is_haploid_sensitive_mode_enabled,
+        qual_cutoff=output_config.quality_score_for_pass,
+    )
+    if result is None:
+        return False
+    rows_text, row_sites, fallback = result
+
+    fallback_rows = {}
+    for i in fallback.tolist():
+        chromosome, position_str, sequence = infos[i]
+        call = decode_site(
+            x[i], chromosome, int(position_str), sequence,
+            gt21_p[i], genotype_p[i], vl1_p[i], vl2_p[i],
+            output_config, indel_sources,
+        )
+        if call is not None:
+            fallback_rows[i] = vcf_writer.format_site(chromosome, int(position_str), call)
+
+    if not fallback_rows:
+        if rows_text:
+            vcf_writer.write_raw(rows_text)
+        return True
+
+    merged = []
+    native_rows = rows_text.splitlines()
+    native_iter = iter(zip(row_sites.tolist(), native_rows))
+    pending_native = next(native_iter, None)
+    for i in sorted(set(fallback_rows) | set(row_sites.tolist())):
+        if pending_native is not None and pending_native[0] == i:
+            merged.append(pending_native[1])
+            pending_native = next(native_iter, None)
+        elif i in fallback_rows:
+            merged.append(fallback_rows[i])
+    if merged:
+        vcf_writer.write_raw("\n".join(merged) + "\n")
+    return True
 
 
 def call_variants_for_ensemble(

@@ -1,0 +1,104 @@
+"""Native fast-path decode must reproduce the Python batch decode exactly:
+same rows (text-identical) for fast-path sites, same fallback set."""
+
+import numpy as np
+import pytest
+
+from clair_tpu.io.vcf import VcfWriter
+from clair_tpu.native import available, decode_fast_native
+from clair_tpu.pipeline.batch_decode import decode_batch
+from clair_tpu.pipeline.decode import OutputConfig
+from tests.test_batch_decode import SEQ, _random_probs, _tensor
+
+pytestmark = pytest.mark.skipif(not available(), reason="native lib unavailable")
+
+
+def _python_rows(x, infos, probs, config, qual_cutoff=None):
+    writer = VcfWriter(None, quality_score_for_pass=qual_cutoff)
+    rows = {}
+    fallback_like = set()
+    for i, call in decode_batch(x, infos, *probs, config):
+        rows[i] = writer.format_site(infos[i][0], int(infos[i][1]), call)
+    return rows
+
+
+@pytest.mark.parametrize("config_kwargs,qual", [
+    (dict(is_show_reference=True), None),
+    (dict(is_show_reference=False), 100),
+    (dict(is_show_reference=True, is_haploid_precision_mode_enabled=True), None),
+    (dict(is_show_reference=True, is_haploid_sensitive_mode_enabled=True), 50),
+])
+def test_native_decode_matches_python(config_kwargs, qual):
+    rs = np.random.RandomState(11)
+    n = 200
+    gt21, geno, vl1, vl2 = _random_probs(rs, n)
+    # mix of regimes: half SNP-ish (length peaked at 0), half free
+    for vl in (vl1, vl2):
+        vl[: n // 2] *= 0.01
+        vl[: n // 2, 16] = 1.0
+        vl /= vl.sum(-1, keepdims=True)
+    x = np.stack([_tensor()] * n)
+    infos = [("chr7", str(5000 + i), SEQ) for i in range(n)]
+    positions = np.array([5000 + i for i in range(n)], dtype=np.int64)
+    center_bases = [SEQ[16]] * n
+
+    config = OutputConfig(**config_kwargs, quality_score_for_pass=qual)
+    python_rows = _python_rows(x, infos, (gt21, geno, vl1, vl2), config, qual)
+
+    result = decode_fast_native(
+        x, gt21, geno, vl1, vl2, positions, center_bases, "chr7",
+        show_ref=config.is_show_reference,
+        haploid_precision=config.is_haploid_precision_mode_enabled,
+        haploid_sensitive=config.is_haploid_sensitive_mode_enabled,
+        qual_cutoff=qual,
+    )
+    assert result is not None
+    rows_text, row_sites, fallback = result
+    native_rows = dict(zip(row_sites.tolist(), rows_text.splitlines()))
+
+    fallback_set = set(fallback.tolist())
+    # every python row is either produced identically by native or belongs
+    # to the fallback (indel) set
+    for i, row in python_rows.items():
+        if i in fallback_set:
+            continue
+        assert i in native_rows, f"site {i} missing from native rows: {row}"
+        assert native_rows[i] == row, f"site {i}:\n py: {row}\n na: {native_rows[i]}"
+    # and native produced nothing python didn't
+    for i in native_rows:
+        assert i in python_rows, f"native extra row at {i}: {native_rows[i]}"
+    # fallback sites are exactly the indel winners python also saw
+    from clair_tpu.pipeline.batch_decode import category_maxima
+    from clair_tpu.task.gt21 import gt21_code_from_label
+
+    ref_code = gt21_code_from_label(SEQ[16] * 2)
+    maxima = category_maxima(gt21, geno, vl1, vl2, np.full(n, ref_code))
+    expected_fallback = set(np.nonzero(maxima.argmax(0) > 2)[0].tolist())
+    assert fallback_set == expected_fallback
+
+
+def test_native_decode_speed():
+    import time
+
+    rs = np.random.RandomState(2)
+    n = 5000
+    gt21, geno, vl1, vl2 = _random_probs(rs, n)
+    gt21[:, 10:] *= 0.01
+    gt21 /= gt21.sum(-1, keepdims=True)
+    for vl in (vl1, vl2):
+        vl[:, :] *= 0.01
+        vl[:, 16] = 1.0
+        vl /= vl.sum(-1, keepdims=True)
+    x = np.stack([_tensor()] * n)
+    positions = np.arange(1000, 1000 + n, dtype=np.int64)
+    center_bases = [SEQ[16]] * n
+
+    decode_fast_native(x[:50], gt21[:50], geno[:50], vl1[:50], vl2[:50],
+                       positions[:50], center_bases[:50], "chr1", show_ref=True)
+    start = time.perf_counter()
+    rows_text, row_sites, fallback = decode_fast_native(
+        x, gt21, geno, vl1, vl2, positions, center_bases, "chr1", show_ref=True
+    )
+    per_site = (time.perf_counter() - start) / n * 1e6
+    assert len(row_sites) + len(fallback) > 0.9 * n
+    assert per_site < 20, f"native decode too slow: {per_site:.1f} us/site"
