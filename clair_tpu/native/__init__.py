@@ -81,6 +81,7 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p, ctypes.c_int64,
         ctypes.c_char_p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_char)), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)), ctypes.POINTER(ctypes.c_int64),
@@ -96,7 +97,7 @@ def load_library() -> Optional[ctypes.CDLL]:
 def decode_fast_native(
     x, gt21, geno, vl1, vl2, positions, center_bases, contig,
     show_ref=False, haploid_precision=False, haploid_sensitive=False,
-    qual_cutoff=None,
+    qual_cutoff=None, threads=None,
 ):
     """Native fast-path decode. Returns (rows_text, row_sites, fallback_sites)
     or None when the library is unavailable.
@@ -134,6 +135,7 @@ def decode_fast_native(
         bases, len(pos), contig.encode(),
         int(show_ref), int(haploid_precision), int(haploid_sensitive),
         -(2 ** 31) if qual_cutoff is None else int(qual_cutoff),
+        int(threads if threads is not None else min(os.cpu_count() or 1, 8)),
         ctypes.byref(rows_ptr), ctypes.byref(rows_len),
         ctypes.byref(row_sites_ptr), ctypes.byref(n_rows),
         ctypes.byref(fallback_ptr), ctypes.byref(n_fallback),

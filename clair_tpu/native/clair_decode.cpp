@@ -17,6 +17,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -88,19 +89,26 @@ int clair_decode_fast(
     const char* contig,
     int32_t show_ref, int32_t haploid_precision, int32_t haploid_sensitive,
     int32_t qual_cutoff,       // INT32_MIN -> '.', else PASS/LowQual
+    int32_t n_threads,
     char** rows_out, int64_t* rows_len,
     int64_t** row_sites_out, int64_t* n_rows_out,
     int64_t** fallback_out, int64_t* n_fallback_out) {
-  std::string rows;
-  rows.reserve((size_t)n * 48);
-  std::vector<int64_t> row_sites;
-  std::vector<int64_t> fallback;
-  row_sites.reserve(n);
+  struct Shard {
+    std::string rows;
+    std::vector<int64_t> row_sites;
+    std::vector<int64_t> fallback;
+  };
 
   const int center = 16;
-  char line[256];
 
-  for (int64_t i = 0; i < n; i++) {
+  auto decode_range = [&](int64_t lo, int64_t hi, Shard& shard) {
+  char line[256];
+  std::string& rows = shard.rows;
+  std::vector<int64_t>& row_sites = shard.row_sites;
+  std::vector<int64_t>& fallback = shard.fallback;
+  rows.reserve((size_t)(hi - lo) * 48);
+
+  for (int64_t i = lo; i < hi; i++) {
     const char raw_base = center_bases[i];
     if (!is_basic_base(raw_base)) continue;
 
@@ -259,19 +267,54 @@ int clair_decode_fast(
     rows.append(line, len);
     row_sites.push_back(i);
   }
+  };  // decode_range
 
-  *rows_len = (int64_t)rows.size();
-  *rows_out = (char*)malloc(rows.size() + 1);
-  memcpy(*rows_out, rows.data(), rows.size());
-  (*rows_out)[rows.size()] = 0;
-  *n_rows_out = (int64_t)row_sites.size();
-  *row_sites_out = (int64_t*)malloc(row_sites.size() * sizeof(int64_t));
-  if (!row_sites.empty())
-    memcpy(*row_sites_out, row_sites.data(), row_sites.size() * sizeof(int64_t));
-  *n_fallback_out = (int64_t)fallback.size();
-  *fallback_out = (int64_t*)malloc(fallback.size() * sizeof(int64_t));
-  if (!fallback.empty())
-    memcpy(*fallback_out, fallback.data(), fallback.size() * sizeof(int64_t));
+  int workers = n_threads > 0 ? n_threads : 1;
+  if (workers > 16) workers = 16;
+  if (n < 2048) workers = 1;  // threading overhead not worth it
+  std::vector<Shard> shards(workers);
+  if (workers == 1) {
+    decode_range(0, n, shards[0]);
+  } else {
+    std::vector<std::thread> threads;
+    int64_t per = (n + workers - 1) / workers;
+    for (int t = 0; t < workers; t++) {
+      int64_t lo = t * per;
+      int64_t hi = std::min<int64_t>(lo + per, n);
+      if (lo >= hi) break;
+      threads.emplace_back([&, lo, hi, t]() { decode_range(lo, hi, shards[t]); });
+    }
+    for (auto& th : threads) th.join();
+  }
+
+  size_t total_rows_bytes = 0, total_rows = 0, total_fallback = 0;
+  for (auto& s : shards) {
+    total_rows_bytes += s.rows.size();
+    total_rows += s.row_sites.size();
+    total_fallback += s.fallback.size();
+  }
+  *rows_out = (char*)malloc(total_rows_bytes + 1);
+  *row_sites_out = (int64_t*)malloc(total_rows * sizeof(int64_t));
+  *fallback_out = (int64_t*)malloc(total_fallback * sizeof(int64_t));
+  size_t rb = 0, rs = 0, fb = 0;
+  for (auto& s : shards) {
+    memcpy(*rows_out + rb, s.rows.data(), s.rows.size());
+    rb += s.rows.size();
+    if (!s.row_sites.empty()) {
+      memcpy(*row_sites_out + rs, s.row_sites.data(),
+             s.row_sites.size() * sizeof(int64_t));
+      rs += s.row_sites.size();
+    }
+    if (!s.fallback.empty()) {
+      memcpy(*fallback_out + fb, s.fallback.data(),
+             s.fallback.size() * sizeof(int64_t));
+      fb += s.fallback.size();
+    }
+  }
+  (*rows_out)[total_rows_bytes] = 0;
+  *rows_len = (int64_t)total_rows_bytes;
+  *n_rows_out = (int64_t)total_rows;
+  *n_fallback_out = (int64_t)total_fallback;
   return 0;
 }
 
