@@ -77,9 +77,15 @@ def cmd_call_var(argv):
     contigs = contigs_from_fai(args.ref_fn + ".fai") if args.ref_fn else None
     writer = VcfWriter(output_fh, args.sampleName, contigs, args.qual)
 
-    # tensor-stream mode recovers long indels from the tensor only; BAM
-    # re-pileup recovery is wired in call_bam where the contig is known
     indel_sources = IndelSources()
+    if args.bam_fn and args.ref_fn:
+        from clair_tpu.io.fasta import FastaReader
+        from clair_tpu.pipeline.call_bam import RegionIndelSources
+
+        indel_sources = RegionIndelSources(
+            args.bam_fn, FastaReader(args.ref_fn),
+            use_bam_for_all=args.bam_for_all_indel_bases,
+        )
 
     if args.input_probabilities:
         writer.write_header()

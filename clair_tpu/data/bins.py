@@ -73,12 +73,11 @@ class BinDataset:
         return self._load(self.y_blocks[i])
 
     def pos_block(self, i: int) -> np.ndarray:
-        return self._load(self.pos_blocks[i], allow_strings=True)
+        return self._load(self.pos_blocks[i])
 
-    def _load(self, blob: bytes, allow_strings: bool = False) -> np.ndarray:
+    def _load(self, blob: bytes) -> np.ndarray:
         if self._codec == "zstd":
-            raw = zstandard.ZstdDecompressor().decompress(blob)
-            return np.load(_io.BytesIO(raw), allow_pickle=False)
+            return _unpack(blob)
         if self._codec == "blosc":  # reference-bin compatibility
             import blosc
 
@@ -290,26 +289,42 @@ class EpochBatches:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _END = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that notices an abandoned consumer (lr_finder
+            # breaks out of the epoch early) instead of blocking forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for item in self._generate():
-                    q.put(item)
-                q.put(_END)
+                    if not put(item):
+                        return
+                put(_END)
             except BaseException as exc:  # surface in the consumer
-                q.put(exc)
+                put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, BaseException):
-                thread.join()
-                raise item
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    thread.join()
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            thread.join()
 
     def _generate(self) -> Iterator[Tuple[np.ndarray, np.ndarray, bool]]:
         ds = self.dataset

@@ -323,11 +323,7 @@ def create_tensors(
         )
         if adv is not None:
             adv = adv[keep]
-        pair_event = np.repeat(np.arange(len(pos)), span)
-        pair_cand = np.repeat(lo, span) + (
-            np.arange(int(span.sum()))
-            - np.repeat(np.concatenate([[0], np.cumsum(span)[:-1]]), span)
-        )
+        pair_cand, pair_event, _ = _expand_spans(lo, span)
         position_index = pos[pair_event] - centers[pair_cand] + flank + 1
         if adv is not None:
             position_index = np.minimum(

@@ -106,7 +106,10 @@ def build_bai(bam_path: str, bai_path: Optional[str] = None) -> str:
             if window not in linear[ref_id] or record_voffset < linear[ref_id][window]:
                 linear[ref_id][window] = record_voffset
 
-    with open(bai_path, "wb") as out:
+    import os
+
+    tmp_path = bai_path + f".tmp.{os.getpid()}"
+    with open(tmp_path, "wb") as out:
         out.write(BAI_MAGIC)
         out.write(struct.pack("<i", n_ref))
         for r in range(n_ref):
@@ -129,7 +132,8 @@ def build_bai(bam_path: str, bai_path: Optional[str] = None) -> str:
                 out.write(struct.pack(f"<{n_intervals}Q", *filled))
             else:
                 out.write(struct.pack("<i", 0))
-    return bai_path
+    os.replace(tmp_path, bai_path)  # atomic: concurrent builders never
+    return bai_path                 # expose a truncated index
 
 
 def _merge_chunks(chunks: List[Tuple[int, int]]) -> List[Tuple[int, int]]:

@@ -73,6 +73,13 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(_EventBuffers),
     ]
     lib.clair_free_events.argtypes = [ctypes.POINTER(_EventBuffers)]
+    lib.clair_bam_events_dual.restype = ctypes.c_int
+    lib.clair_bam_events_dual.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(_EventBuffers), ctypes.POINTER(_EventBuffers),
+    ]
     lib.clair_decode_fast.restype = ctypes.c_int
     lib.clair_decode_fast.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
@@ -207,6 +214,60 @@ def events_from_bam_native(
     )
     if rc != 0:
         raise RuntimeError(f"clair_bam_events failed with code {rc} on {bam_path}")
+    return _events_from_buffers(lib, buffers)
+
+
+def _bai_seek(bam_path, ref_id, start, use_index):
+    if not (use_index and start >= 0 and ref_id >= 0):
+        return -1, -1
+    if not os.path.isfile(bam_path + ".bai"):
+        return -1, -1
+    try:
+        from clair_tpu.io.bai import BaiIndex
+
+        voffset = BaiIndex(bam_path + ".bai").min_virtual_offset(ref_id, start)
+        if voffset:
+            return voffset >> 16, voffset & 0xFFFF
+    except Exception:
+        pass
+    return -1, -1
+
+
+def dual_events_from_bam_native(
+    bam_path: str,
+    ref_id: int,
+    start: int = -1,
+    end: int = -1,
+    exclude_flag: int = 2316,
+    min_mapq: int = 0,
+    dcov: int = 250,
+    use_index: bool = True,
+):
+    """(candidate_events, tensor_events) from ONE native scan: candidate set
+    soft-clip filtered (no depth cap), tensor set depth-capped (no soft-clip
+    filter) — the reference's per-stage filters with the inflate + record
+    parse paid once. Returns None when the library is missing."""
+    lib = load_library()
+    if lib is None:
+        return None
+    start_coffset, start_uoffset = _bai_seek(bam_path, ref_id, start, use_index)
+    candidate = _EventBuffers()
+    tensor = _EventBuffers()
+    rc = lib.clair_bam_events_dual(
+        bam_path.encode(), ref_id, start, end, exclude_flag, min_mapq, dcov,
+        start_coffset, start_uoffset,
+        ctypes.byref(candidate), ctypes.byref(tensor),
+    )
+    if rc != 0:
+        raise RuntimeError(f"clair_bam_events_dual failed with code {rc} on {bam_path}")
+    return (
+        _events_from_buffers(lib, candidate),
+        _events_from_buffers(lib, tensor),
+    )
+
+
+def _events_from_buffers(lib, buffers):
+    from clair_tpu.data.pileup import ReadEvents
 
     def arr(pointer, n, dtype):
         if n == 0:

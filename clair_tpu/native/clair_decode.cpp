@@ -264,6 +264,9 @@ int clair_decode_fast(
         "%s\t%lld\t.\t%s\t%s\t%ld\t%s\t.\tGT:GQ:DP:AF\t%s:%ld:%lld:%.4f\n",
         contig, (long long)positions[i], ref_out, alt_out, quality, filter,
         genotype_out, quality, (long long)llrint(depth), af);
+    // snprintf returns the untruncated length; clamp so a pathologically
+    // long contig name can't read past the buffer
+    if (len > (int)sizeof(line) - 1) len = (int)sizeof(line) - 1;
     rows.append(line, len);
     row_sites.push_back(i);
   }

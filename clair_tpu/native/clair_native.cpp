@@ -1,11 +1,17 @@
 // clair_native: native BAM -> pileup-event engine.
 //
 // The hot host path of the framework (the reference's bottleneck is the
-// equivalent CreateTensor CIGAR walk, README.md:322). This library inflates
-// BGZF, parses BAM records, applies the standard filters (exclude flags,
-// MAPQ, per-start-position depth cap, soft-clip fraction) and expands
-// CIGARs into the flat event arrays the numpy/TPU pipeline consumes —
-// replacing the Python per-read loop in clair_tpu.data.pileup.
+// equivalent CreateTensor CIGAR walk, README.md:322). This library streams
+// BGZF blocks (chunked reads, block-parallel inflate), parses BAM records,
+// applies the standard filters (exclude flags, MAPQ, per-start-position
+// depth cap, soft-clip fraction) and expands CIGARs into the flat event
+// arrays the numpy/TPU pipeline consumes — replacing the Python per-read
+// loop in clair_tpu.data.pileup.
+//
+// Region scans are bounded on BOTH ends: a BAI virtual offset seeds the
+// start, and the coordinate-sorted early break (pos >= end) stops the
+// stream, so a 10Mb window on a 100GB BAM reads/inflates only its own
+// blocks.
 //
 // C ABI (ctypes): see EventBuffers below. All arrays are malloc'd here and
 // released with clair_free_events.
@@ -21,11 +27,10 @@
 
 namespace {
 
-// SAM spec: which CIGAR ops consume query / reference
-const bool kConsumesQuery[9] = {true, true, false, false, true, false, false, true, true};
+// SAM spec: which CIGAR ops consume reference
 const bool kConsumesRef[9] = {true, false, true, true, false, false, false, true, true};
 
-// BAM 4-bit seq code -> candidate column (A=0 C=1 G=2 T=3, N/other ambiguity
+// BAM 4-bit seq code -> candidate column (A=0 C=1 G=2 T=3, ambiguity codes
 // collapsed like IUPAC_base_to_num with N kept distinct as column 6)
 // code order: =ACMGRSVTWYHKDBN
 const int8_t kCodeToCol[16] = {
@@ -33,27 +38,22 @@ const int8_t kCodeToCol[16] = {
     /*S(G|C)->C*/ 1, /*V->A*/ 0, /*T*/ 3, /*W(A|T)->A*/ 0, /*Y(C|T)->C*/ 1,
     /*H->A*/ 0, /*K(G|T)->G*/ 2, /*D->A*/ 0, /*B->C*/ 1, /*N*/ 6};
 
-struct Inflated {
-  std::vector<uint8_t> data;
-  bool ok = false;
-};
-
-// Size of the BGZF block starting at raw[offset]: walk the gzip extra
-// subfields for BC (SAM spec §4.1). Returns 0 on parse failure.
-size_t bgzf_block_size(const std::vector<uint8_t>& raw, size_t offset) {
-  if (offset + 18 > raw.size()) return 0;
+// Size of the BGZF block starting at raw[offset] within [0, size):
+// walks the gzip extra subfields for BC (SAM spec §4.1). 0 on failure.
+size_t bgzf_block_size(const uint8_t* raw, size_t size, size_t offset) {
+  if (offset + 18 > size) return 0;
   if (raw[offset] != 0x1f || raw[offset + 1] != 0x8b) return 0;
   if (!(raw[offset + 3] & 4)) return 0;
   uint16_t xlen;
-  memcpy(&xlen, raw.data() + offset + 10, 2);
+  memcpy(&xlen, raw + offset + 10, 2);
   size_t cursor = offset + 12, end = cursor + xlen;
-  while (cursor + 4 <= end && end <= raw.size()) {
+  while (cursor + 4 <= end && end <= size) {
     uint8_t si1 = raw[cursor], si2 = raw[cursor + 1];
     uint16_t slen;
-    memcpy(&slen, raw.data() + cursor + 2, 2);
+    memcpy(&slen, raw + cursor + 2, 2);
     if (si1 == 'B' && si2 == 'C' && slen == 2) {
       uint16_t bsize_m1;
-      memcpy(&bsize_m1, raw.data() + cursor + 4, 2);
+      memcpy(&bsize_m1, raw + cursor + 4, 2);
       return (size_t)bsize_m1 + 1;
     }
     cursor += 4 + slen;
@@ -63,8 +63,7 @@ size_t bgzf_block_size(const std::vector<uint8_t>& raw, size_t offset) {
 
 bool inflate_one_block(const uint8_t* src, size_t src_size,
                        std::vector<uint8_t>& dst) {
-  // ISIZE (mod 2^32) is the last 4 bytes of the member
-  uint32_t isize;
+  uint32_t isize;  // ISIZE (mod 2^32): last 4 bytes of the member
   memcpy(&isize, src + src_size - 4, 4);
   dst.resize(isize);
   if (isize == 0) return true;
@@ -80,100 +79,148 @@ bool inflate_one_block(const uint8_t* src, size_t src_size,
   return rc == Z_STREAM_END;
 }
 
-// Inflate a BGZF file from byte offset `start_coffset`, block-parallel.
-// Falls back to streaming zlib when block headers don't parse as BGZF
-// (e.g. plain multi-member gzip from our own Python fallback tools).
-Inflated inflate_file(const char* path, int64_t start_coffset = 0,
-                      int n_threads = 4) {
-  Inflated out;
-  FILE* fp = fopen(path, "rb");
-  if (!fp) return out;
-  fseek(fp, 0, SEEK_END);
-  long file_size = ftell(fp);
-  if (start_coffset >= file_size) {
-    fclose(fp);
-    out.ok = true;
-    return out;
-  }
-  fseek(fp, start_coffset, SEEK_SET);
-  std::vector<uint8_t> raw(file_size - start_coffset);
-  if (fread(raw.data(), 1, raw.size(), fp) != raw.size()) {
-    fclose(fp);
-    return out;
-  }
-  fclose(fp);
+// Chunked BGZF stream: reads ~4MB of raw bytes at a time, inflates complete
+// blocks in parallel, appends to `data`. Falls back to streaming zlib over
+// the whole remaining file for plain (non-BGZF) concatenated gzip.
+struct StreamInflater {
+  FILE* fp = nullptr;
+  std::vector<uint8_t> carry;   // raw tail not yet forming a full block
+  std::vector<uint8_t> data;    // inflated bytes (grows)
+  bool raw_eof = false;
+  bool done = false;
+  bool first_pump = true;
+  int threads = 4;
+  static const size_t kChunk = 4u << 20;
 
-  // scan block boundaries
-  std::vector<std::pair<size_t, size_t>> blocks;
-  size_t offset = 0;
-  bool bgzf_ok = true;
-  while (offset < raw.size()) {
-    size_t size = bgzf_block_size(raw, offset);
-    if (size == 0 || offset + size > raw.size()) {
-      bgzf_ok = false;
-      break;
+  bool open(const char* path, int64_t start_coffset) {
+    fp = fopen(path, "rb");
+    if (!fp) return false;
+    if (start_coffset > 0 && fseek(fp, (long)start_coffset, SEEK_SET) != 0) {
+      fclose(fp);
+      fp = nullptr;
+      return false;
     }
-    blocks.push_back({offset, size});
-    offset += size;
+    return true;
   }
 
-  if (bgzf_ok && !blocks.empty()) {
+  ~StreamInflater() {
+    if (fp) fclose(fp);
+  }
+
+  // Inflate more data; returns false when nothing further can be produced.
+  bool pump() {
+    if (done) return false;
+    if (!raw_eof) {
+      size_t old = carry.size();
+      carry.resize(old + kChunk);
+      size_t got = fread(carry.data() + old, 1, kChunk, fp);
+      carry.resize(old + got);
+      if (got < kChunk) raw_eof = true;
+    }
+    if (carry.empty()) {
+      done = true;
+      return false;
+    }
+
+    // split carry into complete BGZF blocks
+    std::vector<std::pair<size_t, size_t>> blocks;
+    size_t offset = 0;
+    bool parse_ok = true;
+    while (offset < carry.size()) {
+      size_t size = bgzf_block_size(carry.data(), carry.size(), offset);
+      if (size == 0) {
+        // header truncated at the chunk edge is fine; anything else on the
+        // very first block means non-BGZF input
+        if (first_pump && offset == 0) parse_ok = false;
+        break;
+      }
+      if (offset + size > carry.size()) break;  // partial block: keep in carry
+      blocks.push_back({offset, size});
+      offset += size;
+    }
+    first_pump = false;
+
+    if (!parse_ok) {
+      // plain-gzip fallback: stream-inflate carry + the rest of the file
+      return pump_plain_gzip();
+    }
+    if (blocks.empty()) {
+      if (raw_eof) {
+        done = true;
+        return false;
+      }
+      return pump();  // need more raw bytes for one block
+    }
+
     std::vector<std::vector<uint8_t>> parts(blocks.size());
-    int workers = n_threads > 1 ? n_threads : 1;
+    int workers = threads > 1 ? threads : 1;
     if ((int)blocks.size() < workers) workers = blocks.size();
-    std::vector<std::thread> threads;
-    std::vector<bool> block_ok(blocks.size(), true);
-    for (int t = 0; t < workers; t++) {
-      threads.emplace_back([&, t]() {
-        for (size_t i = t; i < blocks.size(); i += workers) {
-          block_ok[i] = inflate_one_block(
-              raw.data() + blocks[i].first, blocks[i].second, parts[i]);
-        }
-      });
+    if (workers > 1) {
+      std::vector<std::thread> pool;
+      for (int t = 0; t < workers; t++) {
+        pool.emplace_back([&, t]() {
+          for (size_t i = t; i < blocks.size(); i += workers)
+            inflate_one_block(carry.data() + blocks[i].first,
+                              blocks[i].second, parts[i]);
+        });
+      }
+      for (auto& th : pool) th.join();
+    } else {
+      for (size_t i = 0; i < blocks.size(); i++)
+        inflate_one_block(carry.data() + blocks[i].first, blocks[i].second,
+                          parts[i]);
     }
-    for (auto& th : threads) th.join();
-    size_t total = 0;
-    for (size_t i = 0; i < blocks.size(); i++) {
-      if (!block_ok[i]) { bgzf_ok = false; break; }
-      total += parts[i].size();
-    }
-    if (bgzf_ok) {
-      out.data.reserve(total);
-      for (auto& part : parts)
-        out.data.insert(out.data.end(), part.begin(), part.end());
-      out.ok = true;
-      return out;
-    }
+    for (auto& part : parts)
+      data.insert(data.end(), part.begin(), part.end());
+    carry.erase(carry.begin(), carry.begin() + offset);
+    if (raw_eof && carry.empty()) done = true;
+    return true;
   }
 
-  // streaming fallback (plain concatenated gzip)
-  out.data.clear();
-  out.data.reserve(raw.size() * 4);
-  z_stream zs;
-  memset(&zs, 0, sizeof(zs));
-  if (inflateInit2(&zs, 15 + 16) != Z_OK) return out;
-  zs.next_in = raw.data();
-  zs.avail_in = raw.size();
-  std::vector<uint8_t> chunk(1 << 20);
-  while (zs.avail_in > 0) {
-    zs.next_out = chunk.data();
-    zs.avail_out = chunk.size();
-    int rc = inflate(&zs, Z_NO_FLUSH);
-    size_t produced = chunk.size() - zs.avail_out;
-    out.data.insert(out.data.end(), chunk.data(), chunk.data() + produced);
-    if (rc == Z_STREAM_END) {
-      if (inflateReset2(&zs, 15 + 16) != Z_OK) break;
-    } else if (rc != Z_OK) {
-      inflateEnd(&zs);
-      out.ok = false;
-      out.data.clear();
-      return out;
+  bool pump_plain_gzip() {
+    // consume carry + whole remaining file through streaming zlib
+    std::vector<uint8_t> raw(std::move(carry));
+    carry.clear();
+    if (!raw_eof) {
+      std::vector<uint8_t> chunk(kChunk);
+      size_t got;
+      while ((got = fread(chunk.data(), 1, kChunk, fp)) > 0)
+        raw.insert(raw.end(), chunk.data(), chunk.data() + got);
+      raw_eof = true;
     }
+    done = true;
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, 15 + 16) != Z_OK) return false;
+    zs.next_in = raw.data();
+    zs.avail_in = raw.size();
+    std::vector<uint8_t> chunk(1 << 20);
+    bool produced = false;
+    while (zs.avail_in > 0) {
+      zs.next_out = chunk.data();
+      zs.avail_out = chunk.size();
+      int rc = inflate(&zs, Z_NO_FLUSH);
+      size_t n = chunk.size() - zs.avail_out;
+      data.insert(data.end(), chunk.data(), chunk.data() + n);
+      produced = produced || n > 0;
+      if (rc == Z_STREAM_END) {
+        if (inflateReset2(&zs, 15 + 16) != Z_OK) break;
+      } else if (rc != Z_OK) {
+        break;
+      }
+    }
+    inflateEnd(&zs);
+    return produced;
   }
-  inflateEnd(&zs);
-  out.ok = true;
-  return out;
-}
+
+  // Grow `data` until it holds at least `need` bytes.
+  bool ensure(size_t need) {
+    while (data.size() < need) {
+      if (!pump()) return false;
+    }
+    return true;
+  }
+};
 
 template <typename T>
 T read_le(const uint8_t* p) {
@@ -219,57 +266,63 @@ struct EventBuffers {
   int64_t n_reads_used;
 };
 
-// Scan one contig's reads and emit flat event arrays.
-// ref_id: target reference index (from the BAM header, resolved by caller).
-// start/end: 0-based half-open region filter (-1 -> whole contig).
-// start_coffset/start_uoffset: BAI seek point (compressed byte offset of a
-// BGZF block + offset within its inflated data); pass -1/-1 to scan from
-// the top of the file (the header is then parsed and skipped).
-// Returns 0 on success.
-int clair_bam_events(const char* path, int32_t ref_id, int64_t start,
-                     int64_t end, int32_t exclude_flag, int32_t min_mapq,
-                     int32_t dcov, int32_t softclip_filter,
-                     int64_t start_coffset, int32_t start_uoffset,
-                     EventBuffers* out) {
-  memset(out, 0, sizeof(*out));
-  bool seeked = start_coffset >= 0 && start_uoffset >= 0;
-  Inflated inflated = inflate_file(path, seeked ? start_coffset : 0);
-  if (!inflated.ok) return 1;
-  const uint8_t* p = inflated.data.data();
-  const uint8_t* pe = p + inflated.data.size();
+}  // extern "C" (resumed below)
 
-  if (seeked) {
-    if (start_uoffset > (int64_t)inflated.data.size()) return 3;
-    p += start_uoffset;
-  } else {
-    if (pe - p < 8 || memcmp(p, "BAM\x01", 4) != 0) return 2;
-    int32_t l_text = read_le<int32_t>(p + 4);
-    p += 8 + l_text;
-    int32_t n_ref = read_le<int32_t>(p);
-    p += 4;
-    for (int i = 0; i < n_ref; i++) {
-      int32_t l_name = read_le<int32_t>(p);
-      p += 4 + l_name + 4;
-    }
-  }
+namespace {
 
+struct EventVecs {
   std::vector<int64_t> match_pos, ins_pos, ins_adv, del_pos, ins_op, del_op,
       ins_op_len, del_op_len;
-  std::vector<int8_t> match_qcol, match_strand, ins_qcol, ins_strand, del_strand;
-  match_pos.reserve(1 << 20);
-  match_qcol.reserve(1 << 20);
-  match_strand.reserve(1 << 20);
-
-  int64_t previous_pos = -1;
-  int32_t same_pos_count = 0;
+  std::vector<int8_t> match_qcol, match_strand, ins_qcol, ins_strand,
+      del_strand;
   int64_t reads_used = 0;
 
-  while (pe - p >= 4) {
-    int32_t block_size = read_le<int32_t>(p);
-    p += 4;
-    if (pe - p < block_size) break;
-    const uint8_t* rec = p;
-    p += block_size;
+  void fill(struct EventBuffers* out);
+};
+
+void EventVecs::fill(EventBuffers* out) {
+  out->match_pos = to_heap(match_pos);
+  out->match_qcol = to_heap(match_qcol);
+  out->match_strand = to_heap(match_strand);
+  out->n_match = match_pos.size();
+  out->ins_pos = to_heap(ins_pos);
+  out->ins_adv = to_heap(ins_adv);
+  out->ins_qcol = to_heap(ins_qcol);
+  out->ins_strand = to_heap(ins_strand);
+  out->n_ins = ins_pos.size();
+  out->del_pos = to_heap(del_pos);
+  out->del_strand = to_heap(del_strand);
+  out->n_del = del_pos.size();
+  out->ins_op_pos = to_heap(ins_op);
+  out->n_ins_op = ins_op.size();
+  out->del_op_pos = to_heap(del_op);
+  out->n_del_op = del_op.size();
+  out->ins_op_len = to_heap(ins_op_len);
+  out->del_op_len = to_heap(del_op_len);
+  out->n_reads_used = reads_used;
+}
+
+// Shared streaming record scan: each passing read's CIGAR expands once,
+// emitting into the candidate set (soft-clip filter, no depth cap) and/or
+// the tensor set (depth cap, no soft-clip filter). Either may be null.
+// The stream stops early once records start past `end` (coordinate-sorted
+// input), bounding IO/inflate to the region.
+void scan_records(StreamInflater& in, size_t cursor, int32_t ref_id,
+                  int64_t start, int64_t end, int32_t exclude_flag,
+                  int32_t min_mapq, EventVecs* candidate, EventVecs* tensor,
+                  int32_t dcov) {
+  int64_t previous_pos = -1;
+  int32_t same_pos_count = 0;
+  if (candidate) candidate->match_pos.reserve(1 << 20);
+  if (tensor) tensor->match_pos.reserve(1 << 20);
+
+  EventVecs* targets[2];
+
+  while (in.ensure(cursor + 4)) {
+    int32_t block_size = read_le<int32_t>(in.data.data() + cursor);
+    if (!in.ensure(cursor + 4 + block_size)) break;
+    const uint8_t* rec = in.data.data() + cursor + 4;
+    cursor += 4 + block_size;
 
     int32_t rec_ref = read_le<int32_t>(rec);
     int64_t pos = read_le<int32_t>(rec + 4);
@@ -277,7 +330,6 @@ int clair_bam_events(const char* path, int32_t ref_id, int64_t start,
     uint8_t mapq = rec[9];
     uint16_t n_cigar = read_le<uint16_t>(rec + 12);
     uint16_t flag = read_le<uint16_t>(rec + 14);
-    // l_seq at rec+16 is implied by the CIGAR walk; not read directly
 
     if (rec_ref != ref_id) {
       if (ref_id >= 0 && rec_ref > ref_id) break;  // sorted past target
@@ -300,19 +352,25 @@ int clair_bam_events(const char* path, int32_t ref_id, int64_t start,
       if (op == 4) soft_len += len;
     }
     if (start >= 0 && pos + ref_len <= start) continue;
-    if (softclip_filter &&
-        1.0 - (double)soft_len / (double)(total_len + 1) < 0.55)
-      continue;
 
-    // depth cap per start position
+    bool softclip_ok =
+        1.0 - (double)soft_len / (double)(total_len + 1) >= 0.55;
+
+    // depth cap per start position (counted over every flag/mapq-passing
+    // read, like CreateTensor which has no soft-clip filter)
     if (pos != previous_pos) {
       previous_pos = pos;
       same_pos_count = 0;
     } else {
       same_pos_count++;
-      if (dcov > 0 && same_pos_count >= dcov) continue;
     }
-    reads_used++;
+    bool dcov_ok = dcov <= 0 || same_pos_count < dcov;
+
+    int n_targets = 0;
+    if (candidate && softclip_ok) targets[n_targets++] = candidate;
+    if (tensor && dcov_ok) targets[n_targets++] = tensor;
+    if (n_targets == 0) continue;
+    for (int t = 0; t < n_targets; t++) targets[t]->reads_used++;
 
     int8_t strand = (flag & 16) ? 1 : 0;
     int64_t refp = pos;
@@ -327,35 +385,45 @@ int clair_bam_events(const char* path, int32_t ref_id, int64_t start,
             int64_t q = qp + k;
             uint8_t code = seq_p[q >> 1];
             code = (q & 1) ? (code & 0xF) : (code >> 4);
-            match_pos.push_back(refp + k);
-            match_qcol.push_back(kCodeToCol[code]);
-            match_strand.push_back(strand);
+            for (int t = 0; t < n_targets; t++) {
+              targets[t]->match_pos.push_back(refp + k);
+              targets[t]->match_qcol.push_back(kCodeToCol[code]);
+              targets[t]->match_strand.push_back(strand);
+            }
           }
           refp += len;
           qp += len;
           break;
         }
         case 1: {  // I
-          ins_op.push_back(refp);
-          ins_op_len.push_back(len);
+          for (int t = 0; t < n_targets; t++) {
+            targets[t]->ins_op.push_back(refp);
+            targets[t]->ins_op_len.push_back(len);
+          }
           for (int64_t k = 0; k < len; k++) {
             int64_t q = qp + k;
             uint8_t code = seq_p[q >> 1];
             code = (q & 1) ? (code & 0xF) : (code >> 4);
-            ins_pos.push_back(refp);
-            ins_adv.push_back(k);
-            ins_qcol.push_back(kCodeToCol[code]);
-            ins_strand.push_back(strand);
+            for (int t = 0; t < n_targets; t++) {
+              targets[t]->ins_pos.push_back(refp);
+              targets[t]->ins_adv.push_back(k);
+              targets[t]->ins_qcol.push_back(kCodeToCol[code]);
+              targets[t]->ins_strand.push_back(strand);
+            }
           }
           qp += len;
           break;
         }
         case 2: {  // D
-          del_op.push_back(refp);
-          del_op_len.push_back(len);
+          for (int t = 0; t < n_targets; t++) {
+            targets[t]->del_op.push_back(refp);
+            targets[t]->del_op_len.push_back(len);
+          }
           for (int64_t k = 0; k < len; k++) {
-            del_pos.push_back(refp + k);
-            del_strand.push_back(strand);
+            for (int t = 0; t < n_targets; t++) {
+              targets[t]->del_pos.push_back(refp + k);
+              targets[t]->del_strand.push_back(strand);
+            }
           }
           refp += len;
           break;
@@ -371,26 +439,95 @@ int clair_bam_events(const char* path, int32_t ref_id, int64_t start,
       }
     }
   }
+}
 
-  out->match_pos = to_heap(match_pos);
-  out->match_qcol = to_heap(match_qcol);
-  out->match_strand = to_heap(match_strand);
-  out->n_match = match_pos.size();
-  out->ins_pos = to_heap(ins_pos);
-  out->ins_adv = to_heap(ins_adv);
-  out->ins_qcol = to_heap(ins_qcol);
-  out->ins_strand = to_heap(ins_strand);
-  out->n_ins = ins_pos.size();
-  out->del_pos = to_heap(del_pos);
-  out->del_strand = to_heap(del_strand);
-  out->n_del = del_pos.size();
-  out->ins_op_pos = to_heap(ins_op);
-  out->n_ins_op = ins_op.size();
-  out->del_op_pos = to_heap(del_op);
-  out->n_del_op = del_op.size();
-  out->ins_op_len = to_heap(ins_op_len);
-  out->del_op_len = to_heap(del_op_len);
-  out->n_reads_used = reads_used;
+// Parse/skip the BAM header; returns the record-region cursor or SIZE_MAX.
+size_t skip_header(StreamInflater& in) {
+  if (!in.ensure(8)) return SIZE_MAX;
+  if (memcmp(in.data.data(), "BAM\x01", 4) != 0) return SIZE_MAX;
+  int32_t l_text = read_le<int32_t>(in.data.data() + 4);
+  size_t cursor = 8 + (size_t)l_text;
+  if (!in.ensure(cursor + 4)) return SIZE_MAX;
+  int32_t n_ref = read_le<int32_t>(in.data.data() + cursor);
+  cursor += 4;
+  for (int i = 0; i < n_ref; i++) {
+    if (!in.ensure(cursor + 4)) return SIZE_MAX;
+    int32_t l_name = read_le<int32_t>(in.data.data() + cursor);
+    cursor += 4 + (size_t)l_name + 4;
+  }
+  if (!in.ensure(cursor)) return SIZE_MAX;
+  return cursor;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Scan one contig's reads and emit flat event arrays.
+// ref_id: target reference index (from the BAM header, resolved by caller).
+// start/end: 0-based half-open region filter (-1 -> whole contig).
+// start_coffset/start_uoffset: BAI seek point (compressed byte offset of a
+// BGZF block + offset within its inflated data); pass -1/-1 to scan from
+// the top of the file (the header is then parsed and skipped).
+// With softclip_filter the scan matches candidate extraction (no depth
+// cap); otherwise tensor creation (depth cap via dcov, no soft-clip
+// filter). Returns 0 on success.
+int clair_bam_events(const char* path, int32_t ref_id, int64_t start,
+                     int64_t end, int32_t exclude_flag, int32_t min_mapq,
+                     int32_t dcov, int32_t softclip_filter,
+                     int64_t start_coffset, int32_t start_uoffset,
+                     EventBuffers* out) {
+  memset(out, 0, sizeof(*out));
+  bool seeked = start_coffset >= 0 && start_uoffset >= 0;
+  StreamInflater in;
+  if (!in.open(path, seeked ? start_coffset : 0)) return 1;
+
+  size_t cursor;
+  if (seeked) {
+    cursor = (size_t)start_uoffset;
+    if (!in.ensure(cursor)) return 3;
+  } else {
+    cursor = skip_header(in);
+    if (cursor == SIZE_MAX) return 2;
+  }
+
+  EventVecs vecs;
+  scan_records(in, cursor, ref_id, start, end, exclude_flag, min_mapq,
+               softclip_filter ? &vecs : nullptr,
+               softclip_filter ? nullptr : &vecs, dcov);
+  vecs.fill(out);
+  return 0;
+}
+
+// One scan, TWO event sets with the reference's per-stage filters:
+// candidate extraction (soft-clip filtered, no depth cap; EVC.py:155-170)
+// and tensor creation (depth-capped, no soft-clip filter;
+// CreateTensor.py:267-274). IO + inflate + record parse happen once.
+int clair_bam_events_dual(const char* path, int32_t ref_id, int64_t start,
+                          int64_t end, int32_t exclude_flag, int32_t min_mapq,
+                          int32_t dcov, int64_t start_coffset,
+                          int32_t start_uoffset, EventBuffers* candidate_out,
+                          EventBuffers* tensor_out) {
+  memset(candidate_out, 0, sizeof(*candidate_out));
+  memset(tensor_out, 0, sizeof(*tensor_out));
+  bool seeked = start_coffset >= 0 && start_uoffset >= 0;
+  StreamInflater in;
+  if (!in.open(path, seeked ? start_coffset : 0)) return 1;
+
+  size_t cursor;
+  if (seeked) {
+    cursor = (size_t)start_uoffset;
+    if (!in.ensure(cursor)) return 3;
+  } else {
+    cursor = skip_header(in);
+    if (cursor == SIZE_MAX) return 2;
+  }
+
+  EventVecs candidate_vecs, tensor_vecs;
+  scan_records(in, cursor, ref_id, start, end, exclude_flag, min_mapq,
+               &candidate_vecs, &tensor_vecs, dcov);
+  candidate_vecs.fill(candidate_out);
+  tensor_vecs.fill(tensor_out);
   return 0;
 }
 

@@ -40,6 +40,8 @@ from clair_tpu.utils.intervals import BedIntervals
 
 logger = logging.getLogger(__name__)
 
+_BAI_BUILD_LOCK = __import__("threading").Lock()
+
 
 def load_region_events(
     bam_path: str,
@@ -55,29 +57,28 @@ def load_region_events(
 
     from clair_tpu import native
 
-    # index once so every window after the first seeks instead of scanning
+    # index once so every window after the first seeks instead of scanning;
+    # the lock stops the threaded runner's workers from all building it
     if not os.path.isfile(bam_path + ".bai"):
-        try:
-            from clair_tpu.io.bai import build_bai
+        with _BAI_BUILD_LOCK:
+            if not os.path.isfile(bam_path + ".bai"):
+                try:
+                    from clair_tpu.io.bai import build_bai
 
-            build_bai(bam_path)
-        except Exception:
-            pass
+                    build_bai(bam_path)
+                except Exception:
+                    pass
 
     if native.available():
         with BamReader(bam_path) as bam:
             ref_id = bam.reference_id(contig)
         if ref_id is not None:
-            candidate_events = native.events_from_bam_native(
-                bam_path, ref_id, start0, end,
-                min_mapq=minimum_mapq, softclip_filter=True,
-            )
-            tensor_events = native.events_from_bam_native(
+            result = native.dual_events_from_bam_native(
                 bam_path, ref_id, start0, end,
                 min_mapq=minimum_mapq, dcov=dcov,
             )
-            if candidate_events is not None and tensor_events is not None:
-                return candidate_events, tensor_events
+            if result is not None:
+                return result
 
     with BamReader(bam_path) as bam:
         records = list(bam.fetch(contig, start0, end, min_mapq=minimum_mapq))
@@ -154,6 +155,65 @@ class EventsIndelSources(IndelSources):
 
 # backwards-compatible name
 BamIndelSources = EventsIndelSources
+
+
+class RegionIndelSources(IndelSources):
+    """Indel recovery for tensor-stream callers (call_var with --bam_fn):
+    on first use per contig the BAM region around queried sites is scanned
+    via BAI-indexed fetch and CIGAR-walked for indel ops — the reference's
+    pysam re-pileup behaviour (ref call_var.py:102-170) without pysam."""
+
+    def __init__(self, bam_path: str, fasta: FastaReader,
+                 use_bam_for_all: bool = False):
+        super().__init__(
+            insertion_bases=self._insertion_bases,
+            deletion_bases=self._deletion_bases,
+            use_bam_for_all=use_bam_for_all,
+        )
+        self._bam_path = bam_path
+        self._fasta = fasta
+
+    def _indels_at(self, contig: str, position_1based: int):
+        insertions, deletions = [], []
+        target = position_1based
+        with BamReader(self._bam_path) as bam:
+            for record in bam.fetch(contig, target - 1, target + 1):
+                refpos, qpos = record.pos, 0
+                seq = record.seq_str()
+                for op, length in zip(record.cigar_ops, record.cigar_lens):
+                    opc = "MIDNSHP=X"[op]
+                    if opc == "S":
+                        qpos += length
+                    elif opc in "M=X":
+                        refpos += length
+                        qpos += length
+                    elif opc == "I":
+                        if refpos == target:
+                            insertions.append(seq[qpos:qpos + length].upper())
+                        qpos += length
+                    elif opc in "DN":
+                        if refpos == target and opc == "D":
+                            deletions.append(int(length))
+                        refpos += length
+        return insertions, deletions
+
+    def _insertion_bases(self, contig, position, minimum_length, maximum_length,
+                         bases_to_ignore=""):
+        insertions, _ = self._indels_at(contig, position)
+        votes = {}
+        for bases in insertions:
+            if minimum_length <= len(bases) <= maximum_length and bases != bases_to_ignore:
+                votes[bases] = votes.get(bases, 0) + 1
+        return max(votes, key=votes.get) if votes else ""
+
+    def _deletion_bases(self, contig, position, minimum_length, maximum_length):
+        _, deletions = self._indels_at(contig, position)
+        votes = {}
+        for length in deletions:
+            if minimum_length <= length <= maximum_length:
+                bases = self._fasta.fetch(contig, position, position + length)
+                votes[bases] = votes.get(bases, 0) + 1
+        return max(votes, key=votes.get) if votes else ""
 
 
 @dataclass

@@ -62,13 +62,15 @@ class Predictor:
     def predict_async(self, x: np.ndarray):
         """Dispatch one (possibly short) batch; returns device arrays + n.
 
-        Tensors ship as int16: normalized pileup counts are integer-valued
-        and bounded by the depth cap, so the cast is exact and halves the
-        host->device transfer (the dominant per-batch cost; compute is
-        ~0.1 ms while an f32 transfer is ~4 ms through this link).
+        Tensors ship as int16: normalized pileup counts are integer-valued,
+        so the cast is exact within int16 range and halves the host->device
+        transfer (the dominant per-batch cost; compute is ~0.1 ms while an
+        f32 transfer is ~4 ms through this link). Extreme-depth columns
+        (chrM, amplicons) are clipped at the int16 limits — the signal is
+        saturated there anyway and wrapping would corrupt the tensor.
         """
         n = x.shape[0]
-        x_int = x.astype(np.int16)
+        x_int = np.clip(x, -32767, 32767).astype(np.int16)
         if n < self.batch_size:
             pad = np.zeros((self.batch_size - n,) + x.shape[1:], dtype=np.int16)
             x_int = np.concatenate([x_int, pad], axis=0)
@@ -121,7 +123,7 @@ class ShardedPredictor(Predictor):
 
     def predict_async(self, x: np.ndarray):
         n = x.shape[0]
-        x_int = x.astype(np.int16)
+        x_int = np.clip(x, -32767, 32767).astype(np.int16)
         if n < self.batch_size:
             pad = np.zeros((self.batch_size - n,) + x.shape[1:], dtype=np.int16)
             x_int = np.concatenate([x_int, pad], axis=0)

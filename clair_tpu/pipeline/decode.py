@@ -85,10 +85,18 @@ class OutputConfig:
 
 def _folded_insert_profile(x: np.ndarray, position: int) -> np.ndarray:
     """Strand-folded insert counts minus SNP counts at one tensor row
-    (ref call_var.py:428-447, 465-477 inner loop)."""
+    (ref call_var.py:428-447, 465-477 inner loop).
+
+    Returns the full 8-entry profile with the reverse-strand half zeroed —
+    the reference argmaxes all 8 entries, so when every folded value is
+    negative the zeroed upper half wins and the base defaults to index%4
+    ('A'); argmaxing only the folded 4 would pick the least-negative base
+    instead.
+    """
     ins = x[position, :, CH_INSERT].copy()
     snp = x[position, :, CH_SNP]
-    folded = ins[:4] + ins[4:] - (snp[:4] + snp[4:])
+    folded = np.zeros(8, dtype=x.dtype)
+    folded[:4] = ins[:4] + ins[4:] - (snp[:4] + snp[4:])
     return folded
 
 
