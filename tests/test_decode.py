@@ -249,6 +249,20 @@ def test_insertion_bases_tensor_extraction():
     assert insertion_bases_using_tensor(x, 3) == "TCA"
 
 
+def test_insertion_bases_all_negative_profile_defaults_to_A():
+    """Reference parity: when SNP counts exceed insert counts on every base
+    the 8-entry argmax lands in the zeroed reverse half -> base 'A'
+    (ref call_var.py:465-477), NOT the least-negative base."""
+    x = _blank_counts()
+    for row in range(33):
+        _add_match(x, row, B[SEQ[row]], B[SEQ[row]], 10)
+    # at row 17: small insert counts, larger SNP counts on every base
+    x[17, :4, 1] += np.array([1, 1, 3, 1])
+    x[17, :4, 3] += np.array([5, 5, 4, 5])
+    normalize_channels(x)
+    assert insertion_bases_using_tensor(x, 1) == "A"
+
+
 def test_inferred_deletion_length_af_cutoff():
     x = _blank_counts()
     for row in range(33):
