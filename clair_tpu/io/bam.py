@@ -165,30 +165,69 @@ class BamReader:
             yield record
 
     def _records_from_index(self, ref_id: int, start: int) -> Optional[Iterator[BamRecord]]:
-        """Records from the BAI-resolved seek point onward (None -> stream)."""
+        """Records from the BAI-resolved seek point onward (None -> stream).
+
+        Blocks inflate lazily in ~4MB raw chunks: the caller's early break
+        (records past the region end) abandons the generator, so a window
+        fetch never decompresses the rest of the file.
+        """
         try:
             from clair_tpu.io.bai import BaiIndex
-            from clair_tpu.io.bgzf import inflate_range, resolve_virtual_offset
 
             voffset = BaiIndex(self.path + ".bai").min_virtual_offset(ref_id, start)
             if not voffset:
                 return None
-            with open(self.path, "rb") as fh:
-                raw = fh.read()
-            coffset = voffset >> 16
-            data, block_index = inflate_range(raw, coffset, threads=4)
-            upos = resolve_virtual_offset(block_index, voffset, 0)
         except Exception:
             return None
+        coffset = voffset >> 16
+        upos = voffset & 0xFFFF
 
         def generate():
-            cursor = upos
-            while cursor + 4 <= len(data):
-                (block_size,) = struct.unpack_from("<i", data, cursor)
-                if cursor + 4 + block_size > len(data):
-                    return
-                yield _decode_record(data[cursor + 4: cursor + 4 + block_size])
-                cursor += 4 + block_size
+            import zlib
+
+            from clair_tpu.io.bgzf import parse_block_header
+
+            chunk_size = 4 << 20
+            with open(self.path, "rb") as fh:
+                fh.seek(coffset)
+                carry = b""
+                data = bytearray()
+                cursor = upos
+                raw_eof = False
+                while True:
+                    # parse as many complete records as the buffer holds
+                    while cursor + 4 <= len(data):
+                        (block_size,) = struct.unpack_from("<i", data, cursor)
+                        if cursor + 4 + block_size > len(data):
+                            break
+                        yield _decode_record(
+                            bytes(data[cursor + 4: cursor + 4 + block_size])
+                        )
+                        cursor += 4 + block_size
+                    if raw_eof and cursor + 4 > len(data):
+                        return
+                    # pull + inflate the next chunk of complete BGZF blocks
+                    new = fh.read(chunk_size)
+                    if len(new) < chunk_size:
+                        raw_eof = True
+                    carry += new
+                    offset = 0
+                    while offset < len(carry):
+                        try:
+                            size = parse_block_header(carry, offset)
+                        except ValueError:
+                            return
+                        if offset + size > len(carry):
+                            break
+                        data += zlib.decompress(
+                            carry[offset:offset + size], 15 + 16
+                        )
+                        offset += size
+                    carry = carry[offset:]
+                    if raw_eof and offset == 0:
+                        # no further blocks can materialize; a trailing
+                        # truncated record (if any) is dropped
+                        return
 
         return generate()
 
