@@ -42,6 +42,10 @@ _HET_DEL = np.asarray([GT21.ADel, GT21.CDel, GT21.GDel, GT21.TDel], dtype=int)
 # category indices in the reference's tie-break order
 CAT_REF, CAT_HOMO_SNP, CAT_HET_SNP = 0, 1, 2
 _N_CATEGORIES = 10
+_CATEGORY_NAMES = (
+    "homo_ref", "homo_snp", "hetero_snp", "homo_ins", "het_acgt_ins",
+    "het_insins", "homo_del", "het_acgt_del", "het_deldel", "het_insdel",
+)
 
 # base pair -> gt21 code for the 10 unordered pairs
 _PAIR_CODE = np.zeros((4, 4), dtype=int)
@@ -228,13 +232,27 @@ def decode_batch(
         winner = winners[i]
 
         if winner > CAT_HET_SNP:
-            # indel categories: exact per-site lattice (retry semantics)
             chromosome, position_str, sequence = infos[i]
-            call = decode_site(
-                x[i], chromosome, int(position_str), sequence,
-                gt21_p[i], genotype_p[i], vl1_p[i], vl2_p[i],
-                output_config, indel_sources,
+            # lattice-free first attempt (exact ordering); the full
+            # argmax-with-retry lattice only runs when recovery degenerates
+            from clair_tpu.pipeline.decode import assemble_site_call, decode_indel_fast
+
+            fast = decode_indel_fast(
+                _CATEGORY_NAMES[winner], x[i], sequence, chromosome,
+                int(position_str), gt21_p[i], genotype_p[i],
+                vl1_p[i], vl2_p[i], indel_sources,
             )
+            if fast is not None:
+                call = assemble_site_call(
+                    fast[0], fast[1], fast[2], x[i], gt21_p[i], genotype_p[i],
+                    output_config,
+                )
+            else:
+                call = decode_site(
+                    x[i], chromosome, int(position_str), sequence,
+                    gt21_p[i], genotype_p[i], vl1_p[i], vl2_p[i],
+                    output_config, indel_sources,
+                )
             if call is not None:
                 results.append((i, call))
             continue

@@ -219,7 +219,12 @@ def _native_decode_batch(
     if any(info[0] != contig for info in infos[:n]):
         return False
 
-    from clair_tpu.pipeline.decode import decode_site
+    from clair_tpu.pipeline.batch_decode import _CATEGORY_NAMES, category_maxima
+    from clair_tpu.pipeline.decode import (
+        assemble_site_call,
+        decode_indel_fast,
+        decode_site,
+    )
 
     positions = np.fromiter((int(info[1]) for info in infos[:n]), np.int64, count=n)
     center_bases = [info[2][len(info[2]) // 2] for info in infos[:n]]
@@ -235,13 +240,36 @@ def _native_decode_batch(
     rows_text, row_sites, fallback = result
 
     fallback_rows = {}
-    for i in fallback.tolist():
+    if len(fallback):
+        from clair_tpu.task.gt21 import gt21_code_from_label
+        from clair_tpu.utils.genomics import BASE2ACGT
+
+        idx = fallback
+        ref_codes = np.array([
+            gt21_code_from_label(BASE2ACGT.get(center_bases[i], "A") * 2)
+            for i in idx
+        ])
+        winners = category_maxima(
+            gt21_p[idx], genotype_p[idx], vl1_p[idx], vl2_p[idx], ref_codes
+        ).argmax(axis=0)
+    for k, i in enumerate(fallback.tolist()):
         chromosome, position_str, sequence = infos[i]
-        call = decode_site(
-            x[i], chromosome, int(position_str), sequence,
-            gt21_p[i], genotype_p[i], vl1_p[i], vl2_p[i],
-            output_config, indel_sources,
+        fast = decode_indel_fast(
+            _CATEGORY_NAMES[winners[k]], x[i], sequence, chromosome,
+            int(position_str), gt21_p[i], genotype_p[i],
+            vl1_p[i], vl2_p[i], indel_sources,
         )
+        if fast is not None:
+            call = assemble_site_call(
+                fast[0], fast[1], fast[2], x[i], gt21_p[i], genotype_p[i],
+                output_config,
+            )
+        else:
+            call = decode_site(
+                x[i], chromosome, int(position_str), sequence,
+                gt21_p[i], genotype_p[i], vl1_p[i], vl2_p[i],
+                output_config, indel_sources,
+            )
         if call is not None:
             fallback_rows[i] = vcf_writer.format_site(chromosome, int(position_str), call)
 

@@ -100,26 +100,37 @@ def _folded_insert_profile(x: np.ndarray, position: int) -> np.ndarray:
     return folded
 
 
+def _folded_insert_rows(x: np.ndarray, start: int, stop: int) -> np.ndarray:
+    """Folded insert profiles for rows [start, stop) at once: (n, 8) with
+    the reverse-strand half zeroed (see _folded_insert_profile)."""
+    rows = x[start:stop]
+    folded = np.zeros((stop - start, 8), dtype=x.dtype)
+    folded[:, :4] = (
+        rows[:, :4, CH_INSERT] + rows[:, 4:, CH_INSERT]
+        - rows[:, :4, CH_SNP] - rows[:, 4:, CH_SNP]
+    )
+    return folded
+
+
 def insertion_bases_using_tensor(x: np.ndarray, variant_length: int) -> str:
-    bases = []
-    for position in range(FLANKING_BASE_NUM + 1, FLANKING_BASE_NUM + variant_length + 1):
-        folded = _folded_insert_profile(x, position)
-        bases.append(NUM2BASE[int(np.argmax(folded)) % 4])
-    return "".join(bases)
+    start = FLANKING_BASE_NUM + 1
+    folded = _folded_insert_rows(x, start, start + variant_length)
+    return "".join(NUM2BASE[i % 4] for i in folded.argmax(axis=1))
 
 
 def inferred_insertion_bases(x: np.ndarray) -> str:
     """Extend the insertion as long as insert-channel support stays above
     12.5% of reference support (ref call_var.py:428-447)."""
+    start = FLANKING_BASE_NUM + 1
+    stop = 2 * FLANKING_BASE_NUM + 1
+    folded = _folded_insert_rows(x, start, stop)
+    reference_support = x[start:stop, :, CH_REFERENCE].sum(axis=1)
+    choices = folded.argmax(axis=1) % 4
+    supported = folded.sum(axis=1) >= INFERRED_INDEL_MIN_AF * reference_support
     bases = []
-    for position in range(FLANKING_BASE_NUM + 1, 2 * FLANKING_BASE_NUM + 1):
-        reference_support = float(x[position, :, CH_REFERENCE].sum())
-        folded = _folded_insert_profile(x, position)
-        if (
-            position < (FLANKING_BASE_NUM + MIN_LENGTH_NEEDING_INFERENCE)
-            or float(folded.sum()) >= INFERRED_INDEL_MIN_AF * reference_support
-        ):
-            bases.append(NUM2BASE[int(np.argmax(folded)) % 4])
+    for k in range(stop - start):
+        if (start + k) < (FLANKING_BASE_NUM + MIN_LENGTH_NEEDING_INFERENCE) or supported[k]:
+            bases.append(NUM2BASE[int(choices[k])])
         else:
             break
     return "".join(bases)
@@ -318,6 +329,165 @@ class OutcomeLattice:
 
     def mask(self, name: str, index: int) -> None:
         getattr(self, name)[index] = -1.0
+
+
+def _winning_indel_candidate(category: str, vl1: np.ndarray, vl2: np.ndarray):
+    """Argmax candidate of one indel category straight from the length
+    vectors, with the exact first-index tie order of the lattice lists
+    (grids are row-major; InsDel interleaves its two entry kinds per cell).
+
+    Returns the category-specific payload the decode branch needs.
+    """
+    pos1, pos2 = vl1[VLEN_OFF + _IDX], vl2[VLEN_OFF + _IDX]
+    neg1, neg2 = vl1[VLEN_OFF - _IDX], vl2[VLEN_OFF - _IDX]
+    zero1, zero2 = vl1[VLEN_OFF], vl2[VLEN_OFF]
+
+    if category == "homo_ins":
+        return int(np.argmax(pos1 * pos2)) + 1
+    if category == "homo_del":
+        return int(np.argmax(neg1 * neg2)) + 1
+    if category == "het_acgt_ins":
+        # lengths outer, bases inner — the base factor is constant per
+        # length so the winning length is argmax of the length term and the
+        # winning base is argmax of the 4 gt21 entries (caller supplies)
+        return int(np.argmax(np.maximum(zero1 * pos2, pos1 * zero2))) + 1
+    if category == "het_acgt_del":
+        return int(np.argmax(np.maximum(zero1 * neg2, neg1 * zero2))) + 1
+    if category == "het_insins":
+        grid = np.outer(pos1, pos2)
+        flat = int(np.argmax(grid))
+        i, j = flat // VLEN_MAX + 1, flat % VLEN_MAX + 1
+        return (min(i, j), max(i, j))
+    if category == "het_deldel":
+        grid = np.outer(neg1, neg2)
+        np.fill_diagonal(grid, -1.0)
+        flat = int(np.argmax(grid))
+        i, j = flat // VLEN_MAX + 1, flat % VLEN_MAX + 1
+        return (min(i, j), max(i, j))
+    if category == "het_insdel":
+        a = np.outer(pos1, neg2)          # entry kind 0: (del=j, ins=i)
+        b = np.outer(neg1, pos2)          # entry kind 1: (del=i, ins=j)
+        stacked = np.stack([a, b], axis=-1)   # row-major (i, j, kind) order
+        flat = int(np.argmax(stacked))
+        kind = flat % 2
+        cell = flat // 2
+        i, j = cell // VLEN_MAX + 1, cell % VLEN_MAX + 1
+        return (j, i) if kind == 0 else (i, j)   # (del_len, ins_len)
+    raise ValueError(category)
+
+
+def decode_indel_fast(
+    category: str,
+    x: np.ndarray,
+    reference_sequence: str,
+    contig: str,
+    position: int,
+    gt21_p: np.ndarray,
+    genotype_p: np.ndarray,
+    vl1_p: np.ndarray,
+    vl2_p: np.ndarray,
+    sources: IndelSources,
+):
+    """Decode a known-winning indel category without building the lattice.
+
+    Returns (category, reference_base, alternate_base) or None when the
+    exact semantics need the retry loop (degenerate alleles / empty
+    recovery) — the caller then falls back to decode_alleles.
+    """
+    center = FLANKING_BASE_NUM
+    vl1 = vl1_p.astype(np.float64)
+    vl2 = vl2_p.astype(np.float64)
+
+    if category == "homo_ins":
+        variant_length = _winning_indel_candidate(category, vl1, vl2)
+        bases, length = recover_insertion_bases(x, variant_length, contig, position, sources)
+        if length == 0:
+            return None
+        reference_base = reference_sequence[center]
+        return category, reference_base, reference_base + bases
+
+    if category == "het_acgt_ins":
+        variant_length = _winning_indel_candidate(category, vl1, vl2)
+        het_base = "ACGT"[int(np.argmax(gt21_p[np.asarray(_HET_INS_GT21, dtype=int)]))]
+        bases, length = recover_insertion_bases(x, variant_length, contig, position, sources)
+        if length == 0:
+            return None
+        reference_base = reference_sequence[center]
+        alternate_base = reference_base + bases
+        if het_base != reference_base:
+            alternate_base = f"{het_base},{alternate_base}"
+        return category, reference_base, alternate_base
+
+    if category == "het_insins":
+        vl_1, vl_2 = _winning_indel_candidate(category, vl1, vl2)
+        bases, length = recover_insertion_bases(x, vl_2, contig, position, sources)
+        if length == 0:
+            return None
+        reference_base = reference_sequence[center]
+        another = ""
+        if sources.insertion_bases is not None:
+            another = sources.insertion_bases(
+                contig, position, vl_1, _max_recovery_length(vl_1), bases
+            )
+        another = another or bases[0:vl_1]
+        alt1, alt2 = reference_base + another, reference_base + bases
+        if alt1 == alt2:
+            return None  # retry semantics -> full lattice
+        return category, reference_base, f"{alt1},{alt2}"
+
+    if category == "homo_del":
+        variant_length = _winning_indel_candidate(category, vl1, vl2)
+        bases, length = recover_deletion_bases(
+            x, variant_length, contig, position, reference_sequence, sources
+        )
+        if length == 0:
+            return None
+        reference_base = reference_sequence[center] + bases
+        return category, reference_base, reference_base[0]
+
+    if category == "het_acgt_del":
+        variant_length = _winning_indel_candidate(category, vl1, vl2)
+        het_base = "ACGT"[int(np.argmax(gt21_p[np.asarray(_HET_DEL_GT21, dtype=int)]))]
+        bases, length = recover_deletion_bases(
+            x, variant_length, contig, position, reference_sequence, sources
+        )
+        if length == 0:
+            return None
+        reference_base = reference_sequence[center] + bases
+        alternate_base = reference_base[0]
+        if het_base != reference_base[0]:
+            alternate_base = f"{alternate_base},{het_base + reference_base[1:]}"
+        return category, reference_base, alternate_base
+
+    if category == "het_deldel":
+        vl_1, vl_2 = _winning_indel_candidate(category, vl1, vl2)
+        bases, length = recover_deletion_bases(
+            x, vl_2, contig, position, reference_sequence, sources
+        )
+        if length == 0:
+            return None
+        reference_base = reference_sequence[center] + bases
+        alt1 = reference_base[0]
+        alt2 = reference_base[0] + reference_base[vl_1 + 1:]
+        if not (alt1 != alt2 and reference_base != alt1 and reference_base != alt2):
+            return None
+        return category, reference_base, f"{alt1},{alt2}"
+
+    if category == "het_insdel":
+        vl_del, vl_ins = _winning_indel_candidate(category, vl1, vl2)
+        ins_bases, ins_len = recover_insertion_bases(x, vl_ins, contig, position, sources)
+        del_bases, del_len = recover_deletion_bases(
+            x, vl_del, contig, position, reference_sequence, sources
+        )
+        if ins_len == 0 or del_len == 0:
+            return None
+        reference_base = reference_sequence[center] + del_bases
+        alternate_base = "{},{}".format(
+            reference_base[0], reference_base[0] + ins_bases + reference_base[1:]
+        )
+        return category, reference_base, alternate_base
+
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -570,6 +740,27 @@ def decode_site(
     category, reference_base, alternate_base = decode_alleles(
         x, reference_sequence, chromosome, position,
         gt21_p, genotype_p, vl1_p, vl2_p, sources,
+    )
+    return assemble_site_call(
+        category, reference_base, alternate_base,
+        x, gt21_p, genotype_p, output_config,
+    )
+
+
+def assemble_site_call(
+    category: str,
+    reference_base,
+    alternate_base,
+    x: np.ndarray,
+    gt21_p: np.ndarray,
+    genotype_p: np.ndarray,
+    output_config: OutputConfig,
+) -> Optional[SiteCall]:
+    """Genotype/AF/quality/filters for already-decoded alleles
+    (the second half of the reference's output_with)."""
+    center = FLANKING_BASE_NUM
+    read_depth = float(
+        (x[center, :, CH_DELETE] + x[center, :, CH_REFERENCE]).sum()
     )
     is_reference = category == "homo_ref"
 
