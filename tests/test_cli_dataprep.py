@@ -1,0 +1,84 @@
+"""Data-prep CLI round trips: get_truth, pair_with_non_variants,
+tensor_transform, plot_tensor."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from clair_tpu.data.tensor_stream import tensor_line_from
+
+CLI_ENV = {**os.environ, "JAX_PLATFORMS": "", "JAX_PLATFORM_NAME": "cpu",
+           "MPLBACKEND": "Agg"}
+
+
+def _run(args, stdin_text=None):
+    result = subprocess.run(
+        [sys.executable, "-m", "clair_tpu"] + args,
+        capture_output=True, text=True, input=stdin_text, env=CLI_ENV, timeout=120,
+    )
+    assert result.returncode == 0, result.stderr[-1500:]
+    return result.stdout
+
+
+def test_get_truth_cli(tmp_path):
+    vcf = tmp_path / "t.vcf"
+    vcf.write_text(
+        "\n".join([
+            "##fileformat=VCFv4.1",
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS",
+            "chr1\t100\t.\tA\tG\t60\tPASS\t.\tGT\t0/1",
+            "chr1\t200\t.\tCT\tC\t60\tPASS\t.\tGT\t1/1",
+            "chr2\t300\t.\tG\tT\t60\tPASS\t.\tGT\t1/1",   # other contig
+        ]) + "\n"
+    )
+    out = _run(["get_truth", "--vcf_fn", str(vcf), "--ctgName", "chr1"])
+    lines = out.strip().splitlines()
+    assert lines == ["chr1 100 A G 0 1", "chr1 200 CT C 1 1"]
+
+    # region restriction
+    out = _run(["get_truth", "--vcf_fn", str(vcf), "--ctgName", "chr1",
+                "--ctgStart", "150", "--ctgEnd", "250"])
+    assert out.strip() == "chr1 200 CT C 1 1"
+
+
+def test_pair_with_non_variants_cli(tmp_path):
+    seq = "A" * 33
+    x = np.ones((33, 8, 4))
+    var = tmp_path / "var.txt"
+    can = tmp_path / "can.txt"
+    var.write_text("\n".join(tensor_line_from("chr1", 100 + i, seq, x) for i in range(5)) + "\n")
+    can.write_text("\n".join(tensor_line_from("chr1", 500 + i, seq, x) for i in range(40)) + "\n")
+    out_fn = tmp_path / "paired.txt"
+    _run(["pair_with_non_variants", "--tensor_var_fn", str(var),
+          "--tensor_can_fn", str(can), "--output_fn", str(out_fn), "--amp", "2"])
+    lines = out_fn.read_text().splitlines()
+    truth = [l for l in lines if int(l.split()[1]) < 500]
+    assert len(truth) == 5
+    assert 5 < len(lines) <= 30
+
+
+def test_tensor_transform_cli():
+    seq65 = "C" * 65
+    x65 = np.arange(65 * 32).reshape(65, 8, 4)
+    line = tensor_line_from("chr1", 900, seq65, x65)
+    out = _run(["tensor_transform"], stdin_text=line + "\n")
+    columns = out.split()
+    assert len(columns) == 3 + 33 * 32
+    assert len(columns[2]) == 33
+    # cropped window starts at source row 16
+    np.testing.assert_array_equal(
+        np.array(columns[3:3 + 32], dtype=int), x65[16].reshape(-1)
+    )
+
+
+def test_plot_tensor_cli(tmp_path):
+    seq = "G" * 33
+    x = np.random.RandomState(0).randint(0, 40, (33, 8, 4))
+    tensor_fn = tmp_path / "t.txt"
+    tensor_fn.write_text(tensor_line_from("chr1", 42, seq, x) + "\n")
+    _run(["plot_tensor", "--array_fn", str(tensor_fn),
+          "--name", str(tmp_path / "viz")])
+    assert (tmp_path / "viz_chr1_42.png").exists()
+    assert (tmp_path / "viz_chr1_42.png").stat().st_size > 1000
