@@ -35,10 +35,21 @@ def reg2bin(beg: int, end: int) -> int:
     return 0
 
 
-def build_bai(bam_path: str, bai_path: Optional[str] = None) -> str:
+def build_bai(
+    bam_path: str, bai_path: Optional[str] = None, prefer_native: bool = True
+) -> str:
     """Index a coordinate-sorted BAM produced by this framework (or any
-    spec-compliant BAM)."""
+    spec-compliant BAM). Uses the native single-pass builder when the C++
+    library is available (the pure-Python path walks every record)."""
     bai_path = bai_path or bam_path + ".bai"
+    if prefer_native:
+        try:
+            from clair_tpu import native
+
+            if native.build_bai_native(bam_path, bai_path):
+                return bai_path
+        except Exception:
+            pass
     with open(bam_path, "rb") as fh:
         raw = fh.read()
 

@@ -97,6 +97,8 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.clair_build_bai.restype = ctypes.c_int
+    lib.clair_build_bai.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
     _lib = lib
     return lib
 
@@ -166,6 +168,15 @@ def decode_fast_native(
 
 def available() -> bool:
     return load_library() is not None
+
+
+def build_bai_native(bam_path: str, bai_path: str) -> bool:
+    """Native single-pass BAI builder; returns False when unavailable or on
+    failure (callers fall back to the Python builder)."""
+    lib = load_library()
+    if lib is None:
+        return False
+    return lib.clair_build_bai(bam_path.encode(), bai_path.encode()) == 0
 
 
 def events_from_bam_native(

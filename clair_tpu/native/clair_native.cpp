@@ -16,12 +16,14 @@
 // C ABI (ctypes): see EventBuffers below. All arrays are malloc'd here and
 // released with clair_free_events.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
 #include <thread>
+#include <utility>
 #include <vector>
 #include <zlib.h>
 
@@ -90,6 +92,11 @@ struct StreamInflater {
   bool done = false;
   bool first_pump = true;
   int threads = 4;
+  // (inflated offset, compressed file offset) per block — for virtual
+  // offsets when building a BAI
+  bool track_blocks = false;
+  std::vector<std::pair<size_t, int64_t>> block_table;
+  int64_t carry_file_offset = 0;  // file offset of carry[0]
   static const size_t kChunk = 4u << 20;
 
   bool open(const char* path, int64_t start_coffset) {
@@ -100,6 +107,7 @@ struct StreamInflater {
       fp = nullptr;
       return false;
     }
+    carry_file_offset = start_coffset;
     return true;
   }
 
@@ -170,9 +178,14 @@ struct StreamInflater {
         inflate_one_block(carry.data() + blocks[i].first, blocks[i].second,
                           parts[i]);
     }
-    for (auto& part : parts)
-      data.insert(data.end(), part.begin(), part.end());
+    for (size_t i = 0; i < blocks.size(); i++) {
+      if (track_blocks)
+        block_table.push_back(
+            {data.size(), carry_file_offset + (int64_t)blocks[i].first});
+      data.insert(data.end(), parts[i].begin(), parts[i].end());
+    }
     carry.erase(carry.begin(), carry.begin() + offset);
+    carry_file_offset += (int64_t)offset;
     if (raw_eof && carry.empty()) done = true;
     return true;
   }
@@ -220,7 +233,54 @@ struct StreamInflater {
     }
     return true;
   }
+
+  // Drop inflated bytes before `cursor` (long scans stay memory-bounded);
+  // returns the amount trimmed so callers can rebase their cursors.
+  size_t discard_before(size_t cursor) {
+    if (cursor < (8u << 20)) return 0;  // not worth compacting yet
+    // keep the block containing `cursor` intact
+    size_t keep_from = 0;
+    size_t table_keep = 0;
+    for (size_t i = 0; i < block_table.size(); i++) {
+      if (block_table[i].first <= cursor) {
+        keep_from = block_table[i].first;
+        table_keep = i;
+      } else {
+        break;
+      }
+    }
+    if (keep_from == 0) return 0;
+    data.erase(data.begin(), data.begin() + keep_from);
+    block_table.erase(block_table.begin(), block_table.begin() + table_keep);
+    for (auto& entry : block_table) entry.first -= keep_from;
+    return keep_from;
+  }
+
+  // Virtual offset of inflated position `upos` (track_blocks must be on).
+  int64_t voffset_of(size_t upos, size_t rebase) const {
+    // binary search the last block with ustart <= upos
+    size_t lo = 0, hi = block_table.size();
+    while (lo < hi) {
+      size_t mid = (lo + hi) / 2;
+      if (block_table[mid].first <= upos) lo = mid + 1;
+      else hi = mid;
+    }
+    if (lo == 0) return 0;
+    const auto& blk = block_table[lo - 1];
+    (void)rebase;
+    return (blk.second << 16) | (int64_t)(upos - blk.first);
+  }
 };
+
+int bai_reg2bin(int64_t beg, int64_t end) {
+  end -= 1;
+  if (beg >> 14 == end >> 14) return ((1 << 15) - 1) / 7 + (int)(beg >> 14);
+  if (beg >> 17 == end >> 17) return ((1 << 12) - 1) / 7 + (int)(beg >> 17);
+  if (beg >> 20 == end >> 20) return ((1 << 9) - 1) / 7 + (int)(beg >> 20);
+  if (beg >> 23 == end >> 23) return ((1 << 6) - 1) / 7 + (int)(beg >> 23);
+  if (beg >> 26 == end >> 26) return ((1 << 3) - 1) / 7 + (int)(beg >> 26);
+  return 0;
+}
 
 template <typename T>
 T read_le(const uint8_t* p) {
@@ -528,6 +588,123 @@ int clair_bam_events_dual(const char* path, int32_t ref_id, int64_t start,
                &candidate_vecs, &tensor_vecs, dcov);
   candidate_vecs.fill(candidate_out);
   tensor_vecs.fill(tensor_out);
+  return 0;
+}
+
+// Build a spec-compliant .bai for a coordinate-sorted BAM. Streams the file
+// once (block-parallel inflate, bounded memory via prefix compaction) —
+// the native replacement for the Python builder in io/bai.py, which walks
+// records in pure Python. Returns 0 on success.
+int clair_build_bai(const char* bam_path, const char* bai_path) {
+  StreamInflater in;
+  in.track_blocks = true;
+  if (!in.open(bam_path, 0)) return 1;
+
+  if (!in.ensure(8)) return 2;
+  if (memcmp(in.data.data(), "BAM\x01", 4) != 0) return 2;
+  int32_t l_text = read_le<int32_t>(in.data.data() + 4);
+  size_t cursor = 8 + (size_t)l_text;
+  if (!in.ensure(cursor + 4)) return 2;
+  int32_t n_ref = read_le<int32_t>(in.data.data() + cursor);
+  cursor += 4;
+  for (int i = 0; i < n_ref; i++) {
+    if (!in.ensure(cursor + 4)) return 2;
+    int32_t l_name = read_le<int32_t>(in.data.data() + cursor);
+    cursor += 4 + (size_t)l_name + 4;
+  }
+  if (!in.ensure(cursor)) return 2;
+
+  struct Chunk { uint64_t beg, end; };
+  const int kLinearShift = 14;
+  std::vector<std::vector<std::pair<uint32_t, std::vector<Chunk>>>> bins(n_ref);
+  // per ref: map bin -> index into bins[ref] for append
+  std::vector<std::vector<int32_t>> bin_slot(n_ref, std::vector<int32_t>(37450, -1));
+  std::vector<std::vector<uint64_t>> linear(n_ref);
+
+  size_t rebase_total = 0;
+  while (in.ensure(cursor + 4)) {
+    int32_t block_size = read_le<int32_t>(in.data.data() + cursor);
+    if (!in.ensure(cursor + 4 + block_size)) break;
+    uint64_t voff_beg = (uint64_t)in.voffset_of(cursor, rebase_total);
+    uint64_t voff_end = (uint64_t)in.voffset_of(cursor + 4 + block_size, rebase_total);
+    const uint8_t* rec = in.data.data() + cursor + 4;
+    cursor += 4 + block_size;
+
+    int32_t ref_id = read_le<int32_t>(rec);
+    int64_t pos = read_le<int32_t>(rec + 4);
+    uint8_t l_read_name = rec[8];
+    uint16_t n_cigar = read_le<uint16_t>(rec + 12);
+    if (ref_id >= 0 && ref_id < n_ref) {
+      const uint8_t* cigar_p = rec + 32 + l_read_name;
+      int64_t span = 0;
+      for (int k = 0; k < n_cigar; k++) {
+        uint32_t cv = read_le<uint32_t>(cigar_p + 4 * k);
+        uint32_t op = cv & 0xF;
+        if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+          span += cv >> 4;
+      }
+      int64_t end = pos + (span > 1 ? span : 1);
+      int bin = bai_reg2bin(pos, end);
+      int32_t slot = bin_slot[ref_id][bin];
+      if (slot < 0) {
+        slot = (int32_t)bins[ref_id].size();
+        bin_slot[ref_id][bin] = slot;
+        bins[ref_id].push_back({(uint32_t)bin, {}});
+      }
+      auto& chunks = bins[ref_id][slot].second;
+      if (!chunks.empty() && voff_beg <= chunks.back().end)
+        chunks.back().end = std::max(chunks.back().end, voff_end);
+      else
+        chunks.push_back({voff_beg, voff_end});
+
+      size_t w_end = (size_t)((end - 1) >> kLinearShift);
+      if (linear[ref_id].size() <= w_end) linear[ref_id].resize(w_end + 1, 0);
+      for (size_t w = (size_t)(pos >> kLinearShift); w <= w_end; w++) {
+        if (linear[ref_id][w] == 0 || voff_beg < linear[ref_id][w])
+          linear[ref_id][w] = voff_beg;
+      }
+    }
+
+    // bound memory on huge files
+    size_t trimmed = in.discard_before(cursor);
+    if (trimmed) {
+      cursor -= trimmed;
+      rebase_total += trimmed;
+    }
+  }
+
+  std::string tmp = std::string(bai_path) + ".tmp";
+  FILE* out = fopen(tmp.c_str(), "wb");
+  if (!out) return 3;
+  fwrite("BAI\x01", 1, 4, out);
+  fwrite(&n_ref, 4, 1, out);
+  for (int r = 0; r < n_ref; r++) {
+    // sort bins by id like the Python builder
+    std::sort(bins[r].begin(), bins[r].end(),
+              [](const auto& a, const auto& b) { return a.first < b.first; });
+    int32_t n_bins = (int32_t)bins[r].size();
+    fwrite(&n_bins, 4, 1, out);
+    for (auto& entry : bins[r]) {
+      uint32_t bin_id = entry.first;
+      int32_t n_chunks = (int32_t)entry.second.size();
+      fwrite(&bin_id, 4, 1, out);
+      fwrite(&n_chunks, 4, 1, out);
+      for (auto& c : entry.second) {
+        fwrite(&c.beg, 8, 1, out);
+        fwrite(&c.end, 8, 1, out);
+      }
+    }
+    // fill-forward the linear index like the Python builder
+    int32_t n_intervals = (int32_t)linear[r].size();
+    fwrite(&n_intervals, 4, 1, out);
+    uint64_t last = 0;
+    for (int32_t w = 0; w < n_intervals; w++) {
+      if (linear[r][w]) last = linear[r][w];
+      fwrite(&last, 8, 1, out);
+    }
+  }
+  fclose(out);
+  if (rename(tmp.c_str(), bai_path) != 0) return 4;
   return 0;
 }
 
