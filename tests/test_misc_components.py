@@ -124,3 +124,38 @@ def test_sharded_predictor_on_virtual_mesh():
     assert n_s == n_p == 11
     for a, b in zip(sharded.gather(out_s, 11), plain.gather(out_p, 11)):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_call_variants_with_sharded_predictor():
+    """Slice inference: the full call_variants pipeline over the 8-device
+    virtual mesh produces the same VCF as the single-device predictor."""
+    import io as _io
+
+    import jax
+
+    from clair_tpu.data.tensor_stream import tensor_line_from
+    from clair_tpu.io.vcf import VcfWriter
+    from clair_tpu.models.clair import init_params
+    from clair_tpu.params import ModelConfig
+    from clair_tpu.pipeline.call_var import Predictor, ShardedPredictor, call_variants
+    from clair_tpu.pipeline.decode import OutputConfig
+    from tests.test_call_var import SEQ, _counts_tensor
+
+    config = ModelConfig()
+    params = init_params(jax.random.PRNGKey(0), config)
+    x = _counts_tensor("G", 6)
+    lines = [tensor_line_from("chr9", 100 + i, SEQ, x) for i in range(20)]
+
+    def run(predictor):
+        sink = _io.StringIO()
+        writer = VcfWriter(sink)
+        call_variants(iter(lines), predictor, OutputConfig(is_show_reference=True), writer)
+        return [r for r in sink.getvalue().splitlines() if not r.startswith("#")]
+
+    from clair_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, model_parallel=1)
+    plain_rows = run(Predictor(params, config, batch_size=8))
+    sharded_rows = run(ShardedPredictor(params, config, batch_size=8, mesh=mesh))
+    assert len(plain_rows) == 20
+    assert sharded_rows == plain_rows
