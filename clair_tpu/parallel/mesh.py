@@ -29,7 +29,16 @@ def make_mesh(
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
-    devices = list(devices)[:n_devices]
+    devices = list(devices)
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"make_mesh needs {n_devices} devices but only {len(devices)} are "
+            f"visible (platform={jax.devices()[0].platform if devices else '?'}). "
+            "For a virtual multi-device CPU mesh, set XLA_FLAGS="
+            "--xla_force_host_platform_device_count=<n> before the JAX backend "
+            "initializes and force jax.config.update('jax_platforms', 'cpu')."
+        )
+    devices = devices[:n_devices]
     if n_devices % model_parallel != 0:
         raise ValueError(
             f"model_parallel={model_parallel} must divide n_devices={n_devices}"
