@@ -85,10 +85,16 @@ def decode_throughput(params, config) -> float:
     from clair_tpu.pipeline.call_var import _decode_batch
     from clair_tpu.pipeline.decode import IndelSources, OutputConfig
 
+    from clair_tpu.data.tensor_stream import LazyTensorInfos
+
     fn = jax.jit(lambda p, x: forward(p, x.astype(jnp.float32), config))
     xs, seq = _synthetic_batch()
     out = [np.asarray(a) for a in fn(params, jax.device_put(xs.astype(np.int16)))]
-    infos = [("chr1", str(1000 + i), seq) for i in range(BATCH)]
+    # the production batch shape (call_bam's window pipeline): single contig,
+    # int64 positions, lazy tuple materialization
+    infos = LazyTensorInfos(
+        "chr1", np.arange(1000, 1000 + BATCH, dtype=np.int64), [seq] * BATCH
+    )
     sink = io.StringIO()
     writer = VcfWriter(sink)
     output_config = OutputConfig(is_show_reference=True)
@@ -100,11 +106,51 @@ def decode_throughput(params, config) -> float:
 
     pending = (infos, xs, out, BATCH)
     _decode_batch(pending, _Pre(), output_config, writer, sources, None)  # warmup
+    iters = 30
+    start = time.perf_counter()
+    for _ in range(iters):
+        # production decodes each batch once: charge the per-batch
+        # center-base materialization every iteration
+        infos._center_bases = None
+        _decode_batch(pending, _Pre(), output_config, writer, sources, None)
+    return BATCH * iters / (time.perf_counter() - start)
+
+
+def train_throughput(config) -> float:
+    """Jitted train step samples/sec at the reference's training batch size
+    (10,000, shared/param.py:15), single chip, device-resident batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from clair_tpu.models.clair import init_params
+    from clair_tpu.parallel.sharding import make_optimizer, make_train_step
+    from clair_tpu.params import TRAIN_BATCH_SIZE
+
+    params = init_params(jax.random.PRNGKey(0), config)
+    optimizer = make_optimizer(config.optimizer_name, learning_rate=1e-3)
+    opt_state = optimizer.init(params)
+    step = make_train_step(config, optimizer)
+
+    batch = TRAIN_BATCH_SIZE
+    rs = np.random.RandomState(1)
+    x = jax.device_put(jnp.asarray(rs.rand(batch, 33, 8, 4), jnp.float32))
+    y = np.zeros((batch, 90), np.float32)
+    y[:, 0] = 1.0
+    y[:, 21] = 1.0
+    y[:, 24 + 16] = 1.0
+    y[:, 57 + 16] = 1.0
+    y = jax.device_put(jnp.asarray(y))
+    rng = jax.random.PRNGKey(2)
+    l2 = jnp.float32(config.l2_regularization_lambda)
+
+    params, opt_state, loss, _ = step(params, opt_state, x, y, rng, l2)  # compile
+    loss.block_until_ready()
     iters = 10
     start = time.perf_counter()
     for _ in range(iters):
-        _decode_batch(pending, _Pre(), output_config, writer, sources, None)
-    return BATCH * iters / (time.perf_counter() - start)
+        params, opt_state, loss, _ = step(params, opt_state, x, y, rng, l2)
+    loss.block_until_ready()
+    return batch * iters / (time.perf_counter() - start)
 
 
 def cpu_baseline_throughput() -> float:
@@ -173,9 +219,11 @@ def main():
 
     device_tps = device_throughput(params, config)
     decode_tps = decode_throughput(params, config)
+    train_tps = train_throughput(config)
     pipeline_tps = min(device_tps, decode_tps)
     print(
-        f"[bench] device {device_tps:.0f} t/s, host decode {decode_tps:.0f} t/s",
+        f"[bench] device {device_tps:.0f} t/s, host decode {decode_tps:.0f} t/s, "
+        f"train {train_tps:.0f} samples/s",
         file=sys.stderr,
     )
 
@@ -191,6 +239,11 @@ def main():
                 "value": round(pipeline_tps, 1),
                 "unit": "tensors/sec",
                 "vs_baseline": round(pipeline_tps / cpu_tps, 2),
+                "stages": {
+                    "device_forward_tps": round(device_tps, 1),
+                    "host_decode_tps": round(decode_tps, 1),
+                    "train_samples_per_sec": round(train_tps, 1),
+                },
             }
         )
     )

@@ -28,6 +28,60 @@ from clair_tpu.utils.genomics import BASE2NUM
 TensorInfo = Tuple[str, str, str]  # (ctg_name, position_str, sequence)
 
 
+class TensorInfos(list):
+    """Batch info list of (ctg, pos_str, seq) tuples that also carries
+    vectorized metadata, so the native decode fast path needn't re-walk
+    1000 Python tuples per batch (that walk alone capped decode at ~1M
+    sites/s on a single host core):
+
+    - contig: the single contig name if every site shares it, else None
+    - positions: int64 array of 1-based positions
+    - center_bases: |S1 array of center reference bases
+    """
+
+    __slots__ = ("contig", "positions", "center_bases")
+
+    def __init__(self, items=(), contig=None, positions=None, center_bases=None):
+        super().__init__(items)
+        self.contig = contig
+        self.positions = positions
+        self.center_bases = center_bases
+
+
+class LazyTensorInfos:
+    """(ctg, pos_str, seq) tuples materialized on access only — batch
+    producers that already hold a single contig, an int64 position array,
+    and a sequence list (call_bam's window pipeline) skip the per-site
+    tuple build entirely; the decode fast path reads the arrays directly
+    and only fallback/debug sites ever materialize a tuple."""
+
+    __slots__ = ("contig", "positions", "sequences", "_center_bases")
+
+    def __init__(self, contig: str, positions, sequences):
+        self.contig = contig
+        self.positions = np.asarray(positions, np.int64)
+        self.sequences = sequences
+        self._center_bases = None
+
+    @property
+    def center_bases(self) -> np.ndarray:
+        if self._center_bases is None:
+            mid = NO_OF_POSITIONS // 2
+            joined = "".join(s[mid] for s in self.sequences)
+            self._center_bases = np.frombuffer(
+                joined.encode("ascii", "replace"), dtype="S1"
+            )
+        return self._center_bases
+
+    def __len__(self) -> int:
+        return len(self.positions)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        return (self.contig, str(int(self.positions[i])), self.sequences[i])
+
+
 def open_maybe_gzip(path: str, mode: str = "rt") -> IO:
     if path == "PIPE" or path == "-":
         return sys.stdin if "r" in mode else sys.stdout
@@ -74,9 +128,10 @@ def tensor_batches_from(
     processed = 0
     infos: List[TensorInfo] = []
     rows: List[str] = []
+    centers: List[str] = []
 
     def flush():
-        nonlocal infos, rows, processed
+        nonlocal infos, rows, centers, processed
         if not infos:
             return None
         # vectorized parse: one fromstring pass over the joined tensor columns
@@ -86,8 +141,19 @@ def tensor_batches_from(
         processed += len(infos)
         if show_progress:
             print("Processed %d tensors" % processed, file=sys.stderr)
-        batch = (x, infos)
-        infos, rows = [], []
+        contig = infos[0][0]
+        if any(info[0] != contig for info in infos):
+            contig = None
+        batch = (
+            x,
+            TensorInfos(
+                infos,
+                contig=contig,
+                positions=np.array([info[1] for info in infos], np.int64),
+                center_bases=np.array(centers, dtype="S1"),
+            ),
+        )
+        infos, rows, centers = [], [], []
         return batch
 
     try:
@@ -101,6 +167,7 @@ def tensor_batches_from(
                 continue
             infos.append((columns[0], columns[1], sequence))
             rows.append(columns[3])
+            centers.append(center)
             if len(infos) == batch_size:
                 yield flush()
         tail = flush()

@@ -70,6 +70,40 @@ struct Maxima {
   double v[10];
 };
 
+// Unsigned decimal formatter (the snprintf in the row emitter was ~60% of
+// per-site decode cost; rows are the hot path when --showRef is on).
+inline char* put_u64(char* p, uint64_t v) {
+  char tmp[20];
+  int k = 0;
+  do {
+    tmp[k++] = (char)('0' + v % 10);
+    v /= 10;
+  } while (v);
+  while (k) *p++ = tmp[--k];
+  return p;
+}
+
+// %.4f equivalent for af in [0, 1]. llrint (round-half-even) matches
+// printf's correctly-rounded conversion except when the scaled value sits
+// within double noise of a .5 boundary — fall back to snprintf there so
+// rows stay byte-identical to the Python formatter.
+inline char* put_af4(char* p, double af) {
+  double scaled = af * 10000.0;
+  double frac = scaled - std::floor(scaled);
+  if (std::fabs(frac - 0.5) < 1e-6) {
+    return p + snprintf(p, 8, "%.4f", af);
+  }
+  long v = llrint(scaled);
+  *p++ = (char)('0' + v / 10000);
+  *p++ = '.';
+  long r = v % 10000;
+  *p++ = (char)('0' + r / 1000);
+  *p++ = (char)('0' + (r / 100) % 10);
+  *p++ = (char)('0' + (r / 10) % 10);
+  *p++ = (char)('0' + r % 10);
+  return p;
+}
+
 }  // namespace
 
 extern "C" {
@@ -100,9 +134,15 @@ int clair_decode_fast(
   };
 
   const int center = 16;
+  const size_t contig_len = strlen(contig);
 
   auto decode_range = [&](int64_t lo, int64_t hi, Shard& shard) {
   char line[256];
+  // constant row prefix: "<contig>\t"
+  char prefix[192];
+  size_t prefix_len = std::min(contig_len, sizeof(prefix) - 2);
+  memcpy(prefix, contig, prefix_len);
+  prefix[prefix_len++] = '\t';
   std::string& rows = shard.rows;
   std::vector<int64_t>& row_sites = shard.row_sites;
   std::vector<int64_t>& fallback = shard.fallback;
@@ -259,15 +299,32 @@ int clair_decode_fast(
       filter = quality >= qual_cutoff ? "PASS" : "LowQual";
     }
 
-    int len = snprintf(
-        line, sizeof(line),
-        "%s\t%lld\t.\t%s\t%s\t%ld\t%s\t.\tGT:GQ:DP:AF\t%s:%ld:%lld:%.4f\n",
-        contig, (long long)positions[i], ref_out, alt_out, quality, filter,
-        genotype_out, quality, (long long)llrint(depth), af);
-    // snprintf returns the untruncated length; clamp so a pathologically
-    // long contig name can't read past the buffer
-    if (len > (int)sizeof(line) - 1) len = (int)sizeof(line) - 1;
-    rows.append(line, len);
+    // hand-rolled row emitter (snprintf dominated per-site decode cost):
+    // "<ctg>\t<pos>\t.\t<ref>\t<alt>\t<qual>\t<filter>\t.\tGT:GQ:DP:AF\t
+    //  <gt>:<qual>:<depth>:<af>\n"
+    char* wp = line;
+    memcpy(wp, prefix, prefix_len);
+    wp += prefix_len;
+    wp = put_u64(wp, (uint64_t)positions[i]);
+    *wp++ = '\t'; *wp++ = '.'; *wp++ = '\t';
+    for (const char* s = ref_out; *s; s++) *wp++ = *s;
+    *wp++ = '\t';
+    for (const char* s = alt_out; *s; s++) *wp++ = *s;
+    *wp++ = '\t';
+    wp = put_u64(wp, (uint64_t)quality);
+    *wp++ = '\t';
+    for (const char* s = filter; *s; s++) *wp++ = *s;
+    memcpy(wp, "\t.\tGT:GQ:DP:AF\t", 15);
+    wp += 15;
+    for (const char* s = genotype_out; *s; s++) *wp++ = *s;
+    *wp++ = ':';
+    wp = put_u64(wp, (uint64_t)quality);
+    *wp++ = ':';
+    wp = put_u64(wp, (uint64_t)llrint(depth));
+    *wp++ = ':';
+    wp = put_af4(wp, af);
+    *wp++ = '\n';
+    rows.append(line, wp - line);
     row_sites.push_back(i);
   }
   };  // decode_range

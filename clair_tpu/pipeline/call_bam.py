@@ -29,7 +29,7 @@ from clair_tpu.data.pileup import (
     events_from_reads,
     soft_clip_fraction_ok,
 )
-from clair_tpu.data.tensor_stream import normalize_channels
+from clair_tpu.data.tensor_stream import LazyTensorInfos, normalize_channels
 from clair_tpu.io.bam import BamReader
 from clair_tpu.io.fasta import FastaReader
 from clair_tpu.io.vcf import VcfWriter
@@ -347,10 +347,11 @@ def call_window(work: WindowWork, predictor: Predictor, writer: VcfWriter) -> in
     pending = None
     for off in range(0, len(work.tensors), batch):
         x = normalize_channels(work.tensors[off:off + batch].copy())
-        infos = [
-            (config.contig, str(int(work.centers[off + i])), work.sequences[off + i])
-            for i in range(len(x))
-        ]
+        infos = LazyTensorInfos(
+            config.contig,
+            work.centers[off:off + len(x)],
+            work.sequences[off:off + len(x)],
+        )
         out, n = predictor.predict_async(x)
         if pending is not None:
             _decode_batch(pending, predictor, work.output_config, writer,

@@ -215,9 +215,15 @@ def _native_decode_batch(
 
     if not native.available():
         return False
-    contig = infos[0][0]
-    if any(info[0] != contig for info in infos[:n]):
-        return False
+    # Vectorized batch metadata (TensorInfos) skips the per-site tuple walk
+    # that capped decode at ~1M sites/s; plain info lists take the slow path.
+    contig = getattr(infos, "contig", None)
+    positions = getattr(infos, "positions", None)
+    center_bases = getattr(infos, "center_bases", None)
+    if contig is None:
+        contig = infos[0][0]
+        if any(info[0] != contig for info in infos[:n]):
+            return False
 
     from clair_tpu.pipeline.batch_decode import _CATEGORY_NAMES, category_maxima
     from clair_tpu.pipeline.decode import (
@@ -226,8 +232,14 @@ def _native_decode_batch(
         decode_site,
     )
 
-    positions = np.fromiter((int(info[1]) for info in infos[:n]), np.int64, count=n)
-    center_bases = [info[2][len(info[2]) // 2] for info in infos[:n]]
+    if positions is None:
+        positions = np.fromiter((int(info[1]) for info in infos[:n]), np.int64, count=n)
+    else:
+        positions = positions[:n]
+    if center_bases is None:
+        center_bases = [info[2][len(info[2]) // 2] for info in infos[:n]]
+    else:
+        center_bases = center_bases[:n]
     result = native.decode_fast_native(
         x[:n], gt21_p, genotype_p, vl1_p, vl2_p, positions, center_bases, contig,
         show_ref=output_config.is_show_reference,
@@ -246,7 +258,15 @@ def _native_decode_batch(
 
         idx = fallback
         ref_codes = np.array([
-            gt21_code_from_label(BASE2ACGT.get(center_bases[i], "A") * 2)
+            gt21_code_from_label(
+                BASE2ACGT.get(
+                    center_bases[i].decode()
+                    if isinstance(center_bases[i], bytes)
+                    else center_bases[i],
+                    "A",
+                )
+                * 2
+            )
             for i in idx
         ])
         winners = category_maxima(
