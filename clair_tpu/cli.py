@@ -468,6 +468,18 @@ def cmd_create_tensor(argv):
     parser.add_argument("--ctgName", required=True)
     parser.add_argument("--ctgStart", type=int, default=None)
     parser.add_argument("--ctgEnd", type=int, default=None)
+    parser.add_argument(
+        "--stop_consider_left_edge", action="store_true",
+        help="only reads covering a window's left edge contribute to its "
+             "tensor (ref CreateTensor.py:187, 99-100; default includes "
+             "all overlapping reads)",
+    )
+    parser.add_argument(
+        "--compat_slot_throttle", type=int, default=None, metavar="SLOTS",
+        help="reference-parity memory throttle: cap (event x window) pairs "
+             "at SLOTS in read-stream order (the reference hard-codes "
+             "5000000, CreateTensor.py:180); default: no throttle",
+    )
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -505,8 +517,12 @@ def cmd_create_tensor(argv):
             bam.fetch(args.ctgName, ctg_start - 1, ctg_end, min_mapq=args.minMQ)
         )
     records = apply_depth_cap(records, args.dcov)
+    parity_mode = args.stop_consider_left_edge or args.compat_slot_throttle is not None
     tensors, kept, sequences = create_tensors(
-        events_from_reads(records), centers, reference, ref_start, args.minCoverage
+        events_from_reads(records, track_read_layout=parity_mode),
+        centers, reference, ref_start, args.minCoverage,
+        consider_left_edge=not args.stop_consider_left_edge,
+        slot_budget=args.compat_slot_throttle,
     )
 
     out = sys.stdout if args.tensor_fn == "PIPE" else open_maybe_gzip(args.tensor_fn, "wt")

@@ -86,6 +86,17 @@ class ReadEvents:
     del_op_pos: np.ndarray     # first deleted position
     ins_op_len: np.ndarray
     del_op_len: np.ndarray
+    # optional per-event read layout (events_from_reads track_read_layout):
+    # the owning read's 0-based start position, and the event's global
+    # walk ordinal (read-stream order, CIGAR order within a read). Needed
+    # only by the reference-parity modes (--stop_consider_left_edge and the
+    # 5M available-slots throttle, CreateTensor.py:92-100, 180).
+    match_rstart: Optional[np.ndarray] = None
+    ins_rstart: Optional[np.ndarray] = None
+    del_rstart: Optional[np.ndarray] = None
+    match_ord: Optional[np.ndarray] = None
+    ins_ord: Optional[np.ndarray] = None
+    del_ord: Optional[np.ndarray] = None
 
 
 def _expand_spans(starts: np.ndarray, lengths: np.ndarray):
@@ -123,12 +134,22 @@ def apply_depth_cap(
     return kept
 
 
-def events_from_reads(records: Iterable[BamRecord]) -> ReadEvents:
-    """Expand a read batch's CIGARs into flat event arrays."""
+def events_from_reads(
+    records: Iterable[BamRecord], track_read_layout: bool = False
+) -> ReadEvents:
+    """Expand a read batch's CIGARs into flat event arrays.
+
+    track_read_layout additionally records, per event, the owning read's
+    start position and the global walk ordinal (read-stream order, CIGAR
+    order within a read) — required by the reference-parity tensor modes.
+    """
     m_pos, m_qc, m_st = [], [], []
     i_pos, i_adv, i_qc, i_st = [], [], [], []
     d_pos, d_st = [], []
     iop_pos, dop_pos, iop_len, dop_len = [], [], [], []
+    m_rs, i_rs, d_rs = [], [], []
+    m_ord, i_ord, d_ord = [], [], []
+    ordinal_base = 0
 
     for record in records:
         ops, lens = record.cigar_ops, record.cigar_lens
@@ -141,6 +162,13 @@ def events_from_reads(records: Iterable[BamRecord]) -> ReadEvents:
         q_starts = np.concatenate(
             [[0], np.cumsum(np.where(CONSUMES_QUERY[ops], lens, 0))[:-1]]
         )
+        if track_read_layout:
+            # walk ordinal: every M/=/X, I, D base is one walk step
+            generates = np.isin(ops, _MATCH_OPS) | (ops == OP_I) | (ops == OP_D)
+            ord_starts = ordinal_base + np.concatenate(
+                [[0], np.cumsum(np.where(generates, lens, 0))[:-1]]
+            )
+            ordinal_base = int(ordinal_base + np.where(generates, lens, 0).sum())
 
         is_match = np.isin(ops, _MATCH_OPS)
         if is_match.any():
@@ -149,6 +177,9 @@ def events_from_reads(records: Iterable[BamRecord]) -> ReadEvents:
             m_pos.append(pos)
             m_qc.append(qcol[q])
             m_st.append(np.full(len(pos), strand, dtype=np.int8))
+            if track_read_layout:
+                m_rs.append(np.full(len(pos), record.pos, dtype=np.int64))
+                m_ord.append(ord_starts[is_match][span_id] + cursor)
 
         is_ins = ops == OP_I
         if is_ins.any():
@@ -162,14 +193,20 @@ def events_from_reads(records: Iterable[BamRecord]) -> ReadEvents:
             i_st.append(np.full(len(span_id), strand, dtype=np.int8))
             iop_pos.append(ref_starts[is_ins])
             iop_len.append(lens[is_ins].astype(np.int64))
+            if track_read_layout:
+                i_rs.append(np.full(len(span_id), record.pos, dtype=np.int64))
+                i_ord.append(ord_starts[is_ins][span_id] + cursor)
 
         is_del = ops == OP_D
         if is_del.any():
-            pos, _, _ = _expand_spans(ref_starts[is_del], lens[is_del])
+            pos, span_id, cursor = _expand_spans(ref_starts[is_del], lens[is_del])
             d_pos.append(pos)
             d_st.append(np.full(len(pos), strand, dtype=np.int8))
             dop_pos.append(ref_starts[is_del])
             dop_len.append(lens[is_del].astype(np.int64))
+            if track_read_layout:
+                d_rs.append(np.full(len(pos), record.pos, dtype=np.int64))
+                d_ord.append(ord_starts[is_del][span_id] + cursor)
 
     def cat(parts, dtype=np.int64):
         return np.concatenate(parts) if parts else np.empty(0, dtype=dtype)
@@ -181,6 +218,12 @@ def events_from_reads(records: Iterable[BamRecord]) -> ReadEvents:
         del_pos=cat(d_pos), del_strand=cat(d_st, np.int8),
         ins_op_pos=cat(iop_pos), del_op_pos=cat(dop_pos),
         ins_op_len=cat(iop_len), del_op_len=cat(dop_len),
+        match_rstart=cat(m_rs) if track_read_layout else None,
+        ins_rstart=cat(i_rs) if track_read_layout else None,
+        del_rstart=cat(d_rs) if track_read_layout else None,
+        match_ord=cat(m_ord) if track_read_layout else None,
+        ins_ord=cat(i_ord) if track_read_layout else None,
+        del_ord=cat(d_ord) if track_read_layout else None,
     )
 
 
@@ -272,12 +315,95 @@ def select_candidates(
 # Tensor creation (CreateTensor equivalent)
 # ---------------------------------------------------------------------------
 
+def _window_spans(pos, centers, flank, rstart=None):
+    """Per event: [lo, hi) index range of candidate windows it feeds.
+    With rstart (left-edge inclusion OFF, CreateTensor.py:99-100), a window
+    only accepts reads whose walk touched its activation key c - 17, i.e.
+    reads starting at or before it: c >= rstart + flank + 1."""
+    lo = np.searchsorted(centers, pos - flank + 1, side="left")
+    hi = np.searchsorted(centers, pos + flank + 1, side="right")
+    if rstart is not None:
+        lo = np.maximum(lo, np.searchsorted(centers, rstart + flank + 1, side="left"))
+    return lo, np.maximum(hi - lo, 0)
+
+
+def apply_slot_throttle(
+    events: ReadEvents,
+    centers: np.ndarray,
+    budget: int = 5_000_000,
+    consider_left_edge: bool = True,
+) -> ReadEvents:
+    """Reference-parity memory throttle (CreateTensor.py:180, 279-304):
+    'available slots' decrement once per (event, active window) pair in
+    read-stream walk order; once exhausted, later events contribute nothing
+    to any tensor. Events must carry read layout (events_from_reads with
+    track_read_layout=True).
+
+    Divergences from the reference's accounting, both at the margin only:
+    pairs whose tensor row is out of range (the 2 activation-edge positions
+    per window) are not charged here, and the single boundary event is
+    dropped whole instead of being given to an unspecified subset of its
+    windows (the reference iterates a Python set there).
+    """
+    if events.match_ord is None:
+        raise ValueError("slot throttle needs events with track_read_layout=True")
+    centers = np.asarray(centers, dtype=np.int64)
+    flank = FLANKING_BASE_NUM
+
+    def spans(pos, rstart):
+        _, span = _window_spans(
+            pos, centers, flank, None if consider_left_edge else rstart
+        )
+        return span
+
+    span_m = spans(events.match_pos, events.match_rstart)
+    span_i = spans(events.ins_pos, events.ins_rstart)
+    span_d = spans(events.del_pos, events.del_rstart)
+
+    all_ord = np.concatenate([events.match_ord, events.ins_ord, events.del_ord])
+    all_span = np.concatenate([span_m, span_i, span_d])
+    order = np.argsort(all_ord, kind="stable")
+    keep = np.empty(len(all_ord), dtype=bool)
+    keep[order] = np.cumsum(all_span[order]) <= budget
+    n_m, n_i = len(span_m), len(span_i)
+    keep_m, keep_i, keep_d = keep[:n_m], keep[n_m:n_m + n_i], keep[n_m + n_i:]
+
+    def f(a, mask):
+        return a[mask] if a is not None else None
+
+    return ReadEvents(
+        match_pos=events.match_pos[keep_m],
+        match_qcol=events.match_qcol[keep_m],
+        match_strand=events.match_strand[keep_m],
+        ins_pos=events.ins_pos[keep_i],
+        ins_adv=events.ins_adv[keep_i],
+        ins_qcol=events.ins_qcol[keep_i],
+        ins_strand=events.ins_strand[keep_i],
+        del_pos=events.del_pos[keep_d],
+        del_strand=events.del_strand[keep_d],
+        # per-op arrays feed candidate counting / allele recovery, which the
+        # reference throttle does not touch (it lives in CreateTensor only)
+        ins_op_pos=events.ins_op_pos,
+        del_op_pos=events.del_op_pos,
+        ins_op_len=events.ins_op_len,
+        del_op_len=events.del_op_len,
+        match_rstart=f(events.match_rstart, keep_m),
+        ins_rstart=f(events.ins_rstart, keep_i),
+        del_rstart=f(events.del_rstart, keep_d),
+        match_ord=f(events.match_ord, keep_m),
+        ins_ord=f(events.ins_ord, keep_i),
+        del_ord=f(events.del_ord, keep_d),
+    )
+
+
 def create_tensors(
     events: ReadEvents,
     centers: np.ndarray,
     reference_sequence: str,
     ref_seq_start: int,
     minimum_coverage: int = 0,
+    consider_left_edge: bool = True,
+    slot_budget: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, List[str]]:
     """Scatter events into 33x8x4 count tensors for every candidate center.
 
@@ -299,6 +425,14 @@ def create_tensors(
             centers,
             [],
         )
+    if not consider_left_edge or slot_budget is not None:
+        if events.match_ord is None:
+            raise ValueError(
+                "the reference-parity tensor modes (stop_consider_left_edge / "
+                "slot throttle) need events_from_reads(track_read_layout=True)"
+            )
+    if slot_budget is not None:
+        events = apply_slot_throttle(events, centers, slot_budget, consider_left_edge)
 
     size = NO_OF_POSITIONS * MATRIX_ROW * MATRIX_NUM
     flat = np.zeros(n * size, dtype=np.int64)
@@ -306,15 +440,13 @@ def create_tensors(
     ref_raw = np.frombuffer(reference_sequence.encode("ascii"), dtype=np.uint8)
     ref_rows_full = BASE_NUM_LUT[ref_raw].astype(np.int64)
 
-    def scatter(pos, row_base, strand, channels, adv=None):
+    def scatter(pos, row_base, strand, channels, adv=None, rstart=None):
         """Add events to every candidate window containing them."""
         if len(pos) == 0:
             return
         # windows with center c (1-based) contain event position p (0-based)
         # when p - c + 17 falls in [0, 33) -> c in [p - 15, p + 17]
-        lo = np.searchsorted(centers, pos - flank + 1, side="left")
-        hi = np.searchsorted(centers, pos + flank + 1, side="right")
-        span = hi - lo
+        lo, span = _window_spans(pos, centers, flank, rstart)
         keep = span > 0
         if not keep.any():
             return
@@ -350,8 +482,11 @@ def create_tensors(
     mq_row = np.where(mq > 3, 0, mq)          # N -> row 0 (BASE2NUM['N'])
     mref_row = ref_rows_full[mpos - ref_seq_start]
     known = mref_row >= 0
-    scatter(mpos[known], mref_row[known], mst[known], (0, 2))
-    scatter(mpos[known], mq_row[known], mst[known], (1, 3))
+    m_rs = None
+    if not consider_left_edge:
+        m_rs = events.match_rstart[ok][in_ref][known]
+    scatter(mpos[known], mref_row[known], mst[known], (0, 2), rstart=m_rs)
+    scatter(mpos[known], mq_row[known], mst[known], (1, 3), rstart=m_rs)
 
     # insertion events: query row ch1 at position + queryAdv (capped)
     ok = events.ins_qcol >= 0
@@ -362,6 +497,7 @@ def create_tensors(
         events.ins_strand[ok].astype(np.int64),
         (1,),
         adv=events.ins_adv[ok],
+        rstart=None if consider_left_edge else events.ins_rstart[ok],
     )
 
     # deletion events: ref row ch2
@@ -373,6 +509,8 @@ def create_tensors(
     scatter(
         dpos[known], dref_row[known],
         events.del_strand[in_ref][known].astype(np.int64), (2,),
+        rstart=None if consider_left_edge
+        else events.del_rstart[in_ref][known],
     )
 
     tensors = flat.reshape(n, NO_OF_POSITIONS, MATRIX_ROW, MATRIX_NUM).astype(np.float32)
