@@ -663,6 +663,23 @@ def cmd_plot_tensor(argv):
     plot_main(argv)
 
 
+def cmd_index_vcf(argv):
+    parser = argparse.ArgumentParser(
+        prog="index_vcf",
+        description="Build a tabix (.tbi) index for a bgzipped VCF so "
+                    "truth extraction can seek to windows (the reference "
+                    "uses external `tabix`, GetTruth.py:88-95)",
+    )
+    parser.add_argument("--vcf_fn", required=True, help="bgzipped VCF")
+    parser.add_argument("--tbi_fn", default=None, help="default: <vcf_fn>.tbi")
+    args = parser.parse_args(argv)
+
+    from clair_tpu.io.tbi import build_tbi
+
+    path = build_tbi(args.vcf_fn, args.tbi_fn)
+    print(f"wrote {path}", file=sys.stderr)
+
+
 COMMANDS = {
     "call_var": cmd_call_var,
     "call_bam": cmd_call_bam,
@@ -692,6 +709,7 @@ COMMANDS = {
     "overlap_variant": cmd_overlap_variant,
     "ensemble": cmd_ensemble,
     "plot_tensor": cmd_plot_tensor,
+    "index_vcf": cmd_index_vcf,
 }
 
 

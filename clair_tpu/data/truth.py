@@ -16,8 +16,20 @@ import sys
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, TextIO
 
+import contextlib
+
 from clair_tpu.data.tensor_stream import open_maybe_gzip
 from clair_tpu.io.fasta import FastaReader
+
+
+@contextlib.contextmanager
+def _closing_iter(it):
+    try:
+        yield it
+    finally:
+        close = getattr(it, "close", None)
+        if close is not None:
+            close()
 
 
 @dataclass
@@ -85,6 +97,25 @@ def _merge(info_1: TruthVariant, info_2: TruthVariant) -> TruthVariant:
     )
 
 
+def _vcf_rows(vcf_path: str, ctg_name: str, ctg_start: Optional[int]):
+    """(rows, is_indexed): a tabix-windowed line iterator when a .tbi sits
+    next to a bgzipped VCF (ref GetTruth.py:88-95), else the full stream."""
+    import os
+
+    if str(vcf_path).endswith(".gz") and ctg_start is not None and os.path.isfile(
+        str(vcf_path) + ".tbi"
+    ):
+        try:
+            from clair_tpu.io.tbi import indexed_vcf_lines
+
+            rows = indexed_vcf_lines(vcf_path, ctg_name, max(ctg_start - 1, 0))
+            if rows is not None:
+                return rows, True
+        except Exception:
+            pass
+    return open_maybe_gzip(vcf_path), False
+
+
 def truth_variants_from_vcf(
     vcf_path: str,
     ctg_name: str,
@@ -96,16 +127,27 @@ def truth_variants_from_vcf(
     buffered: Optional[TruthVariant] = None
     buffered_pos = -1
 
-    with open_maybe_gzip(vcf_path) as fh:
+    rows, is_indexed = _vcf_rows(vcf_path, ctg_name, ctg_start if is_region else None)
+    seen_contig = False
+    with rows if hasattr(rows, "__exit__") else _closing_iter(rows) as fh:
         for row in fh:
             columns = row.strip().split()
             if not columns or columns[0].startswith("#"):
                 continue
             chromosome, position = columns[0], columns[1]
             if chromosome != ctg_name:
+                # sorted VCF + indexed seek: a later contig ends the window
+                if is_indexed and seen_contig:
+                    break
                 continue
-            if is_region and not (ctg_start <= int(position) <= ctg_end):
-                continue
+            seen_contig = True
+            if is_region:
+                if int(position) > ctg_end:
+                    if is_indexed:
+                        break  # coordinate-sorted: nothing further overlaps
+                    continue
+                if int(position) < ctg_start:
+                    continue
             reference, alternate, last_column = columns[3], columns[4], columns[-1]
             genotype = (
                 last_column.split(":")[0].replace("/", "|").replace(".", "0").split("|")

@@ -1,0 +1,229 @@
+"""Tabix (.tbi) index over BGZF text: build, read, and windowed line fetch.
+
+The reference windows its truth VCF through `tabix` when an index exists
+(/root/reference/dataPrepScripts/GetTruth.py:88-95). This module gives
+data.truth the same capability on the framework's own BGZF layer: a WGS
+truth lookup becomes a 16kb linear-index seek plus a short forward read
+instead of a full-file inflate. Indexes are written spec-compliantly
+(bgzip-compressed, VCF preset) so external tabix can consume them, and
+externally built .tbi files parse here.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+import zlib
+from typing import Dict, Iterator, List, Optional, Tuple
+
+from clair_tpu.io.bai import LINEAR_SHIFT, reg2bin, _merge_chunks
+from clair_tpu.io.bgzf import block_offsets, parse_block_header
+
+TBI_MAGIC = b"TBI\x01"
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+# tabix VCF preset (tabix -p vcf)
+FORMAT_VCF = 2
+COL_SEQ, COL_BEG, COL_END = 1, 2, 0
+META_CHAR = ord("#")
+
+
+def write_bgzf(path: str, data: bytes, block_size: int = 60000) -> None:
+    """Write ``data`` as a BGZF stream (blocks + EOF marker)."""
+    from clair_tpu.io.bam import _bgzf_block
+
+    with open(path, "wb") as fh:
+        for off in range(0, len(data), block_size):
+            fh.write(_bgzf_block(data[off:off + block_size]))
+        fh.write(BGZF_EOF)
+
+
+def build_tbi(vcf_gz_path: str, tbi_path: Optional[str] = None) -> str:
+    """Index a coordinate-sorted bgzipped VCF (tabix VCF preset)."""
+    tbi_path = tbi_path or vcf_gz_path + ".tbi"
+    with open(vcf_gz_path, "rb") as fh:
+        raw = fh.read()
+
+    # inflate with a block table for virtual-offset resolution
+    parts: List[bytes] = []
+    table: List[Tuple[int, int]] = []  # (uncompressed_start, compressed_offset)
+    position = 0
+    for offset, size in block_offsets(raw):
+        part = zlib.decompress(raw[offset:offset + size], 15 + 16)
+        table.append((position, offset))
+        parts.append(part)
+        position += len(part)
+    data = b"".join(parts)
+
+    def voffset_of(upos: int) -> int:
+        lo, hi = 0, len(table)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if table[mid][0] <= upos:
+                lo = mid + 1
+            else:
+                hi = mid
+        ustart, coffset = table[lo - 1]
+        return (coffset << 16) | (upos - ustart)
+
+    names: List[str] = []
+    name_index: Dict[str, int] = {}
+    bins: List[Dict[int, List[Tuple[int, int]]]] = []
+    linear: List[Dict[int, int]] = []
+
+    cursor = 0
+    n = len(data)
+    while cursor < n:
+        nl = data.find(b"\n", cursor)
+        line_end = n if nl == -1 else nl + 1
+        line = data[cursor:line_end]
+        if line and line[0] != META_CHAR:
+            columns = line.split(b"\t", 4)
+            if len(columns) >= 4:
+                ctg = columns[0].decode("ascii")
+                pos0 = int(columns[1]) - 1
+                end0 = pos0 + max(len(columns[3]), 1)
+                if ctg not in name_index:
+                    name_index[ctg] = len(names)
+                    names.append(ctg)
+                    bins.append({})
+                    linear.append({})
+                r = name_index[ctg]
+                v_beg = voffset_of(cursor)
+                v_end = voffset_of(line_end)
+                bins[r].setdefault(reg2bin(pos0, end0), []).append((v_beg, v_end))
+                for window in range(pos0 >> LINEAR_SHIFT, ((end0 - 1) >> LINEAR_SHIFT) + 1):
+                    if window not in linear[r] or v_beg < linear[r][window]:
+                        linear[r][window] = v_beg
+        cursor = line_end
+
+    payload = bytearray()
+    payload += TBI_MAGIC
+    concat_names = b"".join(name.encode("ascii") + b"\x00" for name in names)
+    payload += struct.pack(
+        "<8i", len(names), FORMAT_VCF, COL_SEQ, COL_BEG, COL_END,
+        META_CHAR, 0, len(concat_names),
+    )
+    payload += concat_names
+    for r in range(len(names)):
+        payload += struct.pack("<i", len(bins[r]))
+        for bin_id in sorted(bins[r]):
+            chunks = _merge_chunks(bins[r][bin_id])
+            payload += struct.pack("<Ii", bin_id, len(chunks))
+            for beg, end in chunks:
+                payload += struct.pack("<QQ", beg, end)
+        if linear[r]:
+            n_intervals = max(linear[r]) + 1
+            filled, last = [], 0
+            for w in range(n_intervals):
+                if w in linear[r]:
+                    last = linear[r][w]
+                filled.append(last)
+            payload += struct.pack("<i", n_intervals)
+            payload += struct.pack(f"<{n_intervals}Q", *filled)
+        else:
+            payload += struct.pack("<i", 0)
+
+    import os
+
+    tmp_path = tbi_path + f".tmp.{os.getpid()}"
+    write_bgzf(tmp_path, bytes(payload))
+    os.replace(tmp_path, tbi_path)
+    return tbi_path
+
+
+class TbiIndex:
+    """Parsed .tbi — linear-index lookups by contig name."""
+
+    def __init__(self, tbi_path: str):
+        with open(tbi_path, "rb") as fh:
+            raw = gzip.decompress(fh.read())
+        if raw[:4] != TBI_MAGIC:
+            raise ValueError(f"{tbi_path} is not a tabix index")
+        (n_ref, self.format, self.col_seq, self.col_beg, self.col_end,
+         self.meta, self.skip, l_nm) = struct.unpack_from("<8i", raw, 4)
+        cursor = 36
+        names_blob = raw[cursor:cursor + l_nm]
+        cursor += l_nm
+        self.names = [n.decode("ascii") for n in names_blob.split(b"\x00") if n]
+        self.name_index = {n: i for i, n in enumerate(self.names)}
+        self.linear: List[List[int]] = []
+        for _ in range(n_ref):
+            (n_bins,) = struct.unpack_from("<i", raw, cursor)
+            cursor += 4
+            for _ in range(n_bins):
+                _bin_id, n_chunks = struct.unpack_from("<Ii", raw, cursor)
+                cursor += 8 + 16 * n_chunks
+            (n_intervals,) = struct.unpack_from("<i", raw, cursor)
+            cursor += 4
+            intervals = list(struct.unpack_from(f"<{n_intervals}Q", raw, cursor))
+            cursor += 8 * n_intervals
+            self.linear.append(intervals)
+
+    def min_virtual_offset(self, ctg_name: str, start: int) -> Optional[int]:
+        """Virtual offset of the first line that may overlap a region from
+        0-based ``start`` (None -> contig absent or scan from top)."""
+        ref_id = self.name_index.get(ctg_name)
+        if ref_id is None:
+            return None
+        intervals = self.linear[ref_id]
+        if not intervals:
+            return None
+        window = min(start >> LINEAR_SHIFT, len(intervals) - 1)
+        return intervals[window] or None
+
+
+def lines_from_voffset(path: str, voffset: int) -> Iterator[str]:
+    """Text lines of a BGZF file starting at a virtual offset, inflating
+    lazily in raw chunks (early break never decompresses the rest)."""
+    coffset, upos = voffset >> 16, voffset & 0xFFFF
+    chunk_size = 1 << 20
+    with open(path, "rb") as fh:
+        fh.seek(coffset)
+        carry = b""
+        buf = bytearray()
+        cursor = upos
+        raw_eof = False
+        while True:
+            nl = buf.find(b"\n", cursor)
+            while nl != -1:
+                yield buf[cursor:nl].decode("ascii")
+                cursor = nl + 1
+                nl = buf.find(b"\n", cursor)
+            if cursor > chunk_size:
+                del buf[:cursor]
+                cursor = 0
+            if raw_eof:
+                if cursor < len(buf):
+                    yield buf[cursor:].decode("ascii")
+                return
+            new = fh.read(chunk_size)
+            if len(new) < chunk_size:
+                raw_eof = True
+            carry += new
+            offset = 0
+            while offset < len(carry):
+                try:
+                    size = parse_block_header(carry, offset)
+                except ValueError:
+                    raw_eof = True
+                    break
+                if offset + size > len(carry):
+                    break
+                buf += zlib.decompress(carry[offset:offset + size], 15 + 16)
+                offset += size
+            carry = carry[offset:]
+
+
+def indexed_vcf_lines(
+    vcf_gz_path: str, ctg_name: str, start0: int
+) -> Optional[Iterator[str]]:
+    """Lines from the first one that may overlap ctg_name:start0 onward
+    (None -> no usable index entry; caller falls back to a full scan)."""
+    index = TbiIndex(vcf_gz_path + ".tbi")
+    voffset = index.min_virtual_offset(ctg_name, start0)
+    if voffset is None:
+        return None
+    return lines_from_voffset(vcf_gz_path, voffset)
