@@ -173,6 +173,11 @@ def cmd_call_bam_parallel(argv):
                         help="pileup worker threads (or process-pool size with --process_pool)")
     parser.add_argument("--process_pool", action="store_true",
                         help="one process per window (for multi-device hosts) instead of the threaded single-device runner")
+    parser.add_argument("--resume", action="store_true",
+                        help="re-run only windows not logged ok in the joblog "
+                             "(the GNU parallel --joblog Exitval workflow, in-process)")
+    parser.add_argument("--joblog", default=None,
+                        help="per-window audit log path (default: <output>.joblog)")
     args = parser.parse_args(argv)
 
     from clair_tpu.pipeline.call_bam_parallel import (
@@ -208,6 +213,8 @@ def cmd_call_bam_parallel(argv):
             include_all_contigs=args.includingAllContigs,
             max_workers=args.workers,
             checkpoint_path=args.chkpnt_fn,
+            resume=args.resume,
+            joblog_path=args.joblog,
         )
         merge_vcfs(paths, args.output_prefix + ".vcf")
     else:
@@ -216,6 +223,8 @@ def cmd_call_bam_parallel(argv):
             chunk_size=args.refChunkSize,
             include_all_contigs=args.includingAllContigs,
             pileup_workers=args.workers,
+            resume=args.resume,
+            joblog_path=args.joblog,
         )
 
 

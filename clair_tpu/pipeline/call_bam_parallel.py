@@ -12,15 +12,92 @@ out, minus the process-pipe overhead.
 from __future__ import annotations
 
 import dataclasses
+import json
 import logging
+import os
 import sys
-from typing import Iterator, List, Optional, TextIO, Tuple
+import time
+from typing import Iterator, List, Optional, Set, TextIO, Tuple
 
 from clair_tpu.io.fasta import FastaReader
 from clair_tpu.pipeline.call_bam import CallBamConfig, call_bam
 from clair_tpu.utils.intervals import BedIntervals
 
 logger = logging.getLogger(__name__)
+
+
+class JobLog:
+    """Per-window failure audit + resume manifest.
+
+    The in-process equivalent of the reference's GNU parallel `--joblog`
+    Exitval workflow and trailing-newline completeness check
+    (/root/reference/README.md:299-300, docs/TRAIN.md:58-59): one JSON line
+    per finished window ({window, status, sites, output, error, elapsed}),
+    flushed immediately so a killed run leaves a machine-readable record.
+    Re-running with resume=True skips windows already logged ok.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fh = None
+
+    def completed(self) -> Set[Tuple[str, int, int]]:
+        """Windows recorded ok in an existing log (empty when absent)."""
+        done: Set[Tuple[str, int, int]] = set()
+        if not os.path.isfile(self.path):
+            return done
+        with open(self.path) as fh:
+            for line in fh:
+                try:
+                    entry = json.loads(line)
+                except ValueError:
+                    continue  # torn write from a killed run
+                if entry.get("status") == "ok":
+                    ctg, start, end = entry["window"]
+                    done.add((ctg, int(start), int(end)))
+        return done
+
+    def record(
+        self,
+        window: Tuple[str, int, int],
+        status: str,
+        sites: int = 0,
+        output: Optional[str] = None,
+        error: Optional[str] = None,
+        elapsed: float = 0.0,
+    ) -> None:
+        if self._fh is None:
+            self._fh = open(self.path, "a")
+        entry = {
+            "window": list(window),
+            "status": status,
+            "sites": sites,
+            "elapsed": round(elapsed, 3),
+        }
+        if output is not None:
+            entry["output"] = output
+        if error is not None:
+            entry["error"] = error
+        self._fh.write(json.dumps(entry) + "\n")
+        self._fh.flush()
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+
+def vcf_is_complete(path: str) -> bool:
+    """Trailing-newline completeness check (ref README.md:299-300)."""
+    try:
+        with open(path, "rb") as fh:
+            fh.seek(0, 2)
+            if fh.tell() == 0:
+                return False
+            fh.seek(-1, 2)
+            return fh.read(1) == b"\n"
+    except OSError:
+        return False
 
 # chr1-22,X,Y with and without "chr" (ref callVarBamParallel.py:15)
 MAJOR_CONTIGS = (
@@ -52,21 +129,29 @@ def genome_windows(
 
 
 def _run_window(args_tuple):
-    """Worker entry: build a predictor in-process and call one window."""
+    """Worker entry: build a predictor in-process and call one window.
+    Exceptions come back as data so one bad window can't sink the pool."""
     base_config, checkpoint_path, window, output_prefix = args_tuple
-    from clair_tpu.models.checkpoint import load_checkpoint
-    from clair_tpu.params import ModelConfig
-    from clair_tpu.pipeline.call_var import Predictor
-
     contig, start, end = window
-    params, _ = load_checkpoint(checkpoint_path)
-    predictor = Predictor(params, ModelConfig())
-    config = dataclasses.replace(
-        base_config, contig=contig, ctg_start=start, ctg_end=end
-    )
     path = f"{output_prefix}.{contig}_{start}_{end}.vcf"
-    sites = call_bam(config, predictor, output_path=path)
-    return path, window, sites
+    started = time.perf_counter()
+    try:
+        from clair_tpu.models.checkpoint import load_checkpoint
+        from clair_tpu.params import ModelConfig
+        from clair_tpu.pipeline.call_var import Predictor
+
+        params, _ = load_checkpoint(checkpoint_path)
+        predictor = Predictor(params, ModelConfig())
+        config = dataclasses.replace(
+            base_config, contig=contig, ctg_start=start, ctg_end=end
+        )
+        sites = call_bam(config, predictor, output_path=path)
+        return path, window, sites, None, time.perf_counter() - started
+    except Exception as exc:
+        return (
+            path, window, 0, f"{type(exc).__name__}: {exc}",
+            time.perf_counter() - started,
+        )
 
 
 def call_bam_parallel(
@@ -77,6 +162,8 @@ def call_bam_parallel(
     include_all_contigs: bool = False,
     max_workers: int = 1,
     checkpoint_path: Optional[str] = None,
+    resume: bool = False,
+    joblog_path: Optional[str] = None,
 ) -> List[str]:
     """Run call_bam over every genome window; returns the per-window VCF
     paths (merge with merge_vcfs).
@@ -85,13 +172,35 @@ def call_bam_parallel(
     a process pool — each worker has its own predictor, keeping the device
     saturated while host pileups proceed in parallel (the reference's
     GNU-parallel share-nothing model, in-process).
+
+    Every window's outcome lands in a JobLog next to the outputs; a failed
+    window is recorded and skipped (the run continues), and resume=True
+    re-runs only windows not yet logged ok.
     """
     fasta = FastaReader(base_config.fasta_path)
     bed = BedIntervals.from_bed(base_config.bed_path) if base_config.bed_path else None
     windows = list(genome_windows(fasta, chunk_size, include_all_contigs, bed))
     fasta.close()
 
-    outputs = []
+    joblog = JobLog(joblog_path or output_prefix + ".joblog")
+    done = joblog.completed() if resume else set()
+    outputs = [
+        f"{output_prefix}.{c}_{s}_{e}.vcf" for c, s, e in windows if (c, s, e) in done
+    ]
+    windows = [w for w in windows if w not in done]
+    failures = []
+
+    def finish(window, path, sites, error, elapsed):
+        if error is None and not vcf_is_complete(path):
+            error = "output VCF has no trailing newline (incomplete)"
+        if error is None:
+            joblog.record(window, "ok", sites=sites, output=path, elapsed=elapsed)
+            outputs.append(path)
+        else:
+            joblog.record(window, "failed", output=path, error=error, elapsed=elapsed)
+            failures.append((window, error))
+            logger.error("window %s:%d-%d FAILED: %s", *window, error)
+
     if max_workers > 1 and checkpoint_path is not None:
         import multiprocessing
 
@@ -101,20 +210,35 @@ def call_bam_parallel(
                 (base_config, checkpoint_path, window, output_prefix)
                 for window in windows
             ]
-            for path, window, sites in pool.imap(_run_window, work):
-                logger.info("window %s:%d-%d -> %d sites", *window, sites)
-                outputs.append(path)
-        return outputs
+            for path, window, sites, error, elapsed in pool.imap(_run_window, work):
+                if error is None:
+                    logger.info("window %s:%d-%d -> %d sites", *window, sites)
+                finish(window, path, sites, error, elapsed)
+    else:
+        predictor = predictor_factory()
+        for window in windows:
+            contig, start, end = window
+            config = dataclasses.replace(
+                base_config, contig=contig, ctg_start=start, ctg_end=end
+            )
+            path = f"{output_prefix}.{contig}_{start}_{end}.vcf"
+            started = time.perf_counter()
+            try:
+                sites = call_bam(config, predictor, output_path=path)
+                error = None
+            except Exception as exc:  # keep calling the rest of the genome
+                sites, error = 0, f"{type(exc).__name__}: {exc}"
+            elapsed = time.perf_counter() - started
+            if error is None:
+                logger.info("window %s:%d-%d -> %d sites", contig, start, end, sites)
+            finish(window, path, sites, error, elapsed)
 
-    predictor = predictor_factory()
-    for contig, start, end in windows:
-        config = dataclasses.replace(
-            base_config, contig=contig, ctg_start=start, ctg_end=end
+    joblog.close()
+    if failures:
+        logger.error(
+            "%d window(s) failed; re-run with resume=True (or --resume) to "
+            "retry only those — audit log: %s", len(failures), joblog.path,
         )
-        path = f"{output_prefix}.{contig}_{start}_{end}.vcf"
-        sites = call_bam(config, predictor, output_path=path)
-        logger.info("window %s:%d-%d -> %d sites", contig, start, end, sites)
-        outputs.append(path)
     return outputs
 
 
@@ -156,6 +280,8 @@ def call_bam_windows_threaded(
     include_all_contigs: bool = False,
     pileup_workers: int = 4,
     prefetch: int = 2,
+    resume: bool = False,
+    joblog_path: Optional[str] = None,
 ) -> int:
     """Single-process WGS runner: ONE predictor owns the device while
     window pileups run on a thread pool (numpy releases the GIL in the hot
@@ -164,6 +290,11 @@ def call_bam_windows_threaded(
     This is the preferred topology for a host attached to one chip — the
     process-pool mode exists for multi-chip hosts where each worker can own
     a device.
+
+    Per-window outcomes land in a JobLog (failures are recorded and the run
+    continues). resume=True appends only windows not yet logged ok — rows
+    then arrive out of genome order; sort or re-merge afterwards if order
+    matters downstream.
     """
     import concurrent.futures
     import sys
@@ -177,18 +308,31 @@ def call_bam_windows_threaded(
     contigs = fasta.contigs
     fasta.close()
 
-    output_fh = open(output_path, "w") if output_path else sys.stdout
+    joblog = JobLog(
+        joblog_path or ((output_path or "call_bam_windows") + ".joblog")
+    )
+    appending = False
+    if resume:
+        done = joblog.completed()
+        windows = [w for w in windows if w not in done]
+        appending = bool(output_path) and os.path.isfile(output_path) and bool(done)
+
+    output_fh = (
+        open(output_path, "a" if appending else "w") if output_path else sys.stdout
+    )
     writer = VcfWriter(
         output_fh,
         sample_name=base_config.sample_name,
         contigs=contigs,
         quality_score_for_pass=base_config.qual,
     )
-    writer.write_header()
+    if not appending:
+        writer.write_header()
 
     total = 0
+    failures = 0
     with concurrent.futures.ThreadPoolExecutor(pileup_workers) as pool:
-        pending = []
+        pending = []  # (window, future)
         cursor = 0
 
         def submit_next():
@@ -200,21 +344,43 @@ def call_bam_windows_threaded(
             config = dataclasses.replace(
                 base_config, contig=contig, ctg_start=start, ctg_end=end
             )
-            pending.append(pool.submit(prepare_window, config))
+            pending.append(
+                ((contig, start, end), pool.submit(prepare_window, config))
+            )
 
         for _ in range(min(pileup_workers + prefetch, len(windows))):
             submit_next()
         while pending:
-            work = pending.pop(0).result()
-            submit_next()
-            sites = call_window(work, predictor, writer)
-            logger.info(
-                "window %s:%d-%d -> %d sites",
-                work.config.contig, work.config.ctg_start, work.config.ctg_end, sites,
+            window, future = pending.pop(0)
+            started = time.perf_counter()
+            try:
+                work = future.result()
+                submit_next()
+                sites = call_window(work, predictor, writer)
+                output_fh.flush()
+            except Exception as exc:
+                submit_next()
+                failures += 1
+                joblog.record(
+                    window, "failed", error=f"{type(exc).__name__}: {exc}",
+                    elapsed=time.perf_counter() - started,
+                )
+                logger.error("window %s:%d-%d FAILED: %s", *window, exc)
+                continue
+            joblog.record(
+                window, "ok", sites=sites, output=output_path,
+                elapsed=time.perf_counter() - started,
             )
+            logger.info("window %s:%d-%d -> %d sites", *window, sites)
             total += sites
     if output_path:
         output_fh.close()
+    joblog.close()
+    if failures:
+        logger.error(
+            "%d window(s) failed; re-run with resume=True (or --resume) to "
+            "retry only those — audit log: %s", failures, joblog.path,
+        )
     return total
 
 
