@@ -672,6 +672,25 @@ def cmd_plot_tensor(argv):
     plot_main(argv)
 
 
+def cmd_convert_tf1(argv):
+    parser = argparse.ArgumentParser(
+        prog="convert_tf1",
+        description="Convert a reference TF1 checkpoint (Saver triplet "
+                    "prefix) to a clair_tpu checkpoint — reads the bundle "
+                    "directly, no tensorflow needed; handles both the "
+                    "CudnnCompatibleLSTMCell and CudnnLSTM-blob layouts",
+    )
+    parser.add_argument("--chkpnt_fn", required=True,
+                        help="TF checkpoint prefix (the path before .index)")
+    parser.add_argument("--output_fn", required=True)
+    args = parser.parse_args(argv)
+
+    from clair_tpu.models.convert_tf1 import convert_tf1_checkpoint
+
+    convert_tf1_checkpoint(args.chkpnt_fn, args.output_fn)
+    print(f"wrote {args.output_fn}", file=sys.stderr)
+
+
 def cmd_index_vcf(argv):
     parser = argparse.ArgumentParser(
         prog="index_vcf",
@@ -719,6 +738,7 @@ COMMANDS = {
     "ensemble": cmd_ensemble,
     "plot_tensor": cmd_plot_tensor,
     "index_vcf": cmd_index_vcf,
+    "convert_tf1": cmd_convert_tf1,
 }
 
 

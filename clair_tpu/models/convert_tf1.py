@@ -20,12 +20,14 @@ Layout conversions performed:
   einsum weight; biases into (256, 30).
 - Dense kernels/biases map 1:1.
 
-``load_tf1_variables`` reads an actual TF checkpoint when tensorflow is
-importable (not the case in this image); ``params_from_tf1_vars`` operates
-on a plain {name: ndarray} dict so the mapping is testable without TF.
-GPU-trained checkpoints store an opaque CudnnLSTM blob; convert those once
-with TF's cudnn_rnn canonical-weight export, then feed the canonical dict
-here.
+``load_tf1_variables`` reads Saver-V2 checkpoint files directly through the
+framework's pure-Python bundle reader (io/tfckpt.py) — no tensorflow
+required. GPU-trained checkpoints store one CudnnLSTM opaque blob per LSTM
+scope (ref model.py:281-296); ``_lstm_from_cudnn_blob`` unpacks the cuDNN
+canonical layout (gate order i,f,c==g,o; split b_W/b_R bias pairs summed,
+the same reduction CudnnCompatibleLSTMCell applies when it loads GPU
+checkpoints on CPU). ``params_from_tf1_vars`` auto-detects which layout a
+checkpoint carries.
 """
 
 from __future__ import annotations
@@ -60,15 +62,94 @@ def _lstm_direction(tf_vars: Dict[str, np.ndarray], scope: str, input_dim: int, 
     return {"w": w, "u": u, "b": b}
 
 
+def _lstm_from_cudnn_blob(blob: np.ndarray, input_dim: int, hidden: int) -> Dict:
+    """Unpack a CudnnLSTM opaque-kernel blob (the GPU training path,
+    ref model.py:281-296) for one single-layer bidirectional LSTM.
+
+    cuDNN canonical packing: weights for pseudo-layer 0 (fw) then 1 (bw) —
+    per direction 8 matrices W_i W_f W_c W_o each (hidden, input_dim) then
+    R_i R_f R_c R_o each (hidden, hidden), C-order flattened — followed by
+    biases, per direction 8 vectors b_Wi..b_Wo then b_Ri..b_Ro of length
+    hidden. cuDNN's gate order (i, f, c, o) is already this framework's
+    (i, f, g, o); the split bias pairs sum (CudnnCompatibleLSTMCell applies
+    the same reduction when it loads GPU checkpoints on CPU).
+    """
+    blob = np.asarray(blob, dtype=np.float32).ravel()
+    per_dir_w = 4 * hidden * input_dim + 4 * hidden * hidden
+    per_dir_b = 8 * hidden
+    expected = 2 * per_dir_w + 2 * per_dir_b
+    if blob.size != expected:
+        raise ValueError(
+            f"CudnnLSTM blob has {blob.size} floats, expected {expected} "
+            f"(bidirectional 1-layer, input {input_dim}, hidden {hidden})"
+        )
+
+    def direction(weights: np.ndarray, biases: np.ndarray) -> Dict:
+        w_gates, u_gates, b_gates = [], [], []
+        cursor = 0
+        for _ in range(4):
+            w_gates.append(
+                weights[cursor:cursor + hidden * input_dim]
+                .reshape(hidden, input_dim).T
+            )
+            cursor += hidden * input_dim
+        for _ in range(4):
+            u_gates.append(
+                weights[cursor:cursor + hidden * hidden].reshape(hidden, hidden).T
+            )
+            cursor += hidden * hidden
+        for k in range(4):
+            b_gates.append(
+                biases[k * hidden:(k + 1) * hidden]
+                + biases[(4 + k) * hidden:(5 + k) * hidden]
+            )
+        return {
+            "w": np.concatenate(w_gates, axis=1),
+            "u": np.concatenate(u_gates, axis=1),
+            "b": np.concatenate(b_gates),
+        }
+
+    w_fw = blob[:per_dir_w]
+    w_bw = blob[per_dir_w:2 * per_dir_w]
+    b_fw = blob[2 * per_dir_w:2 * per_dir_w + per_dir_b]
+    b_bw = blob[2 * per_dir_w + per_dir_b:]
+    return {"fw": direction(w_fw, b_fw), "bw": direction(w_bw, b_bw)}
+
+
+def cudnn_blob_from_lstm(sub: Dict, input_dim: int, hidden: int) -> np.ndarray:
+    """Inverse of _lstm_from_cudnn_blob (fixtures/export); the combined
+    bias lands in the b_W set with b_R zeroed — the sum round-trips."""
+    parts = []
+    for direction in ("fw", "bw"):
+        d = sub[direction]
+        w, u = np.asarray(d["w"], np.float32), np.asarray(d["u"], np.float32)
+        for k in range(4):
+            parts.append(w[:, k * hidden:(k + 1) * hidden].T.ravel())
+        for k in range(4):
+            parts.append(u[:, k * hidden:(k + 1) * hidden].T.ravel())
+    for direction in ("fw", "bw"):
+        b = np.asarray(sub[direction]["b"], np.float32)
+        parts.append(b)
+        parts.append(np.zeros(4 * hidden, np.float32))
+    return np.concatenate(parts)
+
+
 def params_from_tf1_vars(
     tf_vars: Dict[str, np.ndarray], config: ModelConfig = ModelConfig()
 ) -> Dict:
-    """Build the clair_tpu param pytree from a TF1 variable dict."""
+    """Build the clair_tpu param pytree from a TF1 variable dict.
+
+    Handles both trained-checkpoint layouts: the CPU path's
+    cudnn_compatible_lstm_cell kernels/biases and the GPU path's
+    CudnnLSTM opaque blobs (auto-detected per LSTM scope)."""
     feat = config.feature_dim
     h1, h2 = config.lstm1_num_units, config.lstm2_num_units
     l3_in = 2 * h2
 
     def lstm(scope: str, input_dim: int, hidden: int):
+        blob_key = f"{scope}/cudnn_lstm/opaque_kernel"
+        if blob_key in tf_vars:
+            return _lstm_from_cudnn_blob(tf_vars[blob_key], input_dim, hidden)
         base = f"{scope}/stack_bidirectional_rnn/cell_0/bidirectional_rnn"
         return {
             "fw": _lstm_direction(
@@ -153,21 +234,14 @@ def tf1_vars_from_params(params: Dict, config: ModelConfig = ModelConfig()) -> D
 
 
 def load_tf1_variables(checkpoint_path: str) -> Dict[str, np.ndarray]:
-    """Read all variables from a TF1 checkpoint (requires tensorflow)."""
-    try:
-        import tensorflow as tf  # noqa: F401
-    except ImportError as exc:
-        raise ImportError(
-            "tensorflow is required to read TF1 checkpoints; extract the "
-            "variables elsewhere and use params_from_tf1_vars on the dict"
-        ) from exc
-    from tensorflow.python.training import py_checkpoint_reader
+    """Read all variables from a TF1 Saver-V2 checkpoint prefix.
 
-    reader = py_checkpoint_reader.NewCheckpointReader(checkpoint_path)
-    return {
-        name: reader.get_tensor(name)
-        for name in reader.get_variable_to_shape_map()
-    }
+    Uses the framework's own SSTable/bundle reader (io/tfckpt.py) — no
+    tensorflow needed; TF 1.13 does not even install on modern Python, so
+    the published reference checkpoints convert directly here."""
+    from clair_tpu.io.tfckpt import load_variables
+
+    return load_variables(checkpoint_path)
 
 
 def convert_tf1_checkpoint(
