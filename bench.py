@@ -1,19 +1,27 @@
 """Benchmark: call_var pipeline throughput (pileup tensors/sec) on one TPU
 chip vs the reference's CPU operating point.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "stages"}.
 
 Methodology: the pipeline stages overlap (JAX async dispatch: host decodes
 batch N-1 while the device runs batch N), so steady-state throughput is the
 minimum of the stage throughputs:
 
-  1. device: jitted multi-task BiLSTM forward, batch 1000, int16 input
-     cast on device (measured with device-resident input, since in this
-     harness host<->device moves through a remote tunnel whose latency
-     varies 100x run-to-run and is not representative of a real TPU host's
-     PCIe/DMA path; on real hardware the 2 MB/batch transfer costs <1 ms)
-  2. host decode: vectorized batch decode + VCF row emission over a
-     realistic probability mix (measured on this host's CPU)
+  1. device: jitted multi-task BiLSTM forward at predict batch 1000.
+     MEASUREMENT PROTOCOL: on this image's remote 'axon' TPU,
+     jax.block_until_ready is NOT a real device sync (30 dispatched
+     batches "complete" in 5 ms — physically impossible), so timing a
+     Python dispatch loop measures dispatch, not compute. Device numbers
+     here come from an in-jit lax.scan loop with a data dependency between
+     iterations and a value fetch at the end, timed at 1 vs 51 iterations
+     so the tunnel round-trip cancels: per_iter = (t51 - t1) / 50.
+  2. host decode: the production path (native C++ fast-path decoder with
+     the Python lattice fallback) + VCF row emission, measured on this
+     host's CPU over a realistic probability mix.
+
+Both the default config (bfloat16 inference compute) and float32 are
+recorded in "stages", as are train-step samples/sec (f32 = the training
+default, and bf16).
 
 Baseline: the reference runs its TF1.13 network on 4 CPU threads
 (README.md:310) at predict batch 1000; TF1.13 cannot be installed here, so
@@ -22,18 +30,21 @@ stand-in, forward only — generous to the reference, whose per-site Python
 decode is not charged. vs_baseline = value / cpu_tps.
 """
 
+import dataclasses
 import io
 import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
 BATCH = 1000
+TRAIN_BATCH = 10_000
 
 
-def _synthetic_batch():
+def _synthetic_batch(batch=BATCH):
     """Realistic candidate tensors: ~60x depth sites, 1/3 alt support."""
     from clair_tpu.data.tensor_stream import normalize_channels
 
@@ -50,27 +61,39 @@ def _synthetic_batch():
     x[16, 3, 1] += 20
     x[16, 3, 3] += 20
     normalize_channels(x)
-    xs = np.tile(x, (BATCH, 1, 1, 1))
+    xs = np.tile(x, (batch, 1, 1, 1))
     xs += rs.randint(0, 2, size=xs.shape).astype(np.float32)
     return xs, seq
 
 
-def device_throughput(params, config) -> float:
+def device_throughput(params, config, batch=BATCH) -> float:
+    """Real device forward time via in-jit scan (see module docstring)."""
     import jax
     import jax.numpy as jnp
 
     from clair_tpu.models.clair import forward
 
-    fn = jax.jit(lambda p, x: forward(p, x.astype(jnp.float32), config))
-    xs, _ = _synthetic_batch()
-    x_dev = jax.device_put(xs.astype(np.int16))
-    out = fn(params, x_dev)
-    jax.block_until_ready(out)
-    iters = 30
-    start = time.perf_counter()
-    outs = [fn(params, x_dev) for _ in range(iters)]
-    jax.block_until_ready(outs)
-    return BATCH * iters / (time.perf_counter() - start)
+    xs, _ = _synthetic_batch(batch)
+    x = jax.device_put(xs.astype(np.int16))
+
+    @partial(jax.jit, static_argnums=(2,))
+    def loop(params, x, iters):
+        def body(carry, _):
+            xi = x + carry.astype(x.dtype)  # runtime dependency: no hoisting
+            o = forward(params, xi.astype(jnp.float32), config)
+            return (o[0][0, 0] * 1e-20).astype(jnp.float32), ()
+        s, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return s
+
+    float(loop(params, x, 1))
+    float(loop(params, x, 51))
+    t0 = time.perf_counter()
+    float(loop(params, x, 1))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(loop(params, x, 51))
+    t51 = time.perf_counter() - t0
+    return batch / ((t51 - t1) / 50)
 
 
 def decode_throughput(params, config) -> float:
@@ -80,12 +103,11 @@ def decode_throughput(params, config) -> float:
     import jax
     import jax.numpy as jnp
 
+    from clair_tpu.data.tensor_stream import LazyTensorInfos
     from clair_tpu.io.vcf import VcfWriter
     from clair_tpu.models.clair import forward
     from clair_tpu.pipeline.call_var import _decode_batch
     from clair_tpu.pipeline.decode import IndelSources, OutputConfig
-
-    from clair_tpu.data.tensor_stream import LazyTensorInfos
 
     fn = jax.jit(lambda p, x: forward(p, x.astype(jnp.float32), config))
     xs, seq = _synthetic_batch()
@@ -116,22 +138,19 @@ def decode_throughput(params, config) -> float:
     return BATCH * iters / (time.perf_counter() - start)
 
 
-def train_throughput(config) -> float:
-    """Jitted train step samples/sec at the reference's training batch size
-    (10,000, shared/param.py:15), single chip, device-resident batch."""
+def train_throughput(config, batch=TRAIN_BATCH) -> float:
+    """Real train-step samples/sec at the reference's training batch size
+    (10,000, shared/param.py:15) via the in-jit scan protocol."""
     import jax
     import jax.numpy as jnp
+    import optax
 
     from clair_tpu.models.clair import init_params
-    from clair_tpu.parallel.sharding import make_optimizer, make_train_step
-    from clair_tpu.params import TRAIN_BATCH_SIZE
+    from clair_tpu.parallel.sharding import loss_fn, make_optimizer
 
     params = init_params(jax.random.PRNGKey(0), config)
     optimizer = make_optimizer(config.optimizer_name, learning_rate=1e-3)
     opt_state = optimizer.init(params)
-    step = make_train_step(config, optimizer)
-
-    batch = TRAIN_BATCH_SIZE
     rs = np.random.RandomState(1)
     x = jax.device_put(jnp.asarray(rs.rand(batch, 33, 8, 4), jnp.float32))
     y = np.zeros((batch, 90), np.float32)
@@ -140,17 +159,31 @@ def train_throughput(config) -> float:
     y[:, 24 + 16] = 1.0
     y[:, 57 + 16] = 1.0
     y = jax.device_put(jnp.asarray(y))
-    rng = jax.random.PRNGKey(2)
     l2 = jnp.float32(config.l2_regularization_lambda)
 
-    params, opt_state, loss, _ = step(params, opt_state, x, y, rng, l2)  # compile
-    loss.block_until_ready()
-    iters = 10
-    start = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, loss, _ = step(params, opt_state, x, y, rng, l2)
-    loss.block_until_ready()
-    return batch * iters / (time.perf_counter() - start)
+    @partial(jax.jit, static_argnums=(4,))
+    def loop(params, opt_state, x, y, iters):
+        def body(carry, k):
+            params, opt_state = carry
+            rng = jax.random.fold_in(jax.random.PRNGKey(2), k)
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, x, y, rng, config, l2, False, None
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+        (_, _), losses = jax.lax.scan(body, (params, opt_state), jnp.arange(iters))
+        return losses[-1]
+
+    float(loop(params, opt_state, x, y, 1))
+    float(loop(params, opt_state, x, y, 21))
+    t0 = time.perf_counter()
+    float(loop(params, opt_state, x, y, 1))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(loop(params, opt_state, x, y, 21))
+    t21 = time.perf_counter() - t0
+    return batch / ((t21 - t1) / 20)
 
 
 def cpu_baseline_throughput() -> float:
@@ -210,7 +243,8 @@ def main():
     from clair_tpu.utils.jaxcache import enable
 
     enable()
-    config = ModelConfig()
+    config = ModelConfig()  # bfloat16 inference compute (the default)
+    config_f32 = dataclasses.replace(config, compute_dtype="float32")
     params = init_params(jax.random.PRNGKey(0), config)
     # bias heads toward the trained-model regime (ref/SNP-dominated decode)
     params["head_genotype"]["b"] = params["head_genotype"]["b"].at[0].add(8.0)
@@ -218,12 +252,15 @@ def main():
     params["head_len2"]["b"] = params["head_len2"]["b"].at[16].add(8.0)
 
     device_tps = device_throughput(params, config)
+    device_f32_tps = device_throughput(params, config_f32)
     decode_tps = decode_throughput(params, config)
-    train_tps = train_throughput(config)
+    train_f32_tps = train_throughput(config_f32)   # the training default
+    train_bf16_tps = train_throughput(config)
     pipeline_tps = min(device_tps, decode_tps)
     print(
-        f"[bench] device {device_tps:.0f} t/s, host decode {decode_tps:.0f} t/s, "
-        f"train {train_tps:.0f} samples/s",
+        f"[bench] device bf16 {device_tps:.0f} t/s (f32 {device_f32_tps:.0f}), "
+        f"host decode {decode_tps:.0f} t/s, "
+        f"train f32 {train_f32_tps:.0f} samples/s (bf16 {train_bf16_tps:.0f})",
         file=sys.stderr,
     )
 
@@ -240,9 +277,11 @@ def main():
                 "unit": "tensors/sec",
                 "vs_baseline": round(pipeline_tps / cpu_tps, 2),
                 "stages": {
-                    "device_forward_tps": round(device_tps, 1),
+                    "device_forward_tps_bf16": round(device_tps, 1),
+                    "device_forward_tps_f32": round(device_f32_tps, 1),
                     "host_decode_tps": round(decode_tps, 1),
-                    "train_samples_per_sec": round(train_tps, 1),
+                    "train_samples_per_sec_f32": round(train_f32_tps, 1),
+                    "train_samples_per_sec_bf16": round(train_bf16_tps, 1),
                 },
             }
         )

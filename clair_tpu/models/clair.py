@@ -100,8 +100,11 @@ def forward_logits(
     compute_dtype = jnp.dtype(config.compute_dtype)
     if compute_dtype != jnp.float32:
         # true reduced-precision compute: cast weights once at use; the
-        # softmax/logits stay in the compute dtype and are upcast by callers
-        params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
+        # softmax/logits stay in the compute dtype and are upcast by callers.
+        # jnp.asarray (not .astype) so numpy-held params (e.g. converted
+        # checkpoints) become jnp arrays — numpy ml_dtypes bfloat16 leaves
+        # would otherwise re-promote matmuls to float32
+        params = jax.tree.map(lambda p: jnp.asarray(p, compute_dtype), params)
     h = x.reshape(b, config.no_of_positions, config.feature_dim).astype(compute_dtype)
 
     lstm = bilstm

@@ -94,6 +94,10 @@ def total_loss(
     multiple).
     """
     spans = (GT21_SPAN, GENOTYPE_SPAN, LENGTH1_SPAN, LENGTH2_SPAN)
+    # losses always accumulate in float32: with bfloat16 compute the network
+    # emits bf16 logits, and a batch-summed focal loss over 10k rows would
+    # lose ~8 bits of mantissa to the reduction otherwise
+    logits = [lg.astype(jnp.float32) for lg in logits]
     labels = [y[..., s[0]:s[1]] for s in spans]
 
     if loss_function == "CrossEntropy":

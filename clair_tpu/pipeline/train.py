@@ -16,6 +16,7 @@ Semantics preserved from the reference:
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import time
 from dataclasses import dataclass, field
@@ -84,6 +85,12 @@ class TrainingConfig:
     mesh: Optional[object] = None
     seed: int = 0
     evaluate_at_end: bool = True
+    # training computes in float32 regardless of the inference default
+    # (bfloat16): measured on the demo-scale run, bf16 gradients cost ~9
+    # recall points at convergence while bf16 inference on the converged
+    # model is decision-identical (tests/test_bf16.py). Set to "bfloat16"
+    # explicitly for 1.6x step throughput when the scale tolerates it.
+    train_compute_dtype: str = "float32"
 
 
 @dataclass
@@ -98,7 +105,9 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
     from clair_tpu.utils.jaxcache import enable as enable_jax_cache
 
     enable_jax_cache()
-    model_config = config.model
+    model_config = dataclasses.replace(
+        config.model, compute_dtype=config.train_compute_dtype
+    )
     rng = jax.random.PRNGKey(config.seed)
     rng, init_rng = jax.random.split(rng)
 

@@ -30,6 +30,100 @@ class PlantedVariant:
         return self.genotype == (0, 1)
 
 
+@dataclasses.dataclass(frozen=True)
+class ErrorProfile:
+    """Per-base sequencing-error model applied to simulated reads.
+
+    ONT_R94 approximates R9.4.1 nanopore behavior — the reference's target
+    platform (README.md:57-59) — mismatches plus indel-dominated errors
+    with homopolymer-biased deletions and duplication-style insertions.
+    """
+
+    mismatch: float = 0.0
+    insertion: float = 0.0          # per-base prob of an insertion after it
+    deletion: float = 0.0           # per-base prob of dropping it
+    homopolymer_boost: float = 0.0  # extra deletion prob per repeat base (capped x4)
+    max_indel: int = 3
+
+
+CLEAN = ErrorProfile()
+ONT_R94 = ErrorProfile(
+    mismatch=0.05, insertion=0.02, deletion=0.03,
+    homopolymer_boost=0.02, max_indel=3,
+)
+
+
+def corrupt_read(
+    rs: np.random.RandomState,
+    cigar: List[Tuple[int, str]],
+    seq: str,
+    profile: ErrorProfile,
+) -> Tuple[List[Tuple[int, str]], str]:
+    """Inject profile errors into an (aligned) read, updating the CIGAR.
+
+    Mismatches substitute; deletions drop the base (M -> D against the
+    reference) with probability boosted inside homopolymer runs; insertions
+    add 1..max_indel bases after the base, biased toward duplicating it
+    (nanopore stay errors). First/last read bases never delete so CIGARs
+    stay M-anchored.
+    """
+    if profile == CLEAN:
+        return cigar, seq
+    out_cigar: List[Tuple[int, str]] = []
+    out_seq: List[str] = []
+
+    def push(op: str, length: int):
+        if length <= 0:
+            return
+        if out_cigar and out_cigar[-1][1] == op:
+            out_cigar[-1] = (out_cigar[-1][0] + length, op)
+        else:
+            out_cigar.append((length, op))
+
+    # homopolymer run length at each read position (on the query sequence)
+    runs = np.ones(len(seq), dtype=np.int32)
+    for i in range(1, len(seq)):
+        if seq[i] == seq[i - 1]:
+            runs[i] = runs[i - 1] + 1
+    u = rs.rand(len(seq), 2)
+
+    qpos = 0
+    n = len(seq)
+    for length, op in cigar:
+        if op in "SI":
+            out_seq.append(seq[qpos:qpos + length])
+            push(op, length)
+            qpos += length
+            continue
+        if op in "DN":
+            push(op, length)
+            continue
+        for _ in range(length):  # M/=/X
+            base = seq[qpos]
+            boost = profile.homopolymer_boost * min(int(runs[qpos]) - 1, 4)
+            p_del = (profile.deletion + boost) if 0 < qpos < n - 1 else 0.0
+            draw = u[qpos, 0]
+            if draw < profile.mismatch:
+                out_seq.append(rs.choice([b for b in "ACGT" if b != base]))
+                push("M", 1)
+            elif draw < profile.mismatch + p_del:
+                push("D", 1)          # base dropped: ref consumed, query not
+            else:
+                out_seq.append(base)
+                push("M", 1)
+            if u[qpos, 1] < profile.insertion and 0 < qpos < n - 1:
+                k = int(rs.randint(1, profile.max_indel + 1))
+                # stay errors duplicate the current base most of the time
+                ins = (
+                    base * k if rs.rand() < 0.7
+                    else "".join(rs.choice(list("ACGT"), k))
+                )
+                out_seq.append(ins)
+                push("I", k)
+            qpos += 1
+    return out_cigar, "".join(out_seq)
+
+
 def random_reference(rs: np.random.RandomState, length: int) -> str:
     return "".join(rs.choice(list("ACGT"), length))
 
@@ -145,29 +239,43 @@ def simulate_bam(
     read_length: int = 150,
     error_rate: float = 0.0,
     contig: str = "chr1",
+    error_profile: Optional[ErrorProfile] = None,
+    read_length_sigma: float = 0.0,
 ) -> int:
     """Write a coordinate-sorted BAM of haplotype-aware reads; returns the
-    number of reads."""
+    number of reads.
+
+    error_rate is the legacy uniform-mismatch knob; error_profile supersedes
+    it (e.g. ONT_R94 for nanopore-like noise). read_length_sigma > 0 samples
+    per-read lengths lognormally around read_length (long-read length
+    spread)."""
+    if error_profile is None:
+        error_profile = ErrorProfile(mismatch=error_rate)
     hap0, hap1 = haplotype_sequences(reference, variants)
     n_reads = coverage * len(reference) // read_length
     reads = []
     for i in range(n_reads):
-        start0 = int(rs.randint(0, len(reference) - read_length))
+        if read_length_sigma > 0:
+            length = int(np.clip(
+                rs.lognormal(np.log(read_length), read_length_sigma),
+                50, 2.5 * read_length,
+            ))
+        else:
+            length = read_length
+        length = min(length, len(reference) - 1)
+        start0 = int(rs.randint(0, len(reference) - length))
         hap = hap1 if i % 2 else hap0
-        cigar, seq = _read_from_haplotype(reference, hap, start0, read_length)
-        if error_rate > 0:
-            seq_arr = np.array(list(seq))
-            err = rs.rand(len(seq_arr)) < error_rate
-            if err.any():
-                seq_arr[err] = rs.choice(list("ACGT"), int(err.sum()))
-                seq = "".join(seq_arr)
+        cigar, seq = _read_from_haplotype(reference, hap, start0, length)
+        cigar, seq = corrupt_read(rs, cigar, seq, error_profile)
+        if not seq:
+            continue
         flag = 16 if rs.rand() < 0.5 else 0
         reads.append((f"sim{i}", start0, flag, cigar, seq))
 
     with BamWriter(bam_path, [(contig, len(reference))]) as writer:
         for name, pos, flag, cigar, seq in sorted(reads, key=lambda r: r[1]):
             writer.write(name, 0, pos, 60, flag, cigar, seq)
-    return n_reads
+    return len(reads)
 
 
 def write_fasta(path: str, reference: str, contig: str = "chr1") -> None:

@@ -22,7 +22,7 @@ import numpy as np
 
 def run_demo(
     genome_length=40_000,
-    n_variants=80,
+    n_variants=200,
     coverage=30,
     error_rate=0.002,
     lstm_units=32,
@@ -30,6 +30,10 @@ def run_demo(
     work_dir=None,
     seed=7,
     verbose=True,
+    error_profile=None,
+    read_length=150,
+    read_length_sigma=0.0,
+    spacing=150,
 ):
     import jax
 
@@ -59,6 +63,7 @@ def run_demo(
 
     rs = np.random.RandomState(seed)
     work_dir = work_dir or tempfile.mkdtemp(prefix="clair_tpu_demo_")
+    os.makedirs(work_dir, exist_ok=True)
     paths = {name: os.path.join(work_dir, name) for name in (
         "ref.fa", "sample.bam", "truth.vcf", "truth.var", "var_tensors.txt",
         "can_tensors.txt", "paired.txt", "train.bin", "calls.vcf",
@@ -70,11 +75,13 @@ def run_demo(
 
     # 1. simulate
     reference = random_reference(rs, genome_length)
-    variants = plant_variants(rs, reference, n_variants=n_variants)
+    variants = plant_variants(rs, reference, n_variants=n_variants, spacing=spacing)
     write_fasta(paths["ref.fa"], reference)
     n_reads = simulate_bam(
         paths["sample.bam"], reference, variants, rs,
         coverage=coverage, error_rate=error_rate,
+        error_profile=error_profile,
+        read_length=read_length, read_length_sigma=read_length_sigma,
     )
     write_truth_vcf(paths["truth.vcf"], variants)
     log(f"simulated {len(variants)} variants, {n_reads} reads at ~{coverage}x")
@@ -149,7 +156,9 @@ def run_demo(
         output_path=paths["calls.vcf"],
     )
 
-    # 7. score against planted truth (position+genotype-class level)
+    # 7. score against planted truth (position+genotype-class level),
+    #    SNP and indel tallied separately (the reference's benchmark
+    #    tables report them separately, benchmark-modelWith2HD.png)
     truth_by_pos = {v.position: v for v in variants}
     called = {}
     with open(paths["calls.vcf"]) as fh:
@@ -159,6 +168,26 @@ def run_demo(
             columns = row.split("\t")
             called[int(columns[1])] = (columns[3], columns[4], columns[9].split(":")[0])
 
+    def is_snp_alleles(ref, alt):
+        return len(ref) == 1 and all(len(a) == 1 for a in alt.split(","))
+
+    def score(kind):
+        if kind == "snp":
+            truth = {p for p, v in truth_by_pos.items() if is_snp_alleles(v.ref, v.alt)}
+            calls = {p for p, (r, a, _) in called.items() if is_snp_alleles(r, a)}
+        else:
+            truth = {p for p, v in truth_by_pos.items() if not is_snp_alleles(v.ref, v.alt)}
+            calls = {p for p, (r, a, _) in called.items() if not is_snp_alleles(r, a)}
+        tp = len(truth & set(called))   # site found at all (any representation)
+        fp = len(calls - set(truth_by_pos))
+        fn = len(truth - set(called))
+        precision = tp / max(tp + fp, 1)
+        recall = tp / max(tp + fn, 1)
+        f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+        return {"tp": tp, "fp": fp, "fn": fn,
+                "precision": precision, "recall": recall, "f1": f1}
+
+    snp, indel = score("snp"), score("indel")
     tp = sum(1 for p in truth_by_pos if p in called)
     fn = len(truth_by_pos) - tp
     fp = len(called) - tp
@@ -172,6 +201,10 @@ def run_demo(
         f"calls: {len(called)}; site recall {recall:.3f}, precision {precision:.3f}, "
         f"exact allele matches {exact}/{len(truth_by_pos)}"
     )
+    log(
+        f"SNP   P {snp['precision']:.3f} R {snp['recall']:.3f} F1 {snp['f1']:.3f} | "
+        f"Indel P {indel['precision']:.3f} R {indel['recall']:.3f} F1 {indel['f1']:.3f}"
+    )
     return {
         "work_dir": work_dir,
         "n_truth": len(truth_by_pos),
@@ -179,23 +212,40 @@ def run_demo(
         "recall": recall,
         "precision": precision,
         "exact": exact,
+        "snp": snp,
+        "indel": indel,
     }
 
 
 def main():
     parser = argparse.ArgumentParser(description="clair_tpu end-to-end demo")
     parser.add_argument("--quick", action="store_true", help="smaller/faster settings")
+    parser.add_argument(
+        "--profile", choices=("clean", "ont"), default="clean",
+        help="read error model: 'ont' = R9.4.1-like noise (homopolymer-"
+             "biased indels, 5%% mismatch, lognormal read lengths)",
+    )
     parser.add_argument("--work_dir", default=None)
     args = parser.parse_args()
 
+    kwargs = {}
+    if args.profile == "ont":
+        from clair_tpu.utils.simulate import ONT_R94
+
+        kwargs = dict(
+            error_profile=ONT_R94, coverage=60,
+            read_length=1000, read_length_sigma=0.4,
+        )
     if args.quick:
-        stats = run_demo(genome_length=15_000, n_variants=40, epochs=400,
-                         work_dir=args.work_dir)
+        stats = run_demo(genome_length=30_000, n_variants=150, epochs=400,
+                         work_dir=args.work_dir, **kwargs)
     else:
-        stats = run_demo(work_dir=args.work_dir)
+        stats = run_demo(genome_length=60_000, n_variants=300, epochs=600,
+                         work_dir=args.work_dir, **kwargs)
     print(stats)
-    if stats["recall"] < 0.7:
-        sys.exit("demo recall below 0.7 — something is off")
+    floor = 0.8 if args.profile == "ont" else 0.95
+    if stats["recall"] < floor:
+        sys.exit(f"demo recall below {floor} — something is off")
 
 
 if __name__ == "__main__":

@@ -8,7 +8,9 @@ from clair_tpu.params import ModelConfig
 
 
 def test_forward_activations_shapes_and_consistency():
-    config = ModelConfig()
+    # the activation dump always computes in f32 (it's a numerical debug
+    # surface); compare against an f32 forward, not the bf16 default
+    config = ModelConfig(compute_dtype="float32")
     params = init_params(jax.random.PRNGKey(0), config)
     x = np.random.RandomState(0).rand(2, 33, 8, 4).astype(np.float32)
     acts = forward_activations(params, x, config)
