@@ -186,6 +186,76 @@ def train_throughput(config, batch=TRAIN_BATCH) -> float:
     return batch / ((t21 - t1) / 20)
 
 
+def wgs_throughput(params, config, genome_mb=1.0, coverage=30) -> float:
+    """End-to-end WGS calling throughput in Mbp/min: synthetic 30x BAM ->
+    threaded window runner (pileup + inference + decode + VCF) with the
+    production predictor. Host pileup runs on this machine's cores
+    (nproc=1 in this harness — the number scales with pileup workers).
+
+    Read generation is vectorized (pure-M reads, 0.2% sequencing error,
+    ~1 het SNP per kb — the human heterozygosity regime) so the bench
+    measures the caller, not the simulator.
+    """
+    import tempfile
+
+    from clair_tpu.io.bai import build_bai
+    from clair_tpu.io.bam import BamWriter
+    from clair_tpu.pipeline.call_bam import CallBamConfig
+    from clair_tpu.pipeline.call_bam_parallel import call_bam_windows_threaded
+    from clair_tpu.pipeline.call_var import Predictor
+    from clair_tpu.utils.simulate import write_fasta
+
+    rs = np.random.RandomState(0)
+    length = int(genome_mb * 1e6)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    ref = bases[rs.randint(0, 4, length)]
+    read_len = 150
+    n_reads = length * coverage // read_len
+    starts = np.sort(rs.randint(0, length - read_len, n_reads))
+    reads = ref[starts[:, None] + np.arange(read_len)].copy()
+
+    # sequencing errors at 0.2%
+    err = rs.rand(n_reads, read_len) < 0.002
+    reads[err] = bases[rs.randint(0, 4, int(err.sum()))]
+    # ~1 het SNP per kb: alt base in half the covering reads
+    snp_positions = np.arange(500, length - 500, 1000)
+    for pos in snp_positions:
+        lo = np.searchsorted(starts, pos - read_len + 1, side="left")
+        hi = np.searchsorted(starts, pos, side="right")
+        rows = np.arange(lo, hi)
+        rows = rows[rs.rand(len(rows)) < 0.5]
+        alt = bases[(np.searchsorted(bases, ref[pos]) + 1) % 4]
+        reads[rows, pos - starts[rows]] = alt
+
+    tmp = tempfile.mkdtemp(prefix="clair_tpu_wgs_bench_")
+    fasta_path = os.path.join(tmp, "ref.fa")
+    bam_path = os.path.join(tmp, "s.bam")
+    write_fasta(fasta_path, ref.tobytes().decode("ascii"))
+    cigar = [(read_len, "M")]
+    with BamWriter(bam_path, [("chr1", length)]) as writer:
+        for i in range(n_reads):
+            writer.write(
+                f"r{i}", 0, int(starts[i]), 60, 0, cigar,
+                reads[i].tobytes().decode("ascii"),
+            )
+    build_bai(bam_path, bam_path + ".bai")
+
+    predictor = Predictor(params, config)
+    base = CallBamConfig(
+        bam_path=bam_path, fasta_path=fasta_path,
+        minimum_af=0.2, minimum_coverage=4,
+    )
+    out = os.path.join(tmp, "calls.vcf")
+    workers = max(os.cpu_count() or 1, 1)
+    start = time.perf_counter()
+    call_bam_windows_threaded(
+        base, predictor, out,
+        chunk_size=250_000, include_all_contigs=True, pileup_workers=workers,
+    )
+    elapsed = time.perf_counter() - start
+    return genome_mb / (elapsed / 60.0)
+
+
 def cpu_baseline_throughput() -> float:
     """Reference-equivalent network in torch on 4 CPU threads."""
     os.environ.setdefault("OMP_NUM_THREADS", "4")
@@ -256,11 +326,17 @@ def main():
     decode_tps = decode_throughput(params, config)
     train_f32_tps = train_throughput(config_f32)   # the training default
     train_bf16_tps = train_throughput(config)
+    try:
+        wgs_mbp_min = wgs_throughput(params, config)
+    except Exception as exc:
+        print(f"[bench] wgs stage failed ({exc})", file=sys.stderr)
+        wgs_mbp_min = 0.0
     pipeline_tps = min(device_tps, decode_tps)
     print(
         f"[bench] device bf16 {device_tps:.0f} t/s (f32 {device_f32_tps:.0f}), "
         f"host decode {decode_tps:.0f} t/s, "
-        f"train f32 {train_f32_tps:.0f} samples/s (bf16 {train_bf16_tps:.0f})",
+        f"train f32 {train_f32_tps:.0f} samples/s (bf16 {train_bf16_tps:.0f}), "
+        f"wgs e2e {wgs_mbp_min:.1f} Mbp/min/core",
         file=sys.stderr,
     )
 
@@ -282,6 +358,8 @@ def main():
                     "host_decode_tps": round(decode_tps, 1),
                     "train_samples_per_sec_f32": round(train_f32_tps, 1),
                     "train_samples_per_sec_bf16": round(train_bf16_tps, 1),
+                    "wgs_end_to_end_mbp_per_min": round(wgs_mbp_min, 2),
+                    "pileup_workers": os.cpu_count(),
                 },
             }
         )

@@ -232,22 +232,25 @@ def events_from_reads(
 # ---------------------------------------------------------------------------
 
 def pileup_counts(events: ReadEvents, region_start: int, region_length: int) -> np.ndarray:
-    """(region_length, 7) counts of A/C/G/T/I/D/N per reference position."""
-    counts = np.zeros((region_length, PILEUP_COLS), dtype=np.int32)
+    """(region_length, 7) counts of A/C/G/T/I/D/N per reference position.
 
+    One bincount over flattened (position, column) indices — np.add.at is
+    ~5x slower on this scatter shape and this is the per-aligned-base hot
+    loop of candidate selection."""
     ok = events.match_qcol >= 0
     pos = events.match_pos[ok] - region_start
     in_region = (pos >= 0) & (pos < region_length)
-    np.add.at(
-        counts,
-        (pos[in_region], events.match_qcol[ok][in_region].astype(np.int64)),
-        1,
-    )
+    flat_index = pos[in_region] * PILEUP_COLS + events.match_qcol[ok][in_region]
+    counts = np.bincount(
+        flat_index, minlength=region_length * PILEUP_COLS
+    ).reshape(region_length, PILEUP_COLS).astype(np.int32)
 
     for op_pos, column in ((events.ins_op_pos, COL_I), (events.del_op_pos, COL_D)):
         attach = op_pos - 1 - region_start
         in_region = (attach >= 0) & (attach < region_length)
-        np.add.at(counts[:, column], attach[in_region], 1)
+        counts[:, column] += np.bincount(
+            attach[in_region], minlength=region_length
+        ).astype(np.int32)
 
     return counts
 
@@ -440,6 +443,24 @@ def create_tensors(
     ref_raw = np.frombuffer(reference_sequence.encode("ascii"), dtype=np.uint8)
     ref_rows_full = BASE_NUM_LUT[ref_raw].astype(np.int64)
 
+    # coverage bitmask over [mask_lo, mask_hi): positions inside ANY window
+    # ([c-17, c+16) per center). Sparse candidates (WGS calling: ~1 per kb)
+    # would otherwise pay two binary searches per aligned base of the whole
+    # region — the pre-filter drops ~99% of events with one gather.
+    mask_lo = int(centers[0]) - flank - 1
+    mask_len = int(centers[-1]) + flank - mask_lo
+    delta = np.zeros(mask_len + 1, np.int32)
+    np.add.at(delta, centers - flank - 1 - mask_lo, 1)
+    np.add.at(delta, centers + flank - mask_lo, -1)
+    near = np.cumsum(delta[:-1]) > 0
+
+    def near_filter(pos: np.ndarray) -> np.ndarray:
+        idx = pos - mask_lo
+        ok = (idx >= 0) & (idx < mask_len)
+        out = np.zeros(len(pos), dtype=bool)
+        out[ok] = near[idx[ok]]
+        return out
+
     def scatter(pos, row_base, strand, channels, adv=None, rstart=None):
         """Add events to every candidate window containing them."""
         if len(pos) == 0:
@@ -475,7 +496,7 @@ def create_tensors(
     # match events: ref row ch0+ch2, query row ch1+ch3
     ok = events.match_qcol >= 0
     mpos = events.match_pos[ok]
-    in_ref = (mpos >= ref_lo) & (mpos < ref_hi)
+    in_ref = (mpos >= ref_lo) & (mpos < ref_hi) & near_filter(mpos)
     mpos = mpos[in_ref]
     mq = events.match_qcol[ok][in_ref].astype(np.int64)
     mst = events.match_strand[ok][in_ref].astype(np.int64)
@@ -490,6 +511,7 @@ def create_tensors(
 
     # insertion events: query row ch1 at position + queryAdv (capped)
     ok = events.ins_qcol >= 0
+    ok[ok] = near_filter(events.ins_pos[ok])
     iq = events.ins_qcol[ok].astype(np.int64)
     scatter(
         events.ins_pos[ok],
@@ -502,7 +524,7 @@ def create_tensors(
 
     # deletion events: ref row ch2
     dpos = events.del_pos
-    in_ref = (dpos >= ref_lo) & (dpos < ref_hi)
+    in_ref = (dpos >= ref_lo) & (dpos < ref_hi) & near_filter(dpos)
     dpos = dpos[in_ref]
     dref_row = ref_rows_full[dpos - ref_seq_start]
     known = dref_row >= 0
