@@ -1,11 +1,21 @@
 """Fused Pallas TPU kernel for the bidirectional LSTM recurrence.
 
-The jax.lax.scan path (models/bilstm.py) dispatches one fused step per
-timestep; this kernel instead runs the whole 33-step recurrence per grid
-cell with h/c pinned in VMEM scratch, one MXU matmul per step, and both
-directions handled by a leading grid axis (each direction has its own
-recurrent matrix). The input projection x @ W stays outside the kernel —
-it is a single large batched matmul XLA already schedules optimally.
+STATUS: experimental, NOT the production path. Measured history:
+- vs the original rolled lax.scan it was +10% at batch 1024 (round 1).
+- models/bilstm.py now fully unrolls the scan (T=33 is static), which
+  measured 1.63x over the rolled scan on a v5e (0.64 ms vs 1.06 ms at
+  batch 1000) — i.e. the unrolled scan overtakes this kernel (~0.67x by
+  the same measurements), and at 0.64 ms the forward already runs at ~70%
+  of the f32 MXU roofline (40 GFLOP/batch), leaving <1.4x theoretical
+  headroom for any kernel. The kernel is kept as the starting point for a
+  both-layers-fused variant (h/c resident across LSTM1+LSTM2 would also
+  skip one HBM round trip of the (B,33,256) intermediate).
+
+Design: the whole 33-step recurrence runs per grid cell with h/c pinned
+in VMEM scratch, one MXU matmul per step, directions on a leading grid
+axis (each direction has its own recurrent matrix). The input projection
+x @ W stays outside — it is a single large batched matmul XLA already
+schedules optimally.
 
 VMEM budget per cell (batch tile 128, H=128, T=33, f32):
 xw block 33*128*512*4 = 8.6 MB + out 2.2 MB + U 0.26 MB + scratch — fits

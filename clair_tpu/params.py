@@ -32,7 +32,11 @@ BAM_EXCLUDE_FLAG = 2316
 # Batch sizes and LR schedule (ref param.py:15-27)
 # ---------------------------------------------------------------------------
 TRAIN_BATCH_SIZE = 10_000
-PREDICT_BATCH_SIZE = 1_000
+# The reference predicts at batch 1000 (param.py:16). On a v5e chip the
+# fully unrolled BiLSTM holds its working set in VMEM up to ~batch 640 and
+# spills beyond it — batch 512 measured ~2x the tensors/sec of batch 1000
+# (0.35 vs 1.38 ms/batch). Batch size does not change outputs, only speed.
+PREDICT_BATCH_SIZE = 512
 INITIAL_LEARNING_RATE = 1e-3
 LEARNING_RATE_DECAY = 0.1
 MAX_LEARNING_RATE_SWITCH = 3
@@ -101,12 +105,15 @@ class ModelConfig:
     optimizer_name: str = DEFAULT_OPTIMIZER
     loss_function: str = DEFAULT_LOSS_FUNCTION
     # compute dtype for matmuls; params are kept in float32 (casts happen at
-    # use). bfloat16 is the default: measured 2.1x forward / 1.6x train-step
-    # on a v5e chip (in-jit scan timing, batch 1000/10000), losses accumulate
-    # in f32, and decode decisions are bit-identical on confident outputs
-    # (tests/test_bf16.py guards this). Set "float32" for exact probability
-    # parity with converted reference checkpoints.
-    compute_dtype: str = "bfloat16"
+    # use). Measured on a v5e chip (in-jit scan timing): with the fully
+    # unrolled BiLSTM recurrence, f32 and bf16 are within noise at every
+    # batch size tried (0.64 ms both at batch 1000; 16 ms both at 10000) —
+    # the 2.1x bf16 win existed only under the rolled scan. float32 is
+    # therefore the default (exact probability parity with converted
+    # reference checkpoints); bf16 remains a supported option and its
+    # decode decisions are guarded identical on confident outputs
+    # (tests/test_bf16.py).
+    compute_dtype: str = "float32"
     # use the fused Pallas BiLSTM kernel (TPU backends only; the lax.scan
     # path is used automatically elsewhere)
     use_pallas_bilstm: bool = False

@@ -85,12 +85,16 @@ class TrainingConfig:
     mesh: Optional[object] = None
     seed: int = 0
     evaluate_at_end: bool = True
-    # training computes in float32 regardless of the inference default
-    # (bfloat16): measured on the demo-scale run, bf16 gradients cost ~9
-    # recall points at convergence while bf16 inference on the converged
-    # model is decision-identical (tests/test_bf16.py). Set to "bfloat16"
-    # explicitly for 1.6x step throughput when the scale tolerates it.
+    # training always computes in float32: bf16 gradients cost ~9 recall
+    # points at convergence on the demo-scale run, and with the unrolled
+    # BiLSTM the bf16 step is no faster anyway (55 ms both at batch 10k on
+    # a v5e). Kept as a knob for experiments.
     train_compute_dtype: str = "float32"
+    # restore the best-validation-loss epoch at the end (the reference's
+    # behavior, train.py:364-372). With tiny validation sets the val loss
+    # is too noisy to pick by — the demo disables this and keeps the final
+    # epoch (measured: +0.03-0.04 site recall at demo scale).
+    restore_best: bool = True
 
 
 @dataclass
@@ -277,7 +281,9 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
     restorable = [v for v in validation_losses if v[1] in saved] or validation_losses
     best_epoch = sorted(restorable)[0][1]
     logger.info("[INFO] Best validation loss at epoch: %d", best_epoch)
-    if config.output_prefix is not None and best_epoch in saved:
+    if not config.restore_best:
+        best_epoch = epoch  # keep the final-epoch parameters
+    if config.restore_best and config.output_prefix is not None and best_epoch in saved:
         params, _ = load_checkpoint(checkpoint_path(config.output_prefix, best_epoch))
         if config.evaluate_at_end:
             from clair_tpu.pipeline.evaluate import evaluate_model

@@ -141,6 +141,9 @@ def run_demo(
             train_batch_size=256, val_batch_size=32,
             schedule="fixed", max_epochs=epochs, checkpoint_every=50,
             evaluate_at_end=False, seed=seed,
+            # the demo's val split is ~50 examples — too noisy to pick a
+            # best epoch by val loss; keep the final parameters
+            restore_best=False,
         ),
     )
     log(f"trained; best epoch {result.best_epoch}")
@@ -238,9 +241,11 @@ def main():
         )
     if args.quick:
         stats = run_demo(genome_length=30_000, n_variants=150, epochs=400,
+                         coverage=kwargs.pop("coverage", 60),
                          work_dir=args.work_dir, **kwargs)
     else:
         stats = run_demo(genome_length=60_000, n_variants=300, epochs=600,
+                         coverage=kwargs.pop("coverage", 60),
                          work_dir=args.work_dir, **kwargs)
     print(stats)
     floor = 0.8 if args.profile == "ont" else 0.95

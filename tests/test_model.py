@@ -92,10 +92,8 @@ def test_forward_jit_and_train_mode(small_model):
     jitted = jax.jit(lambda p, xx: forward(p, xx, config))
     out1 = jitted(params, x)
     out2 = forward(params, x, config)
-    # bf16 default compute: jit fusion reorders rounding, so jit vs eager
-    # agree to bf16 precision, not f32
     for a, b in zip(out1, out2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
     # train mode (dropout active) must differ from eval mode
     train_out = forward(
