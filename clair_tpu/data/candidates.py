@@ -93,6 +93,21 @@ def candidate_sites_from_events(
     config: CandidateConfig,
 ) -> CandidateSites:
     counts = pileup_counts(events, region_start, region_length)
+    return candidate_sites_from_counts(
+        counts, reference_sequence, region_start, ref_seq_start, config
+    )
+
+
+def candidate_sites_from_counts(
+    counts: np.ndarray,
+    reference_sequence: str,
+    region_start: int,
+    ref_seq_start: int,
+    config: CandidateConfig,
+) -> CandidateSites:
+    """Site selection over a precomputed (region_length, 7) pileup count
+    matrix (the native window scan emits this directly)."""
+    region_length = len(counts)
 
     minimum_af = 0.0 if config.gen4training else config.minimum_af
     mask = None

@@ -240,7 +240,14 @@ def pileup_counts(events: ReadEvents, region_start: int, region_length: int) -> 
     ok = events.match_qcol >= 0
     pos = events.match_pos[ok] - region_start
     in_region = (pos >= 0) & (pos < region_length)
-    flat_index = pos[in_region] * PILEUP_COLS + events.match_qcol[ok][in_region]
+    # int32 index math: int64 elementwise ops run ~15x slower on this
+    # scatter shape (memory-bound temporaries); any window under ~300 Mbp
+    # fits int32 (10 Mbp is the WGS default)
+    index_dtype = np.int32 if region_length * PILEUP_COLS < 2**31 else np.int64
+    flat_index = (
+        pos[in_region].astype(index_dtype) * PILEUP_COLS
+        + events.match_qcol[ok][in_region].astype(index_dtype)
+    )
     counts = np.bincount(
         flat_index, minlength=region_length * PILEUP_COLS
     ).reshape(region_length, PILEUP_COLS).astype(np.int32)
@@ -536,7 +543,23 @@ def create_tensors(
     )
 
     tensors = flat.reshape(n, NO_OF_POSITIONS, MATRIX_ROW, MATRIX_NUM).astype(np.float32)
+    return finalize_window_tensors(
+        tensors, centers, ref_raw, ref_seq_start, minimum_coverage
+    )
 
+
+def finalize_window_tensors(
+    tensors: np.ndarray,
+    centers: np.ndarray,
+    ref_raw: np.ndarray,
+    ref_seq_start: int,
+    minimum_coverage: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """Post-filter filled window tensors: drop candidates failing center
+    coverage or with incomplete flank context, and cut their 33-mer
+    sequences (ref CreateTensor.py:57-59). ref_raw: uint8 reference bytes
+    starting at ref_seq_start. Shared by the numpy and native engines."""
+    flank = FLANKING_BASE_NUM
     # depth at the center row == match count == ch0 row sum there
     center_depth = tensors[:, flank, :, 0].sum(axis=1)
     has_left = (centers - (flank + 1) - ref_seq_start) >= 0

@@ -362,15 +362,38 @@ void EventVecs::fill(EventBuffers* out) {
   out->n_reads_used = reads_used;
 }
 
+// Direct per-position candidate pileup counts: (region_length, 7) columns
+// A,C,G,T,I,D,N (clair_tpu/data/pileup.py column order). Accumulating in
+// the scan replaces materializing ~30 bytes/aligned-base of candidate
+// events plus a separate numpy counting pass — the candidate side needs
+// only these counts.
+struct CountsAcc {
+  int32_t* counts;
+  int64_t region_start;
+  int64_t region_length;
+
+  inline void base(int64_t pos, int8_t col) {
+    int64_t idx = pos - region_start;
+    if (col >= 0 && idx >= 0 && idx < region_length) counts[idx * 7 + col]++;
+  }
+  inline void op(int64_t op_pos, int col) {
+    // I/D ops attach to the position before the op (EVC.py:304-311)
+    int64_t idx = op_pos - 1 - region_start;
+    if (idx >= 0 && idx < region_length) counts[idx * 7 + col]++;
+  }
+};
+
 // Shared streaming record scan: each passing read's CIGAR expands once,
 // emitting into the candidate set (soft-clip filter, no depth cap) and/or
 // the tensor set (depth cap, no soft-clip filter). Either may be null.
+// cand_counts, when set, accumulates the candidate-side pileup counts
+// directly (the soft-clip filter applies) instead of candidate events.
 // The stream stops early once records start past `end` (coordinate-sorted
 // input), bounding IO/inflate to the region.
 void scan_records(StreamInflater& in, size_t cursor, int32_t ref_id,
                   int64_t start, int64_t end, int32_t exclude_flag,
                   int32_t min_mapq, EventVecs* candidate, EventVecs* tensor,
-                  int32_t dcov) {
+                  int32_t dcov, CountsAcc* cand_counts = nullptr) {
   int64_t previous_pos = -1;
   int32_t same_pos_count = 0;
   if (candidate) candidate->match_pos.reserve(1 << 20);
@@ -429,7 +452,8 @@ void scan_records(StreamInflater& in, size_t cursor, int32_t ref_id,
     int n_targets = 0;
     if (candidate && softclip_ok) targets[n_targets++] = candidate;
     if (tensor && dcov_ok) targets[n_targets++] = tensor;
-    if (n_targets == 0) continue;
+    bool to_counts = cand_counts != nullptr && softclip_ok;
+    if (n_targets == 0 && !to_counts) continue;
     for (int t = 0; t < n_targets; t++) targets[t]->reads_used++;
 
     int8_t strand = (flag & 16) ? 1 : 0;
@@ -450,6 +474,7 @@ void scan_records(StreamInflater& in, size_t cursor, int32_t ref_id,
               targets[t]->match_qcol.push_back(kCodeToCol[code]);
               targets[t]->match_strand.push_back(strand);
             }
+            if (to_counts) cand_counts->base(refp + k, kCodeToCol[code]);
           }
           refp += len;
           qp += len;
@@ -460,6 +485,7 @@ void scan_records(StreamInflater& in, size_t cursor, int32_t ref_id,
             targets[t]->ins_op.push_back(refp);
             targets[t]->ins_op_len.push_back(len);
           }
+          if (to_counts) cand_counts->op(refp, 4);
           for (int64_t k = 0; k < len; k++) {
             int64_t q = qp + k;
             uint8_t code = seq_p[q >> 1];
@@ -479,6 +505,7 @@ void scan_records(StreamInflater& in, size_t cursor, int32_t ref_id,
             targets[t]->del_op.push_back(refp);
             targets[t]->del_op_len.push_back(len);
           }
+          if (to_counts) cand_counts->op(refp, 5);
           for (int64_t k = 0; k < len; k++) {
             for (int t = 0; t < n_targets; t++) {
               targets[t]->del_pos.push_back(refp + k);
@@ -500,6 +527,22 @@ void scan_records(StreamInflater& in, size_t cursor, int32_t ref_id,
     }
   }
 }
+
+// IUPAC char -> base row (A=0 C=1 G=2 T=3; -1 unknown), matching
+// clair_tpu.utils.genomics.BASE_NUM_LUT (upper+lower case).
+struct BaseNumLut {
+  int8_t lut[256];
+  BaseNumLut() {
+    memset(lut, -1, sizeof(lut));
+    const char* bases = "ACGTURYSWKMBDHVN";
+    const int8_t nums[] = {0, 1, 2, 3, 3, 0, 1, 1, 0, 2, 0, 1, 0, 0, 0, 0};
+    for (int i = 0; bases[i]; i++) {
+      lut[(uint8_t)bases[i]] = nums[i];
+      lut[(uint8_t)(bases[i] | 0x20)] = nums[i];
+    }
+  }
+};
+const BaseNumLut kBaseNum;
 
 // Parse/skip the BAM header; returns the record-region cursor or SIZE_MAX.
 size_t skip_header(StreamInflater& in) {
@@ -556,6 +599,39 @@ int clair_bam_events(const char* path, int32_t ref_id, int64_t start,
                softclip_filter ? &vecs : nullptr,
                softclip_filter ? nullptr : &vecs, dcov);
   vecs.fill(out);
+  return 0;
+}
+
+// One scan, candidate pileup COUNTS + tensor events: the candidate side
+// accumulates its (region_length, 7) A/C/G/T/I/D/N matrix directly in the
+// walk (soft-clip filtered, no depth cap) while the tensor side still
+// materializes events (depth-capped, no soft-clip filter). counts_out must
+// hold region_length * 7 int32 zeros.
+int clair_bam_scan_window(const char* path, int32_t ref_id, int64_t start,
+                          int64_t end, int32_t exclude_flag, int32_t min_mapq,
+                          int32_t dcov, int64_t region_start,
+                          int64_t region_length, int64_t start_coffset,
+                          int32_t start_uoffset, int32_t* counts_out,
+                          EventBuffers* tensor_out) {
+  memset(tensor_out, 0, sizeof(*tensor_out));
+  bool seeked = start_coffset >= 0 && start_uoffset >= 0;
+  StreamInflater in;
+  if (!in.open(path, seeked ? start_coffset : 0)) return 1;
+
+  size_t cursor;
+  if (seeked) {
+    cursor = (size_t)start_uoffset;
+    if (!in.ensure(cursor)) return 3;
+  } else {
+    cursor = skip_header(in);
+    if (cursor == SIZE_MAX) return 2;
+  }
+
+  CountsAcc acc{counts_out, region_start, region_length};
+  EventVecs tensor_vecs;
+  scan_records(in, cursor, ref_id, start, end, exclude_flag, min_mapq,
+               nullptr, &tensor_vecs, dcov, &acc);
+  tensor_vecs.fill(tensor_out);
   return 0;
 }
 
@@ -705,6 +781,293 @@ int clair_build_bai(const char* bam_path, const char* bai_path) {
   }
   fclose(out);
   if (rename(tmp.c_str(), bai_path) != 0) return 4;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Region handle: inflate + filter a region's records ONCE, then run cheap
+// passes over them — counts for candidate selection, then tensors for the
+// selected centers. The two-pass structure exists because candidates are
+// only known after the counts pass; re-inflating the region for the tensor
+// pass would dominate, so the inflated bytes stay resident in the handle.
+// ---------------------------------------------------------------------------
+
+struct RegionHandle {
+  std::vector<uint8_t> data;      // inflated bytes
+  std::vector<size_t> records;    // offsets of the 4-byte length prefix of
+                                  // region/flag/mapq-passing records, in order
+};
+
+// Open a region: stream/inflate, keep passing record offsets.
+// Returns nullptr on IO/format failure.
+void* clair_region_open(const char* path, int32_t ref_id, int64_t start,
+                        int64_t end, int32_t exclude_flag, int32_t min_mapq,
+                        int64_t start_coffset, int32_t start_uoffset) {
+  bool seeked = start_coffset >= 0 && start_uoffset >= 0;
+  StreamInflater in;
+  if (!in.open(path, seeked ? start_coffset : 0)) return nullptr;
+
+  size_t cursor;
+  if (seeked) {
+    cursor = (size_t)start_uoffset;
+    if (!in.ensure(cursor)) return nullptr;
+  } else {
+    cursor = skip_header(in);
+    if (cursor == SIZE_MAX) return nullptr;
+  }
+
+  RegionHandle* handle = new RegionHandle();
+  handle->records.reserve(1 << 16);
+  while (in.ensure(cursor + 4)) {
+    int32_t block_size = read_le<int32_t>(in.data.data() + cursor);
+    if (!in.ensure(cursor + 4 + block_size)) break;
+    const uint8_t* rec = in.data.data() + cursor + 4;
+    size_t rec_offset = cursor;
+    cursor += 4 + block_size;
+
+    int32_t rec_ref = read_le<int32_t>(rec);
+    int64_t pos = read_le<int32_t>(rec + 4);
+    uint8_t l_read_name = rec[8];
+    uint8_t mapq = rec[9];
+    uint16_t n_cigar = read_le<uint16_t>(rec + 12);
+    uint16_t flag = read_le<uint16_t>(rec + 14);
+
+    if (rec_ref != ref_id) {
+      if (ref_id >= 0 && rec_ref > ref_id) break;
+      continue;
+    }
+    if (flag & exclude_flag) continue;
+    if (mapq < min_mapq) continue;
+    if (end >= 0 && pos >= end) break;
+    if (start >= 0) {
+      const uint8_t* cigar_p = rec + 32 + l_read_name;
+      int64_t ref_len = 0;
+      for (int i = 0; i < n_cigar; i++) {
+        uint32_t cv = read_le<uint32_t>(cigar_p + 4 * i);
+        uint32_t op = cv & 0xF;
+        if (op < 9 && kConsumesRef[op]) ref_len += cv >> 4;
+      }
+      if (pos + ref_len <= start) continue;
+    }
+    handle->records.push_back(rec_offset);
+  }
+  handle->data = std::move(in.data);
+  return handle;
+}
+
+void clair_region_free(void* h) { delete (RegionHandle*)h; }
+
+int64_t clair_region_n_records(void* h) {
+  return (int64_t)((RegionHandle*)h)->records.size();
+}
+
+// Candidate-side counts pass (soft-clip filter, no depth cap).
+int clair_region_counts(void* h, int64_t region_start, int64_t region_length,
+                        int32_t* counts_out) {
+  RegionHandle* handle = (RegionHandle*)h;
+  CountsAcc acc{counts_out, region_start, region_length};
+  for (size_t rec_offset : handle->records) {
+    const uint8_t* rec = handle->data.data() + rec_offset + 4;
+    int64_t pos = read_le<int32_t>(rec + 4);
+    uint8_t l_read_name = rec[8];
+    uint16_t n_cigar = read_le<uint16_t>(rec + 12);
+    const uint8_t* cigar_p = rec + 32 + l_read_name;
+    const uint8_t* seq_p = cigar_p + 4 * n_cigar;
+
+    int64_t total_len = 0, soft_len = 0;
+    for (int i = 0; i < n_cigar; i++) {
+      uint32_t cv = read_le<uint32_t>(cigar_p + 4 * i);
+      total_len += cv >> 4;
+      if ((cv & 0xF) == 4) soft_len += cv >> 4;
+    }
+    if (1.0 - (double)soft_len / (double)(total_len + 1) < 0.55) continue;
+
+    int64_t refp = pos, qp = 0;
+    for (int i = 0; i < n_cigar; i++) {
+      uint32_t cv = read_le<uint32_t>(cigar_p + 4 * i);
+      uint32_t op = cv & 0xF;
+      int64_t len = cv >> 4;
+      switch (op) {
+        case 0: case 7: case 8:
+          for (int64_t k = 0; k < len; k++) {
+            int64_t q = qp + k;
+            uint8_t code = seq_p[q >> 1];
+            code = (q & 1) ? (code & 0xF) : (code >> 4);
+            acc.base(refp + k, kCodeToCol[code]);
+          }
+          refp += len;
+          qp += len;
+          break;
+        case 1:
+          acc.op(refp, 4);
+          qp += len;
+          break;
+        case 2:
+          acc.op(refp, 5);
+          refp += len;
+          break;
+        case 3: refp += len; break;
+        case 4: qp += len; break;
+        default: break;
+      }
+    }
+  }
+  return 0;
+}
+
+// Tensor pass for selected centers (depth cap, no soft-clip filter).
+// Builds the (n_centers, 33, 8, 4) count tensors directly — match events
+// (~93% of event volume) never materialize. Indel events + ops still come
+// back (allele recovery needs them). Semantics mirror
+// clair_tpu/data/pileup.py create_tensors exactly:
+//   window contains p when p - c + 17 in [0, 33)  (c 1-based)
+//   match: ref-base row ch0+ch2, query-base row ch1+ch3 (both gated on a
+//          known reference base and p within the reference chunk)
+//   insertion: query row ch1 at min(idx + adv, 32), no reference gating
+//   deletion: ref-base row ch2
+int clair_region_tensors(void* h, int32_t dcov, const int64_t* centers,
+                         int64_t n_centers, const char* ref_seq,
+                         int64_t ref_seq_start, int64_t ref_seq_len,
+                         int32_t* tensors_out, EventBuffers* indel_out) {
+  RegionHandle* handle = (RegionHandle*)h;
+  memset(indel_out, 0, sizeof(*indel_out));
+  if (n_centers == 0) {
+    EventVecs empty;
+    empty.fill(indel_out);
+    return 0;
+  }
+
+  const int64_t kFlank = 16, kT = 33;
+  int64_t mask_lo = centers[0] - kFlank - 1;
+  int64_t mask_len = centers[n_centers - 1] + kFlank - mask_lo;
+  std::vector<uint8_t> near(mask_len, 0);
+  for (int64_t c = 0; c < n_centers; c++) {
+    int64_t lo = centers[c] - kFlank - 1 - mask_lo;
+    int64_t hi = centers[c] + kFlank - mask_lo;
+    for (int64_t p = lo; p < hi; p++) near[p] = 1;
+  }
+
+  auto windows = [&](int64_t p, int64_t* lo_out, int64_t* hi_out) -> bool {
+    int64_t idx = p - mask_lo;
+    if (idx < 0 || idx >= mask_len || !near[idx]) return false;
+    // c in [p - 15, p + 17] (1-based centers)
+    const int64_t* lo = std::lower_bound(centers, centers + n_centers, p - kFlank + 1);
+    const int64_t* hi = std::upper_bound(centers, centers + n_centers, p + kFlank + 1);
+    *lo_out = lo - centers;
+    *hi_out = hi - centers;
+    return *hi_out > *lo_out;
+  };
+
+  const int64_t kSize = kT * 8 * 4;
+  int64_t ref_lo = ref_seq_start, ref_hi = ref_seq_start + ref_seq_len;
+
+  EventVecs indel;
+  int64_t previous_pos = -1;
+  int32_t same_pos_count = 0;
+
+  for (size_t rec_offset : handle->records) {
+    const uint8_t* rec = handle->data.data() + rec_offset + 4;
+    int64_t pos = read_le<int32_t>(rec + 4);
+    uint8_t l_read_name = rec[8];
+    uint16_t n_cigar = read_le<uint16_t>(rec + 12);
+    uint16_t flag = read_le<uint16_t>(rec + 14);
+    const uint8_t* cigar_p = rec + 32 + l_read_name;
+    const uint8_t* seq_p = cigar_p + 4 * n_cigar;
+
+    if (pos != previous_pos) {
+      previous_pos = pos;
+      same_pos_count = 0;
+    } else {
+      same_pos_count++;
+      if (dcov > 0 && same_pos_count >= dcov) continue;
+    }
+
+    int8_t strand = (flag & 16) ? 1 : 0;
+    int64_t strand_rows = strand ? 4 : 0;
+    int64_t refp = pos, qp = 0;
+    for (int i = 0; i < n_cigar; i++) {
+      uint32_t cv = read_le<uint32_t>(cigar_p + 4 * i);
+      uint32_t op = cv & 0xF;
+      int64_t len = cv >> 4;
+      switch (op) {
+        case 0: case 7: case 8: {
+          for (int64_t k = 0; k < len; k++) {
+            int64_t p = refp + k;
+            int64_t w_lo, w_hi;
+            if (p < ref_lo || p >= ref_hi || !windows(p, &w_lo, &w_hi)) continue;
+            int64_t q = qp + k;
+            uint8_t code = seq_p[q >> 1];
+            code = (q & 1) ? (code & 0xF) : (code >> 4);
+            int8_t qc = kCodeToCol[code];
+            if (qc < 0) continue;
+            int8_t rr = kBaseNum.lut[(uint8_t)ref_seq[p - ref_seq_start]];
+            if (rr < 0) continue;
+            int64_t q_row = (qc > 3 ? 0 : qc) + strand_rows;
+            int64_t r_row = rr + strand_rows;
+            for (int64_t w = w_lo; w < w_hi; w++) {
+              int64_t idx = p - centers[w] + kFlank + 1;
+              int32_t* cell = tensors_out + w * kSize + idx * 32;
+              cell[r_row * 4 + 0]++;
+              cell[r_row * 4 + 2]++;
+              cell[q_row * 4 + 1]++;
+              cell[q_row * 4 + 3]++;
+            }
+          }
+          refp += len;
+          qp += len;
+          break;
+        }
+        case 1: {
+          indel.ins_op.push_back(refp);
+          indel.ins_op_len.push_back(len);
+          int64_t w_lo = 0, w_hi = 0;
+          bool in_window = windows(refp, &w_lo, &w_hi);
+          for (int64_t k = 0; k < len; k++) {
+            int64_t q = qp + k;
+            uint8_t code = seq_p[q >> 1];
+            code = (q & 1) ? (code & 0xF) : (code >> 4);
+            int8_t qc = kCodeToCol[code];
+            // indel recovery consumes every inserted base (op order)
+            indel.ins_pos.push_back(refp);
+            indel.ins_adv.push_back(k);
+            indel.ins_qcol.push_back(qc);
+            indel.ins_strand.push_back(strand);
+            if (!in_window || qc < 0) continue;
+            int64_t q_row = (qc > 3 ? 0 : qc) + strand_rows;
+            for (int64_t w = w_lo; w < w_hi; w++) {
+              int64_t idx = refp - centers[w] + kFlank + 1 + k;
+              if (idx > kT - 1) idx = kT - 1;
+              tensors_out[w * kSize + idx * 32 + q_row * 4 + 1]++;
+            }
+          }
+          qp += len;
+          break;
+        }
+        case 2: {
+          indel.del_op.push_back(refp);
+          indel.del_op_len.push_back(len);
+          for (int64_t k = 0; k < len; k++) {
+            int64_t p = refp + k;
+            int64_t w_lo, w_hi;
+            if (p < ref_lo || p >= ref_hi || !windows(p, &w_lo, &w_hi)) continue;
+            int8_t rr = kBaseNum.lut[(uint8_t)ref_seq[p - ref_seq_start]];
+            if (rr < 0) continue;
+            int64_t r_row = rr + strand_rows;
+            for (int64_t w = w_lo; w < w_hi; w++) {
+              int64_t idx = p - centers[w] + kFlank + 1;
+              tensors_out[w * kSize + idx * 32 + r_row * 4 + 2]++;
+            }
+          }
+          refp += len;
+          break;
+        }
+        case 3: refp += len; break;
+        case 4: qp += len; break;
+        default: break;
+      }
+    }
+  }
+  indel.fill(indel_out);
   return 0;
 }
 

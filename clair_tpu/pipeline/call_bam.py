@@ -20,6 +20,7 @@ from typing import Optional
 import numpy as np
 
 from clair_tpu.data.candidates import (
+    candidate_sites_from_counts,
     CandidateConfig,
     candidate_sites_from_events,
 )
@@ -87,6 +88,85 @@ def load_region_events(
     )
     tensor_events = events_from_reads(apply_depth_cap(records, dcov))
     return candidate_events, tensor_events
+
+
+def _open_region_scan(config: "CallBamConfig", ctg_start: int, ctg_end: int):
+    """Native RegionScan for the window (None -> fall back to events)."""
+    import os
+
+    from clair_tpu import native
+
+    if not native.available():
+        return None
+    if not os.path.isfile(config.bam_path + ".bai"):
+        with _BAI_BUILD_LOCK:
+            if not os.path.isfile(config.bam_path + ".bai"):
+                try:
+                    from clair_tpu.io.bai import build_bai
+
+                    build_bai(config.bam_path)
+                except Exception:
+                    pass
+    try:
+        with BamReader(config.bam_path) as bam:
+            ref_id = bam.reference_id(config.contig)
+        if ref_id is None:
+            return None
+        return native.RegionScan(
+            config.bam_path, ref_id, ctg_start - 1, ctg_end,
+            min_mapq=config.minimum_mapq,
+        )
+    except Exception:
+        return None
+
+
+def load_region_counts(
+    bam_path: str,
+    contig: str,
+    start0: int,
+    end: int,
+    minimum_mapq: int,
+    dcov: int,
+    region_start: int,
+    region_length: int,
+):
+    """(candidate_counts, tensor_events) for a region. The native engine
+    accumulates the candidate pileup matrix inside its single scan —
+    candidate events never materialize (they carried ~10 bytes/aligned
+    base only to be counted); the Python fallback counts from events."""
+    import os
+
+    from clair_tpu import native
+    from clair_tpu.data.pileup import pileup_counts
+
+    if not os.path.isfile(bam_path + ".bai"):
+        with _BAI_BUILD_LOCK:
+            if not os.path.isfile(bam_path + ".bai"):
+                try:
+                    from clair_tpu.io.bai import build_bai
+
+                    build_bai(bam_path)
+                except Exception:
+                    pass
+
+    if native.available():
+        with BamReader(bam_path) as bam:
+            ref_id = bam.reference_id(contig)
+        if ref_id is not None:
+            result = native.scan_window_native(
+                bam_path, ref_id, start0, end, region_start, region_length,
+                min_mapq=minimum_mapq, dcov=dcov,
+            )
+            if result is not None:
+                return result
+
+    candidate_events, tensor_events = load_region_events(
+        bam_path, contig, start0, end, minimum_mapq, dcov
+    )
+    return (
+        pileup_counts(candidate_events, region_start, region_length),
+        tensor_events,
+    )
 
 
 _QCOL_TO_BASE = "ACGT??N"
@@ -270,19 +350,16 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
     ref_seq_end = min(ctg_end + EXPAND_REFERENCE_REGION, contig_length)
     reference_sequence = fasta.fetch(config.contig, ref_seq_start, ref_seq_end)
 
-    # Two event sets with the reference's per-stage filters: candidate
-    # extraction drops heavily-soft-clipped reads (EVC.py:155-170, no depth
-    # cap); tensor creation caps depth per start position (CreateTensor.py:
-    # 267-274, no soft-clip filter).
-    candidate_events, tensor_events = load_region_events(
-        config.bam_path, config.contig, ctg_start - 1, ctg_end,
-        config.minimum_mapq, config.dcov,
-    )
+    # Fully-native fast path: inflate + filter the region's records ONCE,
+    # run the candidate counts pass, select sites, then build the window
+    # tensors in C++ — match events (~93% of event volume) never cross
+    # into Python. Fallback: the dual-events path below.
+    scan = _open_region_scan(config, ctg_start, ctg_end)
 
-    if config.truth_vcf_path is not None:
+    def truth_centers():
         from clair_tpu.data.truth import truth_variants_from_vcf
 
-        centers = np.array(
+        return np.array(
             sorted(
                 int(v.position)
                 for v in truth_variants_from_vcf(
@@ -291,26 +368,55 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
             ),
             dtype=np.int64,
         )
-    else:
+
+    def select_sites(counts):
         candidate_config = CandidateConfig(
             minimum_af=config.minimum_af,
             minimum_coverage=config.minimum_coverage,
             bed=BedIntervals.from_bed(config.bed_path),
             contig=config.contig,
         )
-        sites = candidate_sites_from_events(
-            candidate_events,
+        sites = candidate_sites_from_counts(
+            counts,
             reference_sequence,
             region_start=ctg_start - 1,
-            region_length=ctg_end - (ctg_start - 1),
             ref_seq_start=ref_seq_start,
             config=candidate_config,
         )
-        centers = sites.positions + 1  # 1-based
+        return sites.positions + 1  # 1-based
 
-    tensors, centers, sequences = create_tensors(
-        tensor_events, centers, reference_sequence, ref_seq_start, minimum_coverage=0
-    )
+    if scan is not None:
+        from clair_tpu.data.pileup import finalize_window_tensors
+
+        with scan:
+            if config.truth_vcf_path is not None:
+                centers = truth_centers()
+            else:
+                centers = select_sites(
+                    scan.counts(ctg_start - 1, ctg_end - (ctg_start - 1))
+                )
+            tensor_ints, tensor_events = scan.tensors(
+                centers, reference_sequence, ref_seq_start, dcov=config.dcov
+            )
+        ref_raw = np.frombuffer(reference_sequence.encode("ascii"), dtype=np.uint8)
+        tensors, centers, sequences = finalize_window_tensors(
+            tensor_ints.astype(np.float32), centers, ref_raw, ref_seq_start
+        )
+    else:
+        candidate_counts, tensor_events = load_region_counts(
+            config.bam_path, config.contig, ctg_start - 1, ctg_end,
+            config.minimum_mapq, config.dcov,
+            region_start=ctg_start - 1,
+            region_length=ctg_end - (ctg_start - 1),
+        )
+        if config.truth_vcf_path is not None:
+            centers = truth_centers()
+        else:
+            centers = select_sites(candidate_counts)
+        tensors, centers, sequences = create_tensors(
+            tensor_events, centers, reference_sequence, ref_seq_start,
+            minimum_coverage=0,
+        )
 
     work = WindowWork(
         config=config,

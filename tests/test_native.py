@@ -97,3 +97,123 @@ def test_native_filters_match_python(tmp_path):
     np.testing.assert_array_equal(
         np.sort(native_events.match_pos), np.sort(python_events.match_pos)
     )
+
+
+def test_scan_window_counts_match_python(tmp_path):
+    """The native window scan's candidate count matrix must equal the
+    Python pileup_counts over soft-clip-filtered events."""
+    import numpy as np
+
+    from clair_tpu import native
+    from clair_tpu.data.pileup import (
+        events_from_reads,
+        pileup_counts,
+        soft_clip_fraction_ok,
+    )
+    from clair_tpu.io.bam import BamReader
+    from clair_tpu.utils.simulate import (
+        ONT_R94,
+        plant_variants,
+        random_reference,
+        simulate_bam,
+    )
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rs = np.random.RandomState(8)
+    reference = random_reference(rs, 5000)
+    variants = plant_variants(rs, reference, n_variants=12, spacing=300)
+    bam = str(tmp_path / "s.bam")
+    simulate_bam(bam, reference, variants, rs, coverage=20,
+                 read_length=300, error_profile=ONT_R94)
+
+    region_start, region_length = 100, 4500
+    counts, tensor_events = native.scan_window_native(
+        bam, 0, region_start, region_start + region_length,
+        region_start, region_length, dcov=250, use_index=False,
+    )
+
+    with BamReader(bam) as reader:
+        records = list(reader.fetch("chr1", region_start, region_start + region_length))
+    expected = pileup_counts(
+        events_from_reads([r for r in records if soft_clip_fraction_ok(r)]),
+        region_start, region_length,
+    )
+    np.testing.assert_array_equal(counts, expected)
+    assert tensor_events.match_pos.size > 0
+
+
+def test_region_scan_tensors_match_python(tmp_path):
+    """The fully-native path (RegionScan counts + window tensors) must
+    byte-match the Python engine: same candidate counts, same tensors,
+    same indel op/base arrays for allele recovery."""
+    import numpy as np
+    import pytest
+
+    from clair_tpu import native
+    from clair_tpu.data.pileup import (
+        apply_depth_cap,
+        create_tensors,
+        events_from_reads,
+        pileup_counts,
+        soft_clip_fraction_ok,
+    )
+    from clair_tpu.io.bam import BamReader
+    from clair_tpu.utils.simulate import (
+        ONT_R94,
+        plant_variants,
+        random_reference,
+        simulate_bam,
+    )
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rs = np.random.RandomState(13)
+    reference = random_reference(rs, 6000)
+    variants = plant_variants(rs, reference, n_variants=15, spacing=250)
+    bam = str(tmp_path / "s.bam")
+    simulate_bam(bam, reference, variants, rs, coverage=25,
+                 read_length=400, error_profile=ONT_R94)
+
+    region_start, region_length = 50, 5800
+    scan = native.RegionScan(bam, 0, region_start, region_start + region_length,
+                             use_index=False)
+    counts = scan.counts(region_start, region_length)
+
+    with BamReader(bam) as reader:
+        records = list(reader.fetch("chr1", region_start, region_start + region_length))
+    expected_counts = pileup_counts(
+        events_from_reads([r for r in records if soft_clip_fraction_ok(r)]),
+        region_start, region_length,
+    )
+    np.testing.assert_array_equal(counts, expected_counts)
+
+    centers = np.array(sorted(v.position for v in variants), dtype=np.int64)
+    tensors_native, indel_events = scan.tensors(centers, reference, 0, dcov=250)
+    scan.close()
+
+    tensors_py, kept_py, _ = create_tensors(
+        events_from_reads(apply_depth_cap(records, 250)),
+        centers, reference, 0, minimum_coverage=0,
+    )
+    # python path filters at finalize; compare pre-filter by re-finalizing
+    from clair_tpu.data.pileup import finalize_window_tensors
+
+    ref_raw = np.frombuffer(reference.encode("ascii"), dtype=np.uint8)
+    tensors_nat_f, kept_nat, _ = finalize_window_tensors(
+        tensors_native.astype(np.float32), centers, ref_raw, 0, 0
+    )
+    np.testing.assert_array_equal(kept_nat, kept_py)
+    np.testing.assert_array_equal(tensors_nat_f, tensors_py)
+
+    # indel arrays power allele recovery: ops must match the python events
+    expected_events = events_from_reads(apply_depth_cap(records, 250))
+    np.testing.assert_array_equal(indel_events.ins_op_pos, expected_events.ins_op_pos)
+    np.testing.assert_array_equal(indel_events.ins_op_len, expected_events.ins_op_len)
+    np.testing.assert_array_equal(indel_events.del_op_pos, expected_events.del_op_pos)
+    np.testing.assert_array_equal(indel_events.del_op_len, expected_events.del_op_len)
+    np.testing.assert_array_equal(indel_events.ins_qcol, expected_events.ins_qcol)
