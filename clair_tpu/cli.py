@@ -178,6 +178,10 @@ def cmd_call_bam_parallel(argv):
                              "(the GNU parallel --joblog Exitval workflow, in-process)")
     parser.add_argument("--joblog", default=None,
                         help="per-window audit log path (default: <output>.joblog)")
+    parser.add_argument("--num_shards", type=int, default=1,
+                        help="multi-host WGS: total hosts splitting the window list")
+    parser.add_argument("--shard_id", type=int, default=0,
+                        help="this host's shard index in [0, num_shards)")
     args = parser.parse_args(argv)
 
     from clair_tpu.pipeline.call_bam_parallel import (
@@ -215,6 +219,8 @@ def cmd_call_bam_parallel(argv):
             checkpoint_path=args.chkpnt_fn,
             resume=args.resume,
             joblog_path=args.joblog,
+            num_shards=args.num_shards,
+            shard_id=args.shard_id,
         )
         merge_vcfs(paths, args.output_prefix + ".vcf")
     else:
@@ -225,6 +231,8 @@ def cmd_call_bam_parallel(argv):
             pileup_workers=args.workers,
             resume=args.resume,
             joblog_path=args.joblog,
+            num_shards=args.num_shards,
+            shard_id=args.shard_id,
         )
 
 

@@ -112,9 +112,21 @@ def genome_windows(
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     include_all_contigs: bool = False,
     bed: Optional[BedIntervals] = None,
+    num_shards: int = 1,
+    shard_id: int = 0,
 ) -> Iterator[Tuple[str, int, int]]:
-    """(contig, ctg_start, ctg_end) 1-based inclusive windows, BED-filtered."""
+    """(contig, ctg_start, ctg_end) 1-based inclusive windows, BED-filtered.
+
+    num_shards/shard_id deterministically partition the window list for
+    multi-host WGS: each host takes windows where index % num_shards ==
+    shard_id (round-robin balances long contigs across hosts). Windows are
+    share-nothing, so hosts need no coordination beyond merging VCFs —
+    the DCN-level scale-out mirror of the reference's GNU-parallel model.
+    """
+    if not 0 <= shard_id < num_shards:
+        raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
     whitelist = set(MAJOR_CONTIGS)
+    index = 0
     for contig, length in fasta.contigs:
         if not include_all_contigs and contig not in whitelist:
             continue
@@ -125,7 +137,9 @@ def genome_windows(
             if bed is not None and not bed.is_empty:
                 if not bed.overlaps_range(contig, start - 1, end):
                     continue
-            yield contig, start, end
+            if index % num_shards == shard_id:
+                yield contig, start, end
+            index += 1
 
 
 def _run_window(args_tuple):
@@ -164,6 +178,8 @@ def call_bam_parallel(
     checkpoint_path: Optional[str] = None,
     resume: bool = False,
     joblog_path: Optional[str] = None,
+    num_shards: int = 1,
+    shard_id: int = 0,
 ) -> List[str]:
     """Run call_bam over every genome window; returns the per-window VCF
     paths (merge with merge_vcfs).
@@ -179,7 +195,9 @@ def call_bam_parallel(
     """
     fasta = FastaReader(base_config.fasta_path)
     bed = BedIntervals.from_bed(base_config.bed_path) if base_config.bed_path else None
-    windows = list(genome_windows(fasta, chunk_size, include_all_contigs, bed))
+    windows = list(genome_windows(
+        fasta, chunk_size, include_all_contigs, bed, num_shards, shard_id
+    ))
     fasta.close()
 
     joblog = JobLog(joblog_path or output_prefix + ".joblog")
@@ -282,6 +300,8 @@ def call_bam_windows_threaded(
     prefetch: int = 2,
     resume: bool = False,
     joblog_path: Optional[str] = None,
+    num_shards: int = 1,
+    shard_id: int = 0,
 ) -> int:
     """Single-process WGS runner: ONE predictor owns the device while
     window pileups run on a thread pool (numpy releases the GIL in the hot
@@ -304,7 +324,9 @@ def call_bam_windows_threaded(
 
     fasta = FastaReader(base_config.fasta_path)
     bed = BedIntervals.from_bed(base_config.bed_path) if base_config.bed_path else None
-    windows = list(genome_windows(fasta, chunk_size, include_all_contigs, bed))
+    windows = list(genome_windows(
+        fasta, chunk_size, include_all_contigs, bed, num_shards, shard_id
+    ))
     contigs = fasta.contigs
     fasta.close()
 

@@ -54,9 +54,15 @@ class Predictor:
 
         enable_jax_cache()
 
-        self._fn = jax.jit(
-            lambda p, x: forward(p, x.astype(jnp.float32), self.config)
-        )
+        # one (B, 90) output instead of four arrays: a single device->host
+        # transfer per batch (each fetch pays a full round trip on remote
+        # links, and four round trips per batch dominated the WGS runner)
+        def fn(p, x):
+            return jnp.concatenate(
+                forward(p, x.astype(jnp.float32), self.config), axis=-1
+            )
+
+        self._fn = jax.jit(fn)
         self._jax = jax
 
     def predict_async(self, x: np.ndarray):
@@ -78,8 +84,8 @@ class Predictor:
         return out, n
 
     def gather(self, out, n: int):
-        arrs = [np.asarray(a)[:n] for a in out]
-        return arrs
+        """Fetch the (B, 90) output once and split into the 4 head arrays."""
+        return split_label_vector(np.asarray(out)[:n])
 
 
 @dataclass
@@ -110,8 +116,10 @@ class ShardedPredictor(Predictor):
         self._x_sharding = NamedSharding(self.mesh, P("data", None, None, None))
         self._out_sharding = NamedSharding(self.mesh, P("data", None))
         fn = jax.jit(
-            lambda p, x: forward(p, x.astype(jnp.float32), self.config),
-            out_shardings=(self._out_sharding,) * 4,
+            lambda p, x: jnp.concatenate(
+                forward(p, x.astype(jnp.float32), self.config), axis=-1
+            ),
+            out_shardings=self._out_sharding,
         )
         self._fn = fn
         self._jax = jax

@@ -166,3 +166,47 @@ def test_vcf_is_complete(tmp_path):
     p.write_text("#header\nrow\n")
     assert vcf_is_complete(str(p))
     assert not vcf_is_complete(str(tmp_path / "missing.vcf"))
+
+
+def test_window_sharding_partitions_exactly(genome, tmp_path):
+    """Multi-host sharding: shards are disjoint, cover every window, and
+    each shard's run produces its own outputs + joblog independently."""
+    from clair_tpu.io.fasta import FastaReader
+    from clair_tpu.pipeline.call_bam_parallel import genome_windows, merge_vcfs
+
+    fasta = FastaReader(genome.fasta_path)
+    all_windows = list(genome_windows(fasta, 1500, include_all_contigs=True))
+    shards = [
+        list(genome_windows(fasta, 1500, include_all_contigs=True,
+                            num_shards=3, shard_id=k))
+        for k in range(3)
+    ]
+    fasta.close()
+    flat = [w for shard in shards for w in shard]
+    assert sorted(flat) == sorted(all_windows)
+    assert len(set(flat)) == len(all_windows)
+    assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+
+    outputs = []
+    for k in range(2):
+        prefix = str(tmp_path / f"host{k}")
+        outputs += call_bam_parallel(
+            genome, OraclePredictor, prefix,
+            chunk_size=3000, include_all_contigs=True,
+            num_shards=2, shard_id=k,
+        )
+    merged = str(tmp_path / "merged.vcf")
+    merge_vcfs(sorted(outputs), merged)
+    rows = [r for r in open(merged) if not r.startswith("#")]
+    assert len(rows) > 0
+
+    # single-host run produces the same variant set
+    solo_prefix = str(tmp_path / "solo")
+    solo_outputs = call_bam_parallel(
+        genome, OraclePredictor, solo_prefix,
+        chunk_size=3000, include_all_contigs=True,
+    )
+    solo = str(tmp_path / "solo.vcf")
+    merge_vcfs(sorted(solo_outputs), solo)
+    solo_rows = [r for r in open(solo) if not r.startswith("#")]
+    assert sorted(rows) == sorted(solo_rows)
