@@ -297,3 +297,41 @@ def test_cli_overlap_and_ensemble():
     columns = out.strip().split("\t")
     assert columns[1] == "500"
     assert columns[3 + 33 * 8 * 4] == "0.200000"  # averaged
+
+
+def test_call_bam_truth_vcf_mode(tmp_path):
+    """GetTruth-mode calling (ref callVarBam.py:183-188): candidate sites
+    come from a truth VCF instead of extraction; every truth position
+    inside the region must produce a row (oracle predictor, --showRef)."""
+    import numpy as np
+
+    from clair_tpu.pipeline.call_bam import CallBamConfig, call_bam
+    from clair_tpu.utils.simulate import (
+        plant_variants,
+        random_reference,
+        simulate_bam,
+        write_fasta,
+        write_truth_vcf,
+    )
+
+    rs = np.random.RandomState(21)
+    reference = random_reference(rs, 8000)
+    variants = plant_variants(rs, reference, n_variants=15, spacing=300)
+    fasta_path = str(tmp_path / "ref.fa")
+    bam_path = str(tmp_path / "s.bam")
+    vcf_path = str(tmp_path / "truth.vcf")
+    write_fasta(fasta_path, reference)
+    simulate_bam(bam_path, reference, variants, rs, coverage=25)
+    write_truth_vcf(vcf_path, variants)
+
+    out = str(tmp_path / "calls.vcf")
+    config = CallBamConfig(
+        bam_path=bam_path, fasta_path=fasta_path, contig="chr1",
+        ctg_start=1, ctg_end=8000, truth_vcf_path=vcf_path,
+        show_reference=True,
+    )
+    total = call_bam(config, OraclePredictor(), output_path=out)
+    called = {int(r.split("\t")[1]) for r in open(out) if not r.startswith("#")}
+    truth_positions = {v.position for v in variants}
+    assert total == len(truth_positions)
+    assert truth_positions <= called
