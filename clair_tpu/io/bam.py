@@ -213,10 +213,12 @@ class BamReader:
                     carry += new
                     offset = 0
                     while offset < len(carry):
+                        if len(carry) - offset < 18:
+                            break  # partial header: wait for the next chunk
                         try:
                             size = parse_block_header(carry, offset)
                         except ValueError:
-                            return
+                            return  # genuinely not a BGZF block
                         if offset + size > len(carry):
                             break
                         data += zlib.decompress(

@@ -205,10 +205,12 @@ def lines_from_voffset(path: str, voffset: int) -> Iterator[str]:
             carry += new
             offset = 0
             while offset < len(carry):
+                if len(carry) - offset < 18:
+                    break  # partial block header: wait for the next chunk
                 try:
                     size = parse_block_header(carry, offset)
                 except ValueError:
-                    raw_eof = True
+                    raw_eof = True  # genuinely not a BGZF block
                     break
                 if offset + size > len(carry):
                     break

@@ -73,21 +73,22 @@ _CRC32C_TABLE = None
 
 
 def _crc32c(data: bytes) -> int:
+    # table-driven over plain Python ints: numpy scalar ops per byte were
+    # ~50x slower, which mattered at multi-MB tensor payloads
     global _CRC32C_TABLE
     if _CRC32C_TABLE is None:
-        table = np.zeros(256, dtype=np.uint32)
-        poly = np.uint32(0x82F63B78)
+        table = []
         for i in range(256):
-            crc = np.uint32(i)
+            crc = i
             for _ in range(8):
-                crc = (crc >> np.uint32(1)) ^ (poly if crc & np.uint32(1) else np.uint32(0))
-            table[i] = crc
+                crc = (crc >> 1) ^ 0x82F63B78 if crc & 1 else crc >> 1
+            table.append(crc)
         _CRC32C_TABLE = table
-    crc = np.uint32(0xFFFFFFFF)
+    crc = 0xFFFFFFFF
     table = _CRC32C_TABLE
     for byte in data:
-        crc = table[(crc ^ np.uint32(byte)) & np.uint32(0xFF)] ^ (crc >> np.uint32(8))
-    return int(crc ^ np.uint32(0xFFFFFFFF))
+        crc = table[(crc ^ byte) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
 
 
 def _masked_crc32c(data: bytes) -> int:

@@ -137,9 +137,10 @@ int clair_decode_fast(
   const size_t contig_len = strlen(contig);
 
   auto decode_range = [&](int64_t lo, int64_t hi, Shard& shard) {
-  char line[256];
-  // constant row prefix: "<contig>\t"
-  char prefix[192];
+  // row buffer: prefix (<=257) + position (<=20) + fixed fields (<~110);
+  // 512 leaves ample slack, and the prefix cap bounds the total
+  char line[512];
+  char prefix[258];
   size_t prefix_len = std::min(contig_len, sizeof(prefix) - 2);
   memcpy(prefix, contig, prefix_len);
   prefix[prefix_len++] = '\t';

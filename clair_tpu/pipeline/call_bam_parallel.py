@@ -195,17 +195,21 @@ def call_bam_parallel(
     """
     fasta = FastaReader(base_config.fasta_path)
     bed = BedIntervals.from_bed(base_config.bed_path) if base_config.bed_path else None
-    windows = list(genome_windows(
+    all_windows = list(genome_windows(
         fasta, chunk_size, include_all_contigs, bed, num_shards, shard_id
     ))
     fasta.close()
 
     joblog = JobLog(joblog_path or output_prefix + ".joblog")
     done = joblog.completed() if resume else set()
-    outputs = [
-        f"{output_prefix}.{c}_{s}_{e}.vcf" for c, s, e in windows if (c, s, e) in done
-    ]
-    windows = [w for w in windows if w not in done]
+    # path per completed window, keyed so the returned list stays in genome
+    # order even when a resume re-runs a middle window (merge_vcfs
+    # concatenates in list order — out-of-order rows would unsort the VCF)
+    finished = {
+        w: f"{output_prefix}.{w[0]}_{w[1]}_{w[2]}.vcf"
+        for w in all_windows if w in done
+    }
+    windows = [w for w in all_windows if w not in done]
     failures = []
 
     def finish(window, path, sites, error, elapsed):
@@ -213,7 +217,7 @@ def call_bam_parallel(
             error = "output VCF has no trailing newline (incomplete)"
         if error is None:
             joblog.record(window, "ok", sites=sites, output=path, elapsed=elapsed)
-            outputs.append(path)
+            finished[window] = path
         else:
             joblog.record(window, "failed", output=path, error=error, elapsed=elapsed)
             failures.append((window, error))
@@ -257,7 +261,7 @@ def call_bam_parallel(
             "%d window(s) failed; re-run with resume=True (or --resume) to "
             "retry only those — audit log: %s", len(failures), joblog.path,
         )
-    return outputs
+    return [finished[w] for w in all_windows if w in finished]
 
 
 def emit_command_sheet(
@@ -338,6 +342,13 @@ def call_bam_windows_threaded(
         done = joblog.completed()
         windows = [w for w in windows if w not in done]
         appending = bool(output_path) and os.path.isfile(output_path) and bool(done)
+        if appending and not vcf_is_complete(output_path):
+            # a kill mid-flush can leave a torn final line; drop it so the
+            # re-run's first row doesn't concatenate onto a partial record
+            with open(output_path, "rb+") as fh:
+                data = fh.read()
+                cut = data.rfind(b"\n") + 1
+                fh.truncate(cut)
 
     output_fh = (
         open(output_path, "a" if appending else "w") if output_path else sys.stdout

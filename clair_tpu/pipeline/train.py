@@ -283,12 +283,12 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
     logger.info("[INFO] Best validation loss at epoch: %d", best_epoch)
     if not config.restore_best:
         best_epoch = epoch  # keep the final-epoch parameters
-    if config.restore_best and config.output_prefix is not None and best_epoch in saved:
+    elif config.output_prefix is not None and best_epoch in saved:
         params, _ = load_checkpoint(checkpoint_path(config.output_prefix, best_epoch))
-        if config.evaluate_at_end:
-            from clair_tpu.pipeline.evaluate import evaluate_model
+    if config.evaluate_at_end:
+        from clair_tpu.pipeline.evaluate import evaluate_model
 
-            evaluate_model(params, model_config, dataset)
+        evaluate_model(params, model_config, dataset)
 
     return TrainResult(
         params=params,

@@ -51,6 +51,14 @@ ONT_R94 = ErrorProfile(
     mismatch=0.05, insertion=0.02, deletion=0.03,
     homopolymer_boost=0.02, max_indel=3,
 )
+# PacBio CCS/HiFi: ~0.5% total, indel-leaning in homopolymers
+PACBIO_CCS = ErrorProfile(
+    mismatch=0.001, insertion=0.001, deletion=0.002,
+    homopolymer_boost=0.003, max_indel=2,
+)
+# Illumina: low, mismatch-dominated
+ILLUMINA = ErrorProfile(mismatch=0.002, insertion=0.0001, deletion=0.0001,
+                        max_indel=1)
 
 
 def corrupt_read(

@@ -224,9 +224,11 @@ def main():
     parser = argparse.ArgumentParser(description="clair_tpu end-to-end demo")
     parser.add_argument("--quick", action="store_true", help="smaller/faster settings")
     parser.add_argument(
-        "--profile", choices=("clean", "ont"), default="clean",
+        "--profile", choices=("clean", "ont", "ccs", "ilmn"), default="clean",
         help="read error model: 'ont' = R9.4.1-like noise (homopolymer-"
-             "biased indels, 5%% mismatch, lognormal read lengths)",
+             "biased indels, 5%% mismatch, lognormal read lengths); "
+             "'ccs' = PacBio HiFi (~0.5%% indel-leaning); 'ilmn' = "
+             "Illumina short reads (0.2%% mismatch)",
     )
     parser.add_argument("--work_dir", default=None)
     args = parser.parse_args()
@@ -239,6 +241,17 @@ def main():
             error_profile=ONT_R94, coverage=60,
             read_length=1000, read_length_sigma=0.4,
         )
+    elif args.profile == "ccs":
+        from clair_tpu.utils.simulate import PACBIO_CCS
+
+        kwargs = dict(
+            error_profile=PACBIO_CCS, coverage=30,
+            read_length=2000, read_length_sigma=0.2,
+        )
+    elif args.profile == "ilmn":
+        from clair_tpu.utils.simulate import ILLUMINA
+
+        kwargs = dict(error_profile=ILLUMINA, coverage=60, read_length=150)
     if args.quick:
         stats = run_demo(genome_length=30_000, n_variants=150, epochs=400,
                          coverage=kwargs.pop("coverage", 60),
