@@ -175,11 +175,14 @@ class TbiIndex:
         return intervals[window] or None
 
 
-def lines_from_voffset(path: str, voffset: int) -> Iterator[str]:
+def lines_from_voffset(
+    path: str, voffset: int, chunk_size: int = 1 << 20
+) -> Iterator[str]:
     """Text lines of a BGZF file starting at a virtual offset, inflating
-    lazily in raw chunks (early break never decompresses the rest)."""
+    lazily in raw chunks (early break never decompresses the rest).
+    chunk_size is injectable so tests can force block headers to straddle
+    chunk boundaries (a partial header must wait for bytes, not EOF)."""
     coffset, upos = voffset >> 16, voffset & 0xFFFF
-    chunk_size = 1 << 20
     with open(path, "rb") as fh:
         fh.seek(coffset)
         carry = b""

@@ -128,3 +128,22 @@ def test_cli_index_vcf(tmp_path, capsys):
     cli_main(["index_vcf", "--vcf_fn", str(path)])
     assert (tmp_path / "x.vcf.gz.tbi").exists()
     TbiIndex(str(path) + ".tbi")
+
+
+def test_lazy_fetch_survives_partial_block_headers(tmp_path):
+    """Regression: a BGZF block header straddling a raw-read chunk boundary
+    must wait for more bytes, not be misread as EOF (which silently
+    truncated the stream) or crash. Tiny chunk sizes force the straddle at
+    every block."""
+    from clair_tpu.io.tbi import lines_from_voffset
+
+    rows = [_vcf_row("chr1", p, "A", "T", "0/1") for p in range(100, 5100, 10)]
+    path = tmp_path / "t.vcf.gz"
+    # small bgzf blocks -> many block boundaries
+    write_bgzf(str(path), (HEADER + "".join(rows)).encode("ascii"), block_size=256)
+
+    expected = list(lines_from_voffset(str(path), 0))
+    assert len(expected) == len(rows) + 2  # header lines included
+    for chunk in (7, 18, 19, 255, 300):
+        got = list(lines_from_voffset(str(path), 0, chunk_size=chunk))
+        assert got == expected, f"chunk_size={chunk}"
