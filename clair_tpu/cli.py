@@ -332,6 +332,11 @@ def cmd_train(argv, schedule="adaptive"):
     parser.add_argument("--num_devices", type=int, default=None,
                         help="shard training over a ('data','model') mesh of this many devices")
     parser.add_argument("--model_parallel", type=int, default=1)
+    parser.add_argument("--profile_dir", default=None,
+                        help="capture a jax.profiler trace of the run into "
+                             "this directory (view with TensorBoard/xprof; "
+                             "the reference's TensorBoard summaries were "
+                             "stubbed out, model.py:1053-1062)")
     args = parser.parse_args(argv)
 
     from clair_tpu.params import (
@@ -364,7 +369,14 @@ def cmd_train(argv, schedule="adaptive"):
         hard_max_epochs=args.maxEpoch if schedule == "adaptive" else None,
         mesh=mesh,
     )
-    train_model(_load_dataset(args), config)
+    dataset = _load_dataset(args)
+    if args.profile_dir:
+        import jax
+
+        with jax.profiler.trace(args.profile_dir):
+            train_model(dataset, config)
+    else:
+        train_model(dataset, config)
 
 
 def cmd_train_clr(argv):

@@ -80,3 +80,33 @@ def test_convert_bin_roundtrip(tmp_path):
     out = load_bin(dst)
     assert out.dataset_size == 12
     np.testing.assert_array_equal(out.x_block(0), xs[:4])
+
+
+def test_train_profile_dir(tmp_path):
+    """--profile_dir captures a jax.profiler trace around training."""
+    import numpy as np
+
+    from clair_tpu.cli import main as cli_main
+    from clair_tpu.data.tensor_stream import tensor_line_from
+
+    rs = np.random.RandomState(0)
+    seq = "ACGTACGTACGTACGTACGTACGTACGTACGTA"
+    lines = [
+        tensor_line_from("chr1", 100 + i, seq, rs.randint(0, 20, size=(33, 8, 4)))
+        for i in range(10)
+    ]
+    tensor_fn = tmp_path / "tensors.txt"
+    tensor_fn.write_text("\n".join(lines) + "\n")
+    var_fn = tmp_path / "vars.txt"
+    var_fn.write_text("chr1 103 A G 0 1\n")
+    bin_fn = str(tmp_path / "train.bin")
+    cli_main(["tensor2bin", "--tensor_fn", str(tensor_fn), "--var_fn", str(var_fn),
+              "--bin_fn", bin_fn])
+    profile_dir = str(tmp_path / "trace")
+    cli_main([
+        "train", "--bin_fn", bin_fn, "--maxEpoch", "1",
+        "--ochk_prefix", str(tmp_path / "m"),
+        "--profile_dir", profile_dir,
+    ])
+    import glob
+    assert glob.glob(profile_dir + "/**/*", recursive=True)
