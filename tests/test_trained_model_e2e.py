@@ -1,0 +1,65 @@
+"""End-to-end calling with a REAL trained model (the vendored checkpoint
+examples/ont_synthetic.ckpt: the full-size 2BiLSTM trained on TPU over
+150kb of ONT-noise simulation — docs/ACCURACY.md). Unlike the oracle-
+predictor e2e tests, this exercises decode on genuine trained-model
+probability distributions, on a genome the model never saw."""
+
+import numpy as np
+import pytest
+
+from clair_tpu.models.checkpoint import load_checkpoint
+from clair_tpu.params import ModelConfig
+from clair_tpu.pipeline.call_bam import CallBamConfig, call_bam
+from clair_tpu.pipeline.call_var import Predictor
+from clair_tpu.utils.simulate import (
+    ONT_R94,
+    plant_variants,
+    random_reference,
+    simulate_bam,
+    write_fasta,
+)
+
+CKPT = "examples/ont_synthetic.ckpt"
+
+
+@pytest.mark.slow
+def test_trained_checkpoint_calls_unseen_genome(tmp_path):
+    params, meta = load_checkpoint(CKPT)
+    assert meta.get("epoch") == 400
+
+    # a genome the model never saw (fresh seed, same platform profile)
+    rs = np.random.RandomState(424242)
+    reference = random_reference(rs, 30_000)
+    variants = plant_variants(rs, reference, n_variants=120, spacing=200)
+    fasta_path = str(tmp_path / "ref.fa")
+    bam_path = str(tmp_path / "s.bam")
+    write_fasta(fasta_path, reference)
+    simulate_bam(bam_path, reference, variants, rs, coverage=50,
+                 read_length=900, read_length_sigma=0.4,
+                 error_profile=ONT_R94)
+
+    predictor = Predictor(params, ModelConfig(), batch_size=256)
+    out = str(tmp_path / "calls.vcf")
+    call_bam(
+        CallBamConfig(bam_path=bam_path, fasta_path=fasta_path, contig="chr1",
+                      minimum_af=0.2, minimum_coverage=4),
+        predictor, output_path=out,
+    )
+
+    truth = {v.position: (v.ref, v.alt) for v in variants}
+    called = {}
+    for row in open(out):
+        if row.startswith("#"):
+            continue
+        c = row.split("\t")
+        called[int(c[1])] = (c[3], c[4])
+
+    tp = len(set(truth) & set(called))
+    recall = tp / len(truth)
+    precision = tp / max(len(called), 1)
+    exact = sum(1 for p in truth if p in called and called[p] == truth[p])
+    # generous floors: this is a regression net for trained-model decode,
+    # measured at ~0.99/0.99 with ~0.97 exact on this seed
+    assert recall >= 0.9, (recall, precision)
+    assert precision >= 0.9, (recall, precision)
+    assert exact >= 0.85 * len(truth), exact
