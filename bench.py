@@ -18,8 +18,8 @@ minimum of the stage throughputs:
   2. host decode: the production path (native C++ fast-path decoder with
      the Python lattice fallback) + VCF row emission, measured on this
      host's CPU over a ref/SNP-dominated probability mix (the Illumina-like
-     regime; ONT-noise output sends ~57% of sites through the Python indel
-     path at ~36k sites/s — see docs/ROADMAP.md).
+     regime; ONT-noise output sends ~57% of sites through the batched indel
+     path at ~86k sites/s — see docs/ROADMAP.md).
 
 Both float32 (the default — exact parity with converted reference
 checkpoints; the unrolled BiLSTM made bf16's speed advantage vanish) and

@@ -24,6 +24,7 @@ from clair_tpu.pipeline.decode import (
     CH_DELETE,
     CH_REFERENCE,
     CH_SNP,
+    MIN_LENGTH_NEEDING_INFERENCE as MIN_INFER,
     IndelSources,
     OutputConfig,
     SiteCall,
@@ -127,6 +128,328 @@ def category_maxima(
         * p_het * gt21[:, GT21.InsDel]
     )
     return out
+
+
+_HOMO_INDEL = {"homo_ins", "homo_del"}
+
+
+def batch_decode_indels(
+    x: np.ndarray,
+    sequences: Sequence[str],
+    contig: str,
+    positions: Sequence[int],
+    gt21_p: np.ndarray,
+    genotype_p: np.ndarray,
+    vl1_p: np.ndarray,
+    vl2_p: np.ndarray,
+    winner_names: Sequence[str],
+    output_config: OutputConfig,
+    sources: IndelSources,
+) -> List[Tuple[int, SiteCall]]:
+    """Vectorized decode of indel-winning sites (ONT output sends >half of
+    candidate sites here; the per-site decode_indel_fast + assembly chain
+    cost ~28 us/site in many tiny numpy calls).
+
+    The winning lengths, folded insert profiles, and support sums compute
+    once per batch; per-site work reduces to string assembly + pure-Python
+    math. Every case the fast path cannot reproduce EXACTLY (long indels
+    needing source callbacks, use_bam_for_all, degenerate alleles that the
+    reference retries) falls back to the original per-site chain, so
+    semantics are unchanged (equality-tested in tests/test_batch_decode.py).
+
+    Inputs are the fallback subset only; x must be channel-normalized.
+    Returns [(local_index, SiteCall), ...] — sites producing no row are
+    omitted.
+    """
+    from clair_tpu.pipeline.decode import (
+        assemble_site_call,
+        decode_indel_fast,
+        decode_site,
+    )
+    from clair_tpu.task.genotype import genotype_code_from, genotype_for_task
+    from math import e as _e, log as _log
+
+    n = len(sequences)
+    center = FLANKING_BASE_NUM
+
+    def slow(i):
+        fast = decode_indel_fast(
+            winner_names[i], x[i], sequences[i], contig, int(positions[i]),
+            gt21_p[i], genotype_p[i], vl1_p[i], vl2_p[i], sources,
+        )
+        if fast is not None:
+            return assemble_site_call(
+                fast[0], fast[1], fast[2], x[i], gt21_p[i], genotype_p[i],
+                output_config,
+            )
+        return decode_site(
+            x[i], contig, int(positions[i]), sequences[i],
+            gt21_p[i], genotype_p[i], vl1_p[i], vl2_p[i],
+            output_config, sources,
+        )
+
+    results: List[Tuple[int, SiteCall]] = []
+    if sources.use_bam_for_all:
+        for i in range(n):
+            call = slow(i)
+            if call is not None:
+                results.append((i, call))
+        return results
+
+    vl1 = vl1_p.astype(np.float64)
+    vl2 = vl2_p.astype(np.float64)
+    pos1, pos2 = vl1[:, OFF + 1:], vl2[:, OFF + 1:]
+    # deletion-length columns are vl[OFF - k] for length k: REVERSED slice so
+    # column k corresponds to length k+1 (the _winning_indel_candidate order)
+    neg1, neg2 = vl1[:, OFF - 1::-1], vl2[:, OFF - 1::-1]
+    z1, z2 = vl1[:, OFF], vl2[:, OFF]
+
+    # winning lengths per category (exact _winning_indel_candidate order)
+    l_homo_ins = (pos1 * pos2).argmax(-1) + 1
+    l_homo_del = (neg1 * neg2).argmax(-1) + 1
+    l_het_ins = np.maximum(z1[:, None] * pos2, pos1 * z2[:, None]).argmax(-1) + 1
+    l_het_del = np.maximum(z1[:, None] * neg2, neg1 * z2[:, None]).argmax(-1) + 1
+
+    grid_ii = (pos1[:, :, None] * pos2[:, None, :]).reshape(n, -1)
+    flat_ii = grid_ii.argmax(-1)
+    ii_i, ii_j = flat_ii // OFF + 1, flat_ii % OFF + 1
+
+    grid_dd = neg1[:, :, None] * neg2[:, None, :]
+    grid_dd[:, np.arange(OFF), np.arange(OFF)] = -1.0
+    flat_dd = grid_dd.reshape(n, -1).argmax(-1)
+    dd_i, dd_j = flat_dd // OFF + 1, flat_dd % OFF + 1
+
+    grid_id = np.stack(
+        [pos1[:, :, None] * neg2[:, None, :], neg1[:, :, None] * pos2[:, None, :]],
+        axis=-1,
+    ).reshape(n, -1)
+    flat_id = grid_id.argmax(-1)
+    id_kind = flat_id % 2
+    id_cell = flat_id // 2
+    id_i, id_j = id_cell // OFF + 1, id_cell % OFF + 1
+
+    # folded insert profiles for rows 17..31 (lengths < 16 read from here)
+    rows_ins = x[:, center + 1: 2 * center, :, :]
+    folded = np.zeros((n, center - 1, 8), dtype=x.dtype)
+    folded[:, :, :4] = (
+        rows_ins[:, :, :4, 1] + rows_ins[:, :, 4:, 1]
+        - rows_ins[:, :, :4, 3] - rows_ins[:, :, 4:, 3]
+    )
+    ins_choice = folded.argmax(-1) % 4                      # (n, 15)
+
+    het_ins_base = np.asarray(gt21_p, dtype=np.float64)[:, _HET_INS].argmax(-1)
+    het_del_base = np.asarray(gt21_p, dtype=np.float64)[:, _HET_DEL].argmax(-1)
+
+    read_depth = (x[:, center, :, CH_DELETE] + x[:, center, :, CH_REFERENCE]).sum(-1)
+    ins_sup = x[:, center + 1, :, 1].sum(-1) - x[:, center + 1, :, 3].sum(-1)
+    del_sup = x[:, center + 1, :, CH_DELETE].sum(-1)
+    center_ref = x[:, center, :, CH_REFERENCE]
+    center_snp = x[:, center, :, CH_SNP]
+
+    haploid_p = output_config.is_haploid_precision_mode_enabled
+    haploid_s = output_config.is_haploid_sensitive_mode_enabled
+    is_debug = output_config.is_debug
+    log10 = _log(10.0)
+
+    def ins_str(i, length):
+        return "".join(_BASES[c] for c in ins_choice[i, :length])
+
+    def base_support(i, base):
+        b = BASE2NUM[base]
+        return float(
+            center_snp[i, b] + center_snp[i, b + 4]
+            + center_ref[i, b] + center_ref[i, b + 4]
+        )
+
+    for i in range(n):
+        category = winner_names[i]
+        seq = sequences[i]
+        refc = seq[center]
+        extra_support = 0.0
+
+        if category == "homo_ins":
+            length = int(l_homo_ins[i])
+            if length >= MIN_INFER:
+                call = slow(i)
+                if call is not None:
+                    results.append((i, call))
+                continue
+            reference_base = refc
+            alternate_base = refc + ins_str(i, length)
+            supported = float(ins_sup[i])
+            g1, g2 = 1, 1
+        elif category == "het_acgt_ins":
+            length = int(l_het_ins[i])
+            if length >= MIN_INFER:
+                call = slow(i)
+                if call is not None:
+                    results.append((i, call))
+                continue
+            het_base = _BASES[int(het_ins_base[i])]
+            reference_base = refc
+            alternate_base = refc + ins_str(i, length)
+            supported = float(ins_sup[i])
+            if het_base != refc:
+                extra_support = base_support(i, het_base)
+                alternate_base = f"{het_base},{alternate_base}"
+                g1, g2 = 1, 2
+            else:
+                g1, g2 = 0, 1
+        elif category == "het_insins":
+            vl_1, vl_2 = int(min(ii_i[i], ii_j[i])), int(max(ii_i[i], ii_j[i]))
+            if vl_2 >= MIN_INFER:
+                call = slow(i)
+                if call is not None:
+                    results.append((i, call))
+                continue
+            bases = ins_str(i, vl_2)
+            another = ""
+            if sources.insertion_bases is not None:
+                max_rec = 50 if vl_1 >= MIN_INFER else vl_1
+                another = sources.insertion_bases(
+                    contig, int(positions[i]), vl_1, max_rec, bases
+                )
+            another = another or bases[0:vl_1]
+            alt1, alt2 = refc + another, refc + bases
+            if alt1 == alt2:
+                call = decode_site(
+                    x[i], contig, int(positions[i]), seq,
+                    gt21_p[i], genotype_p[i], vl1_p[i], vl2_p[i],
+                    output_config, sources,
+                )
+                if call is not None:
+                    results.append((i, call))
+                continue
+            reference_base = refc
+            alternate_base = f"{alt1},{alt2}"
+            supported = float(ins_sup[i])
+            g1, g2 = 1, 2
+        elif category == "homo_del":
+            length = int(l_homo_del[i])
+            if length >= MIN_INFER:
+                call = slow(i)
+                if call is not None:
+                    results.append((i, call))
+                continue
+            reference_base = refc + seq[center + 1: center + length + 1]
+            alternate_base = reference_base[0]
+            supported = float(del_sup[i])
+            g1, g2 = 1, 1
+        elif category == "het_acgt_del":
+            length = int(l_het_del[i])
+            if length >= MIN_INFER:
+                call = slow(i)
+                if call is not None:
+                    results.append((i, call))
+                continue
+            het_base = _BASES[int(het_del_base[i])]
+            reference_base = refc + seq[center + 1: center + length + 1]
+            alternate_base = reference_base[0]
+            supported = float(del_sup[i])
+            if het_base != reference_base[0]:
+                extra_support = base_support(i, het_base)
+                alternate_base = f"{alternate_base},{het_base + reference_base[1:]}"
+                g1, g2 = 1, 2
+            else:
+                g1, g2 = 0, 1
+        elif category == "het_deldel":
+            vl_1, vl_2 = int(min(dd_i[i], dd_j[i])), int(max(dd_i[i], dd_j[i]))
+            if vl_2 >= MIN_INFER:
+                call = slow(i)
+                if call is not None:
+                    results.append((i, call))
+                continue
+            reference_base = refc + seq[center + 1: center + vl_2 + 1]
+            alt1 = reference_base[0]
+            alt2 = reference_base[0] + reference_base[vl_1 + 1:]
+            if not (alt1 != alt2 and reference_base != alt1 and reference_base != alt2):
+                call = decode_site(
+                    x[i], contig, int(positions[i]), seq,
+                    gt21_p[i], genotype_p[i], vl1_p[i], vl2_p[i],
+                    output_config, sources,
+                )
+                if call is not None:
+                    results.append((i, call))
+                continue
+            alternate_base = f"{alt1},{alt2}"
+            supported = float(del_sup[i])
+            g1, g2 = 1, 2
+        elif category == "het_insdel":
+            vl_del = int(id_j[i]) if id_kind[i] == 0 else int(id_i[i])
+            vl_ins = int(id_i[i]) if id_kind[i] == 0 else int(id_j[i])
+            if vl_ins >= MIN_INFER or vl_del >= MIN_INFER:
+                call = slow(i)
+                if call is not None:
+                    results.append((i, call))
+                continue
+            ins_bases = ins_str(i, vl_ins)
+            reference_base = refc + seq[center + 1: center + vl_del + 1]
+            alternate_base = "{},{}".format(
+                reference_base[0], reference_base[0] + ins_bases + reference_base[1:]
+            )
+            supported = float(ins_sup[i]) + float(del_sup[i])
+            g1, g2 = 1, 2
+        else:  # unexpected category: preserve old behavior
+            call = slow(i)
+            if call is not None:
+                results.append((i, call))
+            continue
+
+        # --- assembly (assemble_site_call semantics) ---
+        if not is_debug and reference_base == alternate_base:
+            continue
+        is_multi = "," in alternate_base
+        if haploid_p and category not in _HOMO_INDEL:
+            continue
+        if haploid_s and is_multi:
+            continue
+
+        if category in _HOMO_INDEL:
+            genotype_string = "1/1"
+        elif is_multi:
+            genotype_string = "1/2"
+        else:
+            genotype_string = "0/1"
+
+        depth = float(read_depth[i])
+        allele_frequency = min((supported + extra_support) / depth, 1.0) if depth else 0.0
+
+        # gt21 code straight from the category structure (equivalent to
+        # gt21_code_from over the allele strings, verified by the
+        # path-equality test); het_base/refc pick the base+indel classes
+        if category in ("homo_ins", "het_insins"):
+            code = GT21.InsIns
+        elif category == "het_acgt_ins":
+            code = GT21[(het_base if is_multi else refc) + "Ins"]
+        elif category in ("homo_del", "het_deldel"):
+            code = GT21.DelDel
+        elif category == "het_acgt_del":
+            code = GT21[(het_base if is_multi else refc) + "Del"]
+        else:  # het_insdel
+            code = GT21.InsDel
+        geno = genotype_for_task(genotype_code_from(g1, g2))
+        p = float(gt21_p[i][code]) * float(genotype_p[i][geno])
+        tmp = max((-10 * _log(_e, 10)) * _log(((1.0 - p) + 1e-300) / (p + 1e-300)) + 16, 0)
+        quality_score = int(round(tmp * tmp))
+
+        if haploid_p or haploid_s:
+            genotype_string = "1" if "1" in genotype_string else "0"
+
+        results.append((
+            i,
+            SiteCall(
+                category=category,
+                reference_base=reference_base,
+                alternate_base=alternate_base,
+                genotype_string=genotype_string,
+                quality_score=quality_score,
+                read_depth=int(depth),
+                allele_frequency=allele_frequency,
+                is_reference=False,
+                is_multi=is_multi,
+            ),
+        ))
+    return results
 
 
 def decode_batch(

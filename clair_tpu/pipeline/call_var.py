@@ -261,6 +261,7 @@ def _native_decode_batch(
 
     fallback_rows = {}
     if len(fallback):
+        from clair_tpu.pipeline.batch_decode import batch_decode_indels
         from clair_tpu.task.gt21 import gt21_code_from_label
         from clair_tpu.utils.genomics import BASE2ACGT
 
@@ -280,26 +281,23 @@ def _native_decode_batch(
         winners = category_maxima(
             gt21_p[idx], genotype_p[idx], vl1_p[idx], vl2_p[idx], ref_codes
         ).argmax(axis=0)
-    for k, i in enumerate(fallback.tolist()):
-        chromosome, position_str, sequence = infos[i]
-        fast = decode_indel_fast(
-            _CATEGORY_NAMES[winners[k]], x[i], sequence, chromosome,
-            int(position_str), gt21_p[i], genotype_p[i],
-            vl1_p[i], vl2_p[i], indel_sources,
-        )
-        if fast is not None:
-            call = assemble_site_call(
-                fast[0], fast[1], fast[2], x[i], gt21_p[i], genotype_p[i],
-                output_config,
-            )
+
+        batch_sequences = getattr(infos, "sequences", None)
+        if batch_sequences is not None:
+            seqs = [batch_sequences[i] for i in idx.tolist()]
         else:
-            call = decode_site(
-                x[i], chromosome, int(position_str), sequence,
-                gt21_p[i], genotype_p[i], vl1_p[i], vl2_p[i],
-                output_config, indel_sources,
+            seqs = [infos[i][2] for i in idx.tolist()]
+        fb_positions = positions[idx]
+        for k, call in batch_decode_indels(
+            x[idx], seqs, contig, fb_positions,
+            gt21_p[idx], genotype_p[idx], vl1_p[idx], vl2_p[idx],
+            [_CATEGORY_NAMES[w] for w in winners],
+            output_config, indel_sources,
+        ):
+            i = int(idx[k])
+            fallback_rows[i] = vcf_writer.format_site(
+                contig, int(fb_positions[k]), call
             )
-        if call is not None:
-            fallback_rows[i] = vcf_writer.format_site(chromosome, int(position_str), call)
 
     if not fallback_rows:
         if rows_text:

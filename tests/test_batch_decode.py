@@ -114,3 +114,85 @@ def test_batch_decode_speed():
     decode_batch(x, infos, gt21, geno, vl1, vl2, config)
     per_site = (time.perf_counter() - start) / n * 1e6
     assert per_site < 150, f"batched decode too slow: {per_site:.0f} us/site"
+
+
+def test_batch_indel_decode_matches_per_site_chain():
+    """batch_decode_indels must reproduce the per-site
+    decode_indel_fast -> assemble_site_call -> decode_site chain EXACTLY,
+    across random probability mixes hitting every indel category, with an
+    IndelSources carrying callbacks (exercises the het_insins 'another'
+    lookup and long-indel source paths)."""
+    import numpy as np
+
+    from clair_tpu.pipeline.batch_decode import (
+        _CATEGORY_NAMES,
+        batch_decode_indels,
+        category_maxima,
+    )
+    from clair_tpu.pipeline.decode import (
+        IndelSources,
+        OutputConfig,
+        assemble_site_call,
+        decode_indel_fast,
+        decode_site,
+    )
+    from clair_tpu.task.gt21 import gt21_code_from_label
+
+    rs = np.random.RandomState(5)
+    n = 400
+    seq = "".join(rs.choice(list("ACGT"), 33))
+    x = rs.randint(0, 30, size=(n, 33, 8, 4)).astype(np.float32)
+    x[:, 16, :, 0] += 5  # nonzero depth everywhere
+
+    def softmax_rows(a):
+        e = np.exp(a - a.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    gt21_p = softmax_rows(rs.randn(n, 21) * 3)
+    geno_p = softmax_rows(rs.randn(n, 3) * 3)
+    vl1_p = softmax_rows(rs.randn(n, 33) * 3)
+    vl2_p = softmax_rows(rs.randn(n, 33) * 3)
+
+    ref_codes = np.full(n, gt21_code_from_label(seq[16] * 2))
+    winners = category_maxima(gt21_p, geno_p, vl1_p, vl2_p, ref_codes).argmax(0)
+    fallback = np.nonzero(winners > 2)[0]
+    assert len(set(winners[fallback])) >= 5  # many categories exercised
+
+    def fake_ins(contig, position, minimum_length, maximum_length, ignore=""):
+        bases = "ACGTACGTACGTACGTACGTACGT"[: max(minimum_length, 3)]
+        return bases if bases != ignore else ""
+
+    def fake_del(contig, position, minimum_length, maximum_length):
+        return "TGCA" * 5
+
+    for sources, oc in (
+        (IndelSources(), OutputConfig()),
+        (IndelSources(insertion_bases=fake_ins, deletion_bases=fake_del),
+         OutputConfig()),
+        (IndelSources(insertion_bases=fake_ins, deletion_bases=fake_del,
+                      use_bam_for_all=True), OutputConfig()),
+        (IndelSources(), OutputConfig(is_haploid_precision_mode_enabled=True)),
+        (IndelSources(), OutputConfig(is_haploid_sensitive_mode_enabled=True)),
+    ):
+        names = [_CATEGORY_NAMES[w] for w in winners[fallback]]
+        positions = 1000 + fallback.astype(np.int64)
+        got = dict(batch_decode_indels(
+            x[fallback], [seq] * len(fallback), "chr1", positions,
+            gt21_p[fallback], geno_p[fallback], vl1_p[fallback], vl2_p[fallback],
+            names, oc, sources,
+        ))
+        for k, i in enumerate(fallback.tolist()):
+            fast = decode_indel_fast(
+                names[k], x[i], seq, "chr1", int(positions[k]),
+                gt21_p[i], geno_p[i], vl1_p[i], vl2_p[i], sources,
+            )
+            if fast is not None:
+                expected = assemble_site_call(
+                    fast[0], fast[1], fast[2], x[i], gt21_p[i], geno_p[i], oc
+                )
+            else:
+                expected = decode_site(
+                    x[i], "chr1", int(positions[k]), seq,
+                    gt21_p[i], geno_p[i], vl1_p[i], vl2_p[i], oc, sources,
+                )
+            assert got.get(k) == expected, (k, names[k], got.get(k), expected)
