@@ -144,6 +144,58 @@ def decode_throughput(params, config) -> float:
     return BATCH * iters / (time.perf_counter() - start)
 
 
+def decode_indel_throughput() -> float:
+    """Host decode on an indel-dominated probability mix (the ONT calling
+    regime: >half of candidate sites decode through the indel path)."""
+    from clair_tpu.data.tensor_stream import LazyTensorInfos
+    from clair_tpu.io.vcf import VcfWriter
+    from clair_tpu.pipeline.call_var import _decode_batch
+    from clair_tpu.pipeline.decode import IndelSources, OutputConfig
+
+    rs = np.random.RandomState(3)
+    xs, seq = _synthetic_batch()
+    # insertion signal after the center so allele recovery has support
+    xs[:, 17, 0, 1] += 25.0
+    xs[:, 18, 1, 1] += 20.0
+
+    def noisy_onehot(n, size, peak, scale=0.8):
+        p = rs.rand(n, size).astype(np.float32) * (1 - scale) / size
+        p[np.arange(n), peak] += scale
+        return p / p.sum(-1, keepdims=True)
+
+    n = BATCH
+    kinds = rs.randint(0, 3, n)
+    gt21_peak = np.where(kinds == 0, 16, np.where(kinds == 1, 10, 15))
+    geno_peak = np.where(kinds == 1, 1, 2)        # dels homo, rest het
+    vl2_peak = np.where(kinds == 1, 14, 18)       # -2 dels / +2 ins
+    vl1_peak = np.where(kinds == 2, 17, 16)       # insins: +1/+2 pair
+    gt21_p = noisy_onehot(n, 21, gt21_peak)
+    geno_p = noisy_onehot(n, 3, geno_peak)
+    vl1_p = noisy_onehot(n, 33, vl1_peak)
+    vl2_p = noisy_onehot(n, 33, vl2_peak)
+
+    infos = LazyTensorInfos(
+        "chr1", np.arange(1000, 1000 + n, dtype=np.int64), [seq] * n
+    )
+    sink = io.StringIO()
+    writer = VcfWriter(sink)
+    output_config = OutputConfig()
+    sources = IndelSources()
+
+    class _Pre:
+        def gather(self, o, m):
+            return o
+
+    pending = (infos, xs, (gt21_p, geno_p, vl1_p, vl2_p), n)
+    _decode_batch(pending, _Pre(), output_config, writer, sources, None)
+    iters = 20
+    start = time.perf_counter()
+    for _ in range(iters):
+        infos._center_bases = None
+        _decode_batch(pending, _Pre(), output_config, writer, sources, None)
+    return n * iters / (time.perf_counter() - start)
+
+
 def train_throughput(config, batch=TRAIN_BATCH) -> float:
     """Real train-step samples/sec at the reference's training batch size
     (10,000, shared/param.py:15) via the in-jit scan protocol."""
@@ -330,6 +382,7 @@ def main():
     device_tps = device_throughput(params, config)
     device_bf16_tps = device_throughput(params, config_bf16)
     decode_tps = decode_throughput(params, config)
+    decode_indel_tps = decode_indel_throughput()
     train_tps = train_throughput(config)           # f32, the training default
     try:
         wgs_mbp_min = wgs_throughput(params, config)
@@ -339,7 +392,7 @@ def main():
     pipeline_tps = min(device_tps, decode_tps)
     print(
         f"[bench] device f32 {device_tps:.0f} t/s (bf16 {device_bf16_tps:.0f}), "
-        f"host decode {decode_tps:.0f} t/s, "
+        f"host decode {decode_tps:.0f} t/s (indel mix {decode_indel_tps:.0f}), "
         f"train {train_tps:.0f} samples/s, "
         f"wgs e2e {wgs_mbp_min:.1f} Mbp/min/core",
         file=sys.stderr,
@@ -361,6 +414,7 @@ def main():
                     "device_forward_tps_f32": round(device_tps, 1),
                     "device_forward_tps_bf16": round(device_bf16_tps, 1),
                     "host_decode_tps": round(decode_tps, 1),
+                    "host_decode_tps_indel_mix": round(decode_indel_tps, 1),
                     "train_samples_per_sec": round(train_tps, 1),
                     "wgs_end_to_end_mbp_per_min": round(wgs_mbp_min, 2),
                     "pileup_workers": os.cpu_count(),

@@ -15,13 +15,14 @@ import argparse
 import sys
 
 
-def _predictor_from(checkpoint_path, batch_size=None):
+def _predictor_from(checkpoint_path, batch_size=None, dtype=None):
     from clair_tpu.models.checkpoint import load_checkpoint
     from clair_tpu.params import PREDICT_BATCH_SIZE, ModelConfig
     from clair_tpu.pipeline.call_var import Predictor
 
     params, _ = load_checkpoint(checkpoint_path)
-    return Predictor(params, ModelConfig(), batch_size or PREDICT_BATCH_SIZE)
+    config = ModelConfig(compute_dtype=dtype) if dtype else ModelConfig()
+    return Predictor(params, config, batch_size or PREDICT_BATCH_SIZE)
 
 
 # ---------------------------------------------------------------------------
@@ -47,6 +48,9 @@ def cmd_call_var(argv):
     parser.add_argument("--output_for_ensemble", action="store_true")
     parser.add_argument("--bam_for_all_indel_bases", "--pysam_for_all_indel_bases",
                         action="store_true", dest="bam_for_all_indel_bases")
+    parser.add_argument("--dtype", choices=("float32", "bfloat16"), default=None,
+                        help="inference compute dtype (default float32; bf16 "
+                             "is decision-identical on confident outputs)")
     parser.add_argument("--activation_only", action="store_true",
                         help="dump layer activations instead of calling")
     parser.add_argument("--log_path", default=None)
@@ -91,11 +95,11 @@ def cmd_call_var(argv):
         writer.write_header()
         call_variants_from_probabilities(sys.stdin, output_config, writer, indel_sources)
     elif args.output_for_ensemble:
-        predictor = _predictor_from(args.chkpnt_fn)
+        predictor = _predictor_from(args.chkpnt_fn, dtype=args.dtype)
         call_variants_for_ensemble(args.tensor_fn, predictor, output_fh)
     else:
         writer.write_header()
-        predictor = _predictor_from(args.chkpnt_fn)
+        predictor = _predictor_from(args.chkpnt_fn, dtype=args.dtype)
         call_variants(
             args.tensor_fn, predictor, output_config, writer, indel_sources,
             debug_fh=output_fh if args.debug else None,
@@ -128,6 +132,8 @@ def cmd_call_bam(argv):
     parser.add_argument("--haploid_sensitive", action="store_true")
     parser.add_argument("--bam_for_all_indel_bases", "--pysam_for_all_indel_bases",
                         action="store_true", dest="bam_for_all_indel_bases")
+    parser.add_argument("--dtype", choices=("float32", "bfloat16"), default=None,
+                        help="inference compute dtype (default float32)")
     args = parser.parse_args(argv)
 
     from clair_tpu.pipeline.call_bam import CallBamConfig, call_bam
@@ -151,7 +157,10 @@ def cmd_call_bam(argv):
         use_bam_for_all_indels=args.bam_for_all_indel_bases,
         truth_vcf_path=args.vcf_fn,
     )
-    total = call_bam(config, _predictor_from(args.chkpnt_fn), output_path=args.call_fn)
+    total = call_bam(
+        config, _predictor_from(args.chkpnt_fn, dtype=args.dtype),
+        output_path=args.call_fn,
+    )
     print(f"[INFO] {total} candidate sites processed", file=sys.stderr)
 
 

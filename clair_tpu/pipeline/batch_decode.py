@@ -549,33 +549,37 @@ def decode_batch(
     )
     show_ref = output_config.is_show_reference or output_config.is_debug
 
+    # indel winners decode batched (vectorized winners/recovery, exact
+    # per-site fallback inside) — grouped per contig since the batch may
+    # span contigs on this path
+    indel_results: dict = {}
+    indel_idx = np.nonzero(valid & (winners > CAT_HET_SNP))[0]
+    if len(indel_idx):
+        by_contig: dict = {}
+        for i in indel_idx.tolist():
+            by_contig.setdefault(infos[i][0], []).append(i)
+        for chromosome, group in by_contig.items():
+            group_arr = np.asarray(group)
+            calls = batch_decode_indels(
+                x[group_arr],
+                [infos[i][2] for i in group],
+                chromosome,
+                np.asarray([int(infos[i][1]) for i in group], dtype=np.int64),
+                gt21_p[group_arr], genotype_p[group_arr],
+                vl1_p[group_arr], vl2_p[group_arr],
+                [_CATEGORY_NAMES[winners[i]] for i in group],
+                output_config, indel_sources,
+            )
+            for k, call in calls:
+                indel_results[group[k]] = call
+
     for i in range(n):
         if not valid[i]:
             continue
         winner = winners[i]
 
         if winner > CAT_HET_SNP:
-            chromosome, position_str, sequence = infos[i]
-            # lattice-free first attempt (exact ordering); the full
-            # argmax-with-retry lattice only runs when recovery degenerates
-            from clair_tpu.pipeline.decode import assemble_site_call, decode_indel_fast
-
-            fast = decode_indel_fast(
-                _CATEGORY_NAMES[winner], x[i], sequence, chromosome,
-                int(position_str), gt21_p[i], genotype_p[i],
-                vl1_p[i], vl2_p[i], indel_sources,
-            )
-            if fast is not None:
-                call = assemble_site_call(
-                    fast[0], fast[1], fast[2], x[i], gt21_p[i], genotype_p[i],
-                    output_config,
-                )
-            else:
-                call = decode_site(
-                    x[i], chromosome, int(position_str), sequence,
-                    gt21_p[i], genotype_p[i], vl1_p[i], vl2_p[i],
-                    output_config, indel_sources,
-                )
+            call = indel_results.get(i)
             if call is not None:
                 results.append((i, call))
             continue
