@@ -20,9 +20,8 @@ from typing import Optional
 import numpy as np
 
 from clair_tpu.data.candidates import (
-    candidate_sites_from_counts,
     CandidateConfig,
-    candidate_sites_from_events,
+    candidate_sites_from_counts,
 )
 from clair_tpu.data.pileup import (
     apply_depth_cap,

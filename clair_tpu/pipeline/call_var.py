@@ -234,11 +234,6 @@ def _native_decode_batch(
             return False
 
     from clair_tpu.pipeline.batch_decode import _CATEGORY_NAMES, category_maxima
-    from clair_tpu.pipeline.decode import (
-        assemble_site_call,
-        decode_indel_fast,
-        decode_site,
-    )
 
     if positions is None:
         positions = np.fromiter((int(info[1]) for info in infos[:n]), np.int64, count=n)
