@@ -451,7 +451,7 @@ def cmd_extract_candidates(argv):
         write_candidates_text,
     )
     from clair_tpu.data.pileup import events_from_reads, soft_clip_fraction_ok
-    from clair_tpu.io.bam import BamReader
+    from clair_tpu.io.cram import open_alignment
     from clair_tpu.io.fasta import FastaReader
     from clair_tpu.params import EXPAND_REFERENCE_REGION
     from clair_tpu.utils.intervals import BedIntervals
@@ -464,7 +464,7 @@ def cmd_extract_candidates(argv):
     ref_end = min(ctg_end + EXPAND_REFERENCE_REGION, length)
     reference = fasta.fetch(args.ctgName, ref_start, ref_end)
 
-    with BamReader(args.bam_fn) as bam:
+    with open_alignment(args.bam_fn, fasta=fasta) as bam:
         records = [
             r for r in bam.fetch(args.ctgName, ctg_start - 1, ctg_end, min_mapq=args.minMQ)
             if r.cigar_ops.size and soft_clip_fraction_ok(r)
@@ -526,7 +526,7 @@ def cmd_create_tensor(argv):
         apply_depth_cap, create_tensors, events_from_reads,
     )
     from clair_tpu.data.tensor_stream import open_maybe_gzip, tensor_line_from
-    from clair_tpu.io.bam import BamReader
+    from clair_tpu.io.cram import open_alignment
     from clair_tpu.io.fasta import FastaReader
     from clair_tpu.params import EXPAND_REFERENCE_REGION
 
@@ -550,7 +550,7 @@ def cmd_create_tensor(argv):
         args.ctgName, ref_start, min(ctg_end + EXPAND_REFERENCE_REGION, length)
     )
 
-    with BamReader(args.bam_fn) as bam:
+    with open_alignment(args.bam_fn, fasta=fasta) as bam:
         records = list(
             bam.fetch(args.ctgName, ctg_start - 1, ctg_end, min_mapq=args.minMQ)
         )
@@ -737,6 +737,36 @@ def cmd_index_vcf(argv):
     print(f"wrote {path}", file=sys.stderr)
 
 
+def cmd_bam2cram(argv):
+    parser = argparse.ArgumentParser(
+        prog="bam2cram",
+        description="Convert BAM to CRAM 3.0 (the reference relies on "
+                    "samtools for this; clair_tpu carries its own stack)",
+    )
+    parser.add_argument("--bam_fn", required=True)
+    parser.add_argument("--cram_fn", required=True)
+    parser.add_argument("--ref_fn", required=True, help="reference FASTA")
+    args = parser.parse_args(argv)
+
+    from clair_tpu.io.cram import bam_to_cram
+
+    n = bam_to_cram(args.bam_fn, args.cram_fn, args.ref_fn)
+    print(f"wrote {args.cram_fn} ({n} records)", file=sys.stderr)
+
+
+def cmd_cram2bam(argv):
+    parser = argparse.ArgumentParser(prog="cram2bam")
+    parser.add_argument("--cram_fn", required=True)
+    parser.add_argument("--bam_fn", required=True)
+    parser.add_argument("--ref_fn", required=True, help="reference FASTA")
+    args = parser.parse_args(argv)
+
+    from clair_tpu.io.cram import cram_to_bam
+
+    n = cram_to_bam(args.cram_fn, args.bam_fn, args.ref_fn)
+    print(f"wrote {args.bam_fn} ({n} records)", file=sys.stderr)
+
+
 COMMANDS = {
     "call_var": cmd_call_var,
     "call_bam": cmd_call_bam,
@@ -767,6 +797,8 @@ COMMANDS = {
     "ensemble": cmd_ensemble,
     "plot_tensor": cmd_plot_tensor,
     "index_vcf": cmd_index_vcf,
+    "bam2cram": cmd_bam2cram,
+    "cram2bam": cmd_cram2bam,
     "convert_tf1": cmd_convert_tf1,
 }
 

@@ -31,6 +31,7 @@ from clair_tpu.data.pileup import (
 )
 from clair_tpu.data.tensor_stream import LazyTensorInfos, normalize_channels
 from clair_tpu.io.bam import BamReader
+from clair_tpu.io.cram import is_cram, open_alignment
 from clair_tpu.io.fasta import FastaReader
 from clair_tpu.io.vcf import VcfWriter
 from clair_tpu.params import EXPAND_REFERENCE_REGION, MAX_DEPTH_PER_POSITION
@@ -43,6 +44,24 @@ logger = logging.getLogger(__name__)
 _BAI_BUILD_LOCK = __import__("threading").Lock()
 
 
+def _ensure_bai(bam_path: str) -> None:
+    """Index once so every window after the first seeks instead of
+    scanning; the lock stops the threaded runner's workers from all
+    building it. No-op for CRAM (container headers self-index)."""
+    import os
+
+    if is_cram(bam_path) or os.path.isfile(bam_path + ".bai"):
+        return
+    with _BAI_BUILD_LOCK:
+        if not os.path.isfile(bam_path + ".bai"):
+            try:
+                from clair_tpu.io.bai import build_bai
+
+                build_bai(bam_path)
+            except Exception:
+                pass
+
+
 def load_region_events(
     bam_path: str,
     contig: str,
@@ -50,26 +69,16 @@ def load_region_events(
     end: int,
     minimum_mapq: int,
     dcov: int,
+    fasta: Optional[FastaReader] = None,
 ):
     """(candidate_events, tensor_events) for a region, via the native C++
-    engine when available, else the Python reader."""
-    import os
-
+    engine when available (BAM only), else the Python reader. ``fasta``
+    enables CRAM inputs (reference-based sequence reconstruction)."""
     from clair_tpu import native
 
-    # index once so every window after the first seeks instead of scanning;
-    # the lock stops the threaded runner's workers from all building it
-    if not os.path.isfile(bam_path + ".bai"):
-        with _BAI_BUILD_LOCK:
-            if not os.path.isfile(bam_path + ".bai"):
-                try:
-                    from clair_tpu.io.bai import build_bai
+    _ensure_bai(bam_path)
 
-                    build_bai(bam_path)
-                except Exception:
-                    pass
-
-    if native.available():
+    if native.available() and not is_cram(bam_path):
         with BamReader(bam_path) as bam:
             ref_id = bam.reference_id(contig)
         if ref_id is not None:
@@ -80,7 +89,7 @@ def load_region_events(
             if result is not None:
                 return result
 
-    with BamReader(bam_path) as bam:
+    with open_alignment(bam_path, fasta=fasta) as bam:
         records = list(bam.fetch(contig, start0, end, min_mapq=minimum_mapq))
     candidate_events = events_from_reads(
         [r for r in records if soft_clip_fraction_ok(r)]
@@ -95,17 +104,9 @@ def _open_region_scan(config: "CallBamConfig", ctg_start: int, ctg_end: int):
 
     from clair_tpu import native
 
-    if not native.available():
+    if not native.available() or is_cram(config.bam_path):
         return None
-    if not os.path.isfile(config.bam_path + ".bai"):
-        with _BAI_BUILD_LOCK:
-            if not os.path.isfile(config.bam_path + ".bai"):
-                try:
-                    from clair_tpu.io.bai import build_bai
-
-                    build_bai(config.bam_path)
-                except Exception:
-                    pass
+    _ensure_bai(config.bam_path)
     try:
         with BamReader(config.bam_path) as bam:
             ref_id = bam.reference_id(config.contig)
@@ -128,27 +129,18 @@ def load_region_counts(
     dcov: int,
     region_start: int,
     region_length: int,
+    fasta: Optional[FastaReader] = None,
 ):
     """(candidate_counts, tensor_events) for a region. The native engine
     accumulates the candidate pileup matrix inside its single scan —
     candidate events never materialize (they carried ~10 bytes/aligned
     base only to be counted); the Python fallback counts from events."""
-    import os
-
     from clair_tpu import native
     from clair_tpu.data.pileup import pileup_counts
 
-    if not os.path.isfile(bam_path + ".bai"):
-        with _BAI_BUILD_LOCK:
-            if not os.path.isfile(bam_path + ".bai"):
-                try:
-                    from clair_tpu.io.bai import build_bai
+    _ensure_bai(bam_path)
 
-                    build_bai(bam_path)
-                except Exception:
-                    pass
-
-    if native.available():
+    if native.available() and not is_cram(bam_path):
         with BamReader(bam_path) as bam:
             ref_id = bam.reference_id(contig)
         if ref_id is not None:
@@ -160,7 +152,7 @@ def load_region_counts(
                 return result
 
     candidate_events, tensor_events = load_region_events(
-        bam_path, contig, start0, end, minimum_mapq, dcov
+        bam_path, contig, start0, end, minimum_mapq, dcov, fasta=fasta
     )
     return (
         pileup_counts(candidate_events, region_start, region_length),
@@ -255,7 +247,7 @@ class RegionIndelSources(IndelSources):
     def _indels_at(self, contig: str, position_1based: int):
         insertions, deletions = [], []
         target = position_1based
-        with BamReader(self._bam_path) as bam:
+        with open_alignment(self._bam_path, fasta=self._fasta) as bam:
             for record in bam.fetch(contig, target - 1, target + 1):
                 refpos, qpos = record.pos, 0
                 seq = record.seq_str()
@@ -407,6 +399,7 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
             config.minimum_mapq, config.dcov,
             region_start=ctg_start - 1,
             region_length=ctg_end - (ctg_start - 1),
+            fasta=fasta,
         )
         if config.truth_vcf_path is not None:
             centers = truth_centers()
