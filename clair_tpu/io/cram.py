@@ -864,29 +864,28 @@ def decode_slice_records(
             qc = 1                      # 1-based query cursor
             rc = ap - 1                 # 0-based absolute reference cursor
             fpos = 0
-            ref_cache = {"start": None, "data": None}
+            ref_cache = {"start": None, "data": b""}
 
-            def ref_base(pos0: int) -> int:
+            def ref_window(pos0: int, n: int) -> bytes:
+                """n reference bytes from pos0 ('N'-padded past the contig
+                end / when no reference is available)."""
                 cache = ref_cache
-                if (
-                    cache["start"] is None
-                    or not (cache["start"] <= pos0 < cache["start"] + len(cache["data"]))
-                ):
-                    # whole remaining alignment span in one fetch
-                    length = max(rl + 1, 64)
-                    data = ref_fetch(ref_id, pos0, length)
+                start = cache["start"]
+                if start is None or pos0 < start or pos0 + n > start + len(cache["data"]):
+                    data = ref_fetch(ref_id, pos0, max(n, rl) + 64)
                     if data is None:
-                        return ord("N")
+                        return b"N" * n
                     cache["start"], cache["data"] = pos0, data
-                return cache["data"][pos0 - cache["start"]]
+                    start = pos0
+                seg = cache["data"][pos0 - start: pos0 - start + n]
+                return seg if len(seg) == n else seg + b"N" * (n - len(seg))
 
             def fill_to(q: int):
                 nonlocal qc, rc
                 n = q - qc
                 if n <= 0:
                     return
-                for k in range(n):
-                    seq[qc - 1 + k] = ref_base(rc + k)
+                seq[qc - 1: qc - 1 + n] = ref_window(rc, n)
                 add_op("M", n)
                 qc += n
                 rc += n
@@ -898,7 +897,7 @@ def decode_slice_records(
                 c = chr(fc)
                 if c == "X":
                     code = codecs["BS"].read_byte(streams)
-                    seq[qc - 1] = sub.substitute(ref_base(rc), code)
+                    seq[qc - 1] = sub.substitute(ref_window(rc, 1)[0], code)
                     add_op("M", 1)
                     qc += 1
                     rc += 1

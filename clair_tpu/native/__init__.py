@@ -127,6 +127,11 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(_EventBuffers),
     ]
+    lib.clair_rans_decompress.restype = ctypes.c_int
+    lib.clair_rans_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
     _lib = lib
     return lib
 
@@ -196,6 +201,21 @@ def decode_fast_native(
 
 def available() -> bool:
     return load_library() is not None
+
+
+def rans_decompress(data: bytes, raw_size: int):
+    """Native rANS 4x8 decode of a full stream (incl. the 9-byte header).
+    Returns the raw bytes, or None when the library is unavailable or the
+    stream is malformed (callers fall back to the Python decoder)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(raw_size)
+    rc = lib.clair_rans_decompress(
+        data, len(data),
+        ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)), raw_size,
+    )
+    return out.raw if rc == 0 else None
 
 
 def build_bai_native(bam_path: str, bai_path: str) -> bool:

@@ -117,3 +117,28 @@ def test_golden_single_symbol_stream():
     assert decompress(golden) == b"A" * n
     # and our encoder produces exactly this stream
     assert compress(b"A" * n, 0) == golden
+
+
+def test_python_and_native_decoders_agree():
+    """`decompress` prefers the native decoder (clair_rans.cpp) when the
+    library builds; the pure-Python decoder is the reference
+    implementation — they must agree bit-for-bit on every stream."""
+    from clair_tpu.io.rans import _decompress_o0, _decompress_o1
+
+    rs = np.random.RandomState(9)
+    cases = [
+        b"Z",
+        b"A" * 997,
+        bytes(rs.randint(0, 256, 4096).astype(np.uint8)),
+        bytes(np.clip(rs.normal(30, 3, 20000), 20, 40).astype(np.uint8) + 33),
+        b"ACGT" * 2500 + b"N",
+    ]
+    for order in (0, 1):
+        for data in cases:
+            blob = compress(data, order)
+            via_decompress = decompress(blob)  # native when available
+            pure = (_decompress_o0 if blob[0] == 0 else _decompress_o1)(
+                blob, 9, len(data)
+            )
+            assert via_decompress == data
+            assert pure == data
