@@ -85,8 +85,8 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p, ctypes.c_int64,
-        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int64, ctypes.c_char_p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_char)), ctypes.POINTER(ctypes.c_int64),
@@ -139,14 +139,16 @@ def load_library() -> Optional[ctypes.CDLL]:
 def decode_fast_native(
     x, gt21, geno, vl1, vl2, positions, center_bases, contig,
     show_ref=False, haploid_precision=False, haploid_sensitive=False,
-    qual_cutoff=None, threads=None,
+    qual_cutoff=None, threads=None, sequences=None,
 ):
     """Native fast-path decode. Returns (rows_text, row_sites, fallback_sites)
     or None when the library is unavailable.
 
-    rows_text: '\\n'-joined formatted VCF rows for decided fast-path sites;
-    row_sites/fallback_sites: site indices (fallback = indel winners to run
-    through the exact Python lattice).
+    rows_text: '\\n'-joined formatted VCF rows for decided sites;
+    row_sites/fallback_sites: site indices. With `sequences` (packed n*33
+    reference windows) the native decoder also assembles the callback-free
+    indel categories; the fallback set shrinks to het ins+ins, lengths
+    >= 16, and degenerate del+del alleles for the exact Python lattice.
     """
     lib = load_library()
     if lib is None:
@@ -163,6 +165,11 @@ def decode_fast_native(
     v2_c, v2_p = fp(vl2)
     pos = np.ascontiguousarray(positions, dtype=np.int64)
     bases = np.asarray(center_bases, dtype="S1").tobytes()
+    seq_buf = None
+    if sequences is not None:
+        seq_buf = "".join(sequences).encode("ascii")
+        if len(seq_buf) != 33 * len(pos):
+            seq_buf = None
 
     rows_ptr = ctypes.POINTER(ctypes.c_char)()
     rows_len = ctypes.c_int64()
@@ -174,7 +181,7 @@ def decode_fast_native(
     rc = lib.clair_decode_fast(
         x_p, g_p, ge_p, v1_p, v2_p,
         pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        bases, len(pos), contig.encode(),
+        bases, seq_buf, len(pos), contig.encode(),
         int(show_ref), int(haploid_precision), int(haploid_sensitive),
         -(2 ** 31) if qual_cutoff is None else int(qual_cutoff),
         int(threads if threads is not None else min(os.cpu_count() or 1, 8)),

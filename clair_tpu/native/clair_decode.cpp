@@ -1,11 +1,17 @@
 // clair_decode: native fast-path variant decode.
 //
-// Mirrors clair_tpu/pipeline/batch_decode.py exactly for the three
-// fast-path categories (homo-reference / homo-SNP / hetero-SNP): category
-// maxima factorize over the two length heads, the winner is the first
-// category attaining the global max (the reference's tie order,
-// call_var.py:693-947), and winning indel categories are returned as
-// fallback indices for the exact Python lattice walk.
+// Mirrors clair_tpu/pipeline/batch_decode.py exactly: category maxima
+// factorize over the two length heads, the winner is the first category
+// attaining the global max (the reference's tie order,
+// call_var.py:693-947). Besides the three fast-path categories
+// (homo-reference / homo-SNP / hetero-SNP) this also assembles the six
+// indel categories that need no allele-recovery callback (homo ins/del,
+// het ACGT+ins/del, het del+del, het ins+del) when `sequences` is given;
+// only het ins+ins (insertion_bases callback), lengths >= 16 (BAM
+// recovery), and degenerate del+del alleles return as fallback indices
+// for the exact Python path. Argmax loops iterate in the Python arrays'
+// index order so ties break identically (deletion arrays are reversed:
+// length ascending = vl index descending).
 //
 // Outputs fully formatted VCF row strings so the Python layer only merges
 // them (in site order) with the rare fallback rows.
@@ -88,6 +94,9 @@ inline char* put_u64(char* p, uint64_t v) {
 // within double noise of a .5 boundary — fall back to snprintf there so
 // rows stay byte-identical to the Python formatter.
 inline char* put_af4(char* p, double af) {
+  if (af < 0.0) {  // indel support sums can go negative on normalized
+    return p + snprintf(p, 16, "%.4f", af);  // tensors; match Python %.4f
+  }
   double scaled = af * 10000.0;
   double frac = scaled - std::floor(scaled);
   if (std::fabs(frac - 0.5) < 1e-6) {
@@ -119,6 +128,7 @@ int clair_decode_fast(
     const float* vl2,          // (n, 33)
     const int64_t* positions,  // 1-based
     const char* center_bases,  // (n,)
+    const char* sequences,     // (n, 33) ref windows, NULL -> indels fall back
     int64_t n,
     const char* contig,
     int32_t show_ref, int32_t haploid_precision, int32_t haploid_sensitive,
@@ -221,7 +231,256 @@ int clair_decode_fast(
     }
 
     if (winner > 2) {
-      fallback.push_back(i);
+      // --- indel assembly (batch_decode_indels semantics) ---
+      if (sequences == nullptr || winner == 5) {  // het ins+ins: callback
+        fallback.push_back(i);
+        continue;
+      }
+      const char* seq = sequences + i * 33;
+      const char refc = seq[16];
+
+      // Python's length-ascending views: pos[j] = vl[17+j] (length j+1),
+      // negL[j] = vl[15-j] (length j+1)
+      auto pv1 = [&](int j) { return (double)v1[17 + j]; };
+      auto pv2 = [&](int j) { return (double)v2[17 + j]; };
+      auto nv1 = [&](int j) { return (double)v1[15 - j]; };
+      auto nv2 = [&](int j) { return (double)v2[15 - j]; };
+
+      // inserted bases from the folded profile of rows 17..16+L; numpy's
+      // argmax runs over [f0..f3, 0,0,0,0] % 4: an all-negative profile
+      // resolves to 'A' via the zero at index 4
+      char insb[17];
+      auto ins_str = [&](int L) {
+        for (int t = 0; t < L; t++) {
+          const float* row = xi + (17 + t) * 32;
+          float vals[5];
+          for (int b = 0; b < 4; b++)
+            vals[b] = row[b * 4 + 1] + row[(b + 4) * 4 + 1]
+                    - row[b * 4 + 3] - row[(b + 4) * 4 + 3];
+          vals[4] = 0.0f;
+          int arg = 0;
+          for (int b = 1; b < 5; b++)
+            if (vals[b] > vals[arg]) arg = b;
+          insb[t] = "ACGT"[arg == 4 ? 0 : arg];
+        }
+        insb[L] = 0;
+      };
+
+      double ins_sup = 0.0, del_sup = 0.0;
+      for (int r = 0; r < 8; r++) {
+        ins_sup += (double)xi[17 * 32 + r * 4 + 1] - xi[17 * 32 + r * 4 + 3];
+        del_sup += (double)xi[17 * 32 + r * 4 + 2];
+      }
+
+      int het_ins_arg = 0, het_del_arg = 0;
+      for (int k = 1; k < 4; k++) {
+        if (g21[kHetIns[k]] > g21[kHetIns[het_ins_arg]]) het_ins_arg = k;
+        if (g21[kHetDel[k]] > g21[kHetDel[het_del_arg]]) het_del_arg = k;
+      }
+
+      auto base_sup = [&](int b) {
+        return (double)xi[center * 32 + b * 4 + 3]
+             + xi[center * 32 + (b + 4) * 4 + 3]
+             + xi[center * 32 + b * 4 + 0]
+             + xi[center * 32 + (b + 4) * 4 + 0];
+      };
+
+      char ref_buf[24];
+      char alt_buf[72];
+      const char* genotype = nullptr;
+      int gcode = 0, geno_idx = 2;
+      double supported = 0.0, extra = 0.0;
+      bool is_multi = false, homo_indel = false, give_up = false;
+
+      auto set_ref_span = [&](int L) {  // refc + seq[17 .. 17+L)
+        ref_buf[0] = refc;
+        memcpy(ref_buf + 1, seq + 17, (size_t)L);
+        ref_buf[1 + L] = 0;
+      };
+
+      switch (winner) {
+        case 3: {  // homo ins
+          int arg = 0;
+          for (int j = 1; j < 16; j++)
+            if (pv1(j) * pv2(j) > pv1(arg) * pv2(arg)) arg = j;
+          int L = arg + 1;
+          if (L >= 16) { give_up = true; break; }
+          ins_str(L);
+          ref_buf[0] = refc; ref_buf[1] = 0;
+          alt_buf[0] = refc;
+          memcpy(alt_buf + 1, insb, (size_t)L + 1);
+          supported = ins_sup;
+          genotype = "1/1"; geno_idx = 1; homo_indel = true;
+          gcode = kInsIns;
+          break;
+        }
+        case 4: {  // het ACGT + ins
+          int arg = 0;
+          double bestj = std::max(z1 * pv2(0), pv1(0) * z2);
+          for (int j = 1; j < 16; j++) {
+            double v = std::max(z1 * pv2(j), pv1(j) * z2);
+            if (v > bestj) { bestj = v; arg = j; }
+          }
+          int L = arg + 1;
+          if (L >= 16) { give_up = true; break; }
+          ins_str(L);
+          char het_base = "ACGT"[het_ins_arg];
+          ref_buf[0] = refc; ref_buf[1] = 0;
+          supported = ins_sup;
+          if (het_base != refc) {
+            extra = base_sup(het_ins_arg);
+            alt_buf[0] = het_base; alt_buf[1] = ','; alt_buf[2] = refc;
+            memcpy(alt_buf + 3, insb, (size_t)L + 1);
+            genotype = "1/2"; is_multi = true;
+            gcode = kHetIns[het_ins_arg];
+          } else {
+            alt_buf[0] = refc;
+            memcpy(alt_buf + 1, insb, (size_t)L + 1);
+            genotype = "0/1";
+            gcode = kHetIns[base_index(refc)];
+          }
+          break;
+        }
+        case 6: {  // homo del
+          int arg = 0;
+          for (int j = 1; j < 16; j++)
+            if (nv1(j) * nv2(j) > nv1(arg) * nv2(arg)) arg = j;
+          int L = arg + 1;
+          if (L >= 16) { give_up = true; break; }
+          set_ref_span(L);
+          alt_buf[0] = ref_buf[0]; alt_buf[1] = 0;
+          supported = del_sup;
+          genotype = "1/1"; geno_idx = 1; homo_indel = true;
+          gcode = kDelDel;
+          break;
+        }
+        case 7: {  // het ACGT + del
+          int arg = 0;
+          double bestj = std::max(z1 * nv2(0), nv1(0) * z2);
+          for (int j = 1; j < 16; j++) {
+            double v = std::max(z1 * nv2(j), nv1(j) * z2);
+            if (v > bestj) { bestj = v; arg = j; }
+          }
+          int L = arg + 1;
+          if (L >= 16) { give_up = true; break; }
+          set_ref_span(L);
+          char het_base = "ACGT"[het_del_arg];
+          supported = del_sup;
+          if (het_base != ref_buf[0]) {
+            extra = base_sup(het_del_arg);
+            alt_buf[0] = ref_buf[0]; alt_buf[1] = ','; alt_buf[2] = het_base;
+            memcpy(alt_buf + 3, ref_buf + 1, (size_t)L + 1);
+            genotype = "1/2"; is_multi = true;
+            gcode = kHetDel[het_del_arg];
+          } else {
+            alt_buf[0] = ref_buf[0]; alt_buf[1] = 0;
+            genotype = "0/1";
+            gcode = kHetDel[base_index(refc)];
+          }
+          break;
+        }
+        case 8: {  // het del + del (i != j, row-major first max like numpy)
+          int ai = 0, aj = 1;
+          double bestp = -2.0;
+          for (int ii = 0; ii < 16; ii++)
+            for (int jj = 0; jj < 16; jj++) {
+              if (ii == jj) continue;
+              double v = nv1(ii) * nv2(jj);
+              if (v > bestp) { bestp = v; ai = ii; aj = jj; }
+            }
+          int vls = std::min(ai, aj) + 1, vll = std::max(ai, aj) + 1;
+          if (vll >= 16) { give_up = true; break; }
+          set_ref_span(vll);
+          // alt1 = ref[0]; alt2 = ref[0] + ref[vls+1:]
+          char alt2[24];
+          alt2[0] = ref_buf[0];
+          int tail = vll - vls;  // strlen(ref_buf) - (vls + 1)
+          memcpy(alt2 + 1, ref_buf + vls + 1, (size_t)tail + 1);
+          // degenerate allele combinations retry through the Python lattice
+          if (alt2[1] == 0 || strcmp(ref_buf, alt2) == 0) {
+            give_up = true;
+            break;
+          }
+          alt_buf[0] = ref_buf[0]; alt_buf[1] = ',';
+          memcpy(alt_buf + 2, alt2, strlen(alt2) + 1);
+          supported = del_sup;
+          genotype = "1/2"; is_multi = true;
+          gcode = kDelDel;
+          break;
+        }
+        case 9: {  // het ins + del (grid order (i, j, kind) like numpy)
+          int ai = 0, aj = 0, kind = 0;
+          double bestp = -1.0;
+          for (int ii = 0; ii < 16; ii++)
+            for (int jj = 0; jj < 16; jj++)
+              for (int kk = 0; kk < 2; kk++) {
+                double v = kk == 0 ? pv1(ii) * nv2(jj) : nv1(ii) * pv2(jj);
+                if (v > bestp) { bestp = v; ai = ii; aj = jj; kind = kk; }
+              }
+          int vl_ins = (kind == 0 ? ai : aj) + 1;
+          int vl_del = (kind == 0 ? aj : ai) + 1;
+          if (vl_ins >= 16 || vl_del >= 16) { give_up = true; break; }
+          ins_str(vl_ins);
+          set_ref_span(vl_del);
+          alt_buf[0] = ref_buf[0]; alt_buf[1] = ',';
+          alt_buf[2] = ref_buf[0];
+          memcpy(alt_buf + 3, insb, (size_t)vl_ins);
+          memcpy(alt_buf + 3 + vl_ins, ref_buf + 1, (size_t)vl_del + 1);
+          supported = ins_sup + del_sup;
+          genotype = "1/2"; is_multi = true;
+          gcode = kInsDel;
+          break;
+        }
+        default:
+          give_up = true;
+      }
+      if (give_up) {
+        fallback.push_back(i);
+        continue;
+      }
+      if (strcmp(ref_buf, alt_buf) == 0) continue;
+      if (haploid_precision && !homo_indel) continue;
+      if (haploid_sensitive && is_multi) continue;
+
+      double p = (double)g21[gcode] * (double)gn[geno_idx];
+      double tmp = (-10.0 * std::log(std::exp(1.0)) / std::log(10.0))
+                   * std::log(((1.0 - p) + 1e-300) / (p + 1e-300)) + 16.0;
+      if (tmp < 0) tmp = 0;
+      long quality = llrint(tmp * tmp);
+      const char* genotype_out = genotype;
+      if (haploid_precision || haploid_sensitive) {
+        genotype_out = strchr(genotype, '1') ? "1" : "0";
+      }
+      double af = (supported + extra) / depth;
+      if (af > 1.0) af = 1.0;
+      const char* filter = ".";
+      if (qual_cutoff != INT32_MIN) {
+        filter = quality >= qual_cutoff ? "PASS" : "LowQual";
+      }
+      char* wp = line;
+      memcpy(wp, prefix, prefix_len);
+      wp += prefix_len;
+      wp = put_u64(wp, (uint64_t)positions[i]);
+      *wp++ = '\t'; *wp++ = '.'; *wp++ = '\t';
+      for (const char* s = ref_buf; *s; s++) *wp++ = *s;
+      *wp++ = '\t';
+      for (const char* s = alt_buf; *s; s++) *wp++ = *s;
+      *wp++ = '\t';
+      wp = put_u64(wp, (uint64_t)quality);
+      *wp++ = '\t';
+      for (const char* s = filter; *s; s++) *wp++ = *s;
+      memcpy(wp, "\t.\tGT:GQ:DP:AF\t", 15);
+      wp += 15;
+      for (const char* s = genotype_out; *s; s++) *wp++ = *s;
+      *wp++ = ':';
+      wp = put_u64(wp, (uint64_t)quality);
+      *wp++ = ':';
+      wp = put_u64(wp, (uint64_t)llrint(depth));
+      *wp++ = ':';
+      wp = put_af4(wp, af);
+      *wp++ = '\n';
+      rows.append(line, wp - line);
+      row_sites.push_back(i);
       continue;
     }
 

@@ -243,12 +243,24 @@ def _native_decode_batch(
         center_bases = [info[2][len(info[2]) // 2] for info in infos[:n]]
     else:
         center_bases = center_bases[:n]
+    # packed reference windows let the native decoder assemble the
+    # callback-free indel categories too (het ins+ins and >=16bp recovery
+    # stay on the exact Python path); use_bam_for_all forces every indel
+    # through the Python chain, so skip native indel assembly there
+    sequences = None
+    if not indel_sources.use_bam_for_all:
+        sequences = getattr(infos, "sequences", None)
+        if sequences is None:
+            sequences = [info[2] for info in infos[:n]]
+        else:
+            sequences = sequences[:n]
     result = native.decode_fast_native(
         x[:n], gt21_p, genotype_p, vl1_p, vl2_p, positions, center_bases, contig,
         show_ref=output_config.is_show_reference,
         haploid_precision=output_config.is_haploid_precision_mode_enabled,
         haploid_sensitive=output_config.is_haploid_sensitive_mode_enabled,
         qual_cutoff=output_config.quality_score_for_pass,
+        sequences=sequences,
     )
     if result is None:
         return False
