@@ -2,6 +2,7 @@
 record round-trips through the same BamRecord model the pileup consumes."""
 
 import os
+import struct
 
 import numpy as np
 import pytest
@@ -419,3 +420,40 @@ def test_call_bam_from_cram_matches_bam(tmp_path):
     called = {int(r.split("\t")[1]) for r in outputs["cram"]}
     truth = {v.position for v in variants}
     assert len(truth & called) >= len(truth) - 1  # oracle-level recall
+
+
+def test_corrupt_cram_fails_cleanly(tmp_path):
+    """Bit flips / truncations anywhere in the file must raise a clean
+    error (or EOF-stop) — never hang, loop, or crash the interpreter."""
+    records = [
+        ("a", 100, 0, [(50, "M")], REF[100:150], 60),
+        ("b", 200, 0, [(20, "M"), (3, "I"), (20, "M")],
+         REF[200:220] + "TTT" + REF[220:240], 60),
+    ]
+    cram_path = _roundtrip_records(tmp_path, records)
+    fasta_path = os.path.join(str(tmp_path), "ref.fa")
+    data = bytearray(open(cram_path, "rb").read())
+    rs = np.random.RandomState(0)
+
+    bad = os.path.join(str(tmp_path), "bad.cram")
+    # truncations at every region of the file
+    for cut in [30, 60, len(data) // 2, len(data) - 45]:
+        open(bad, "wb").write(bytes(data[:cut]))
+        try:
+            with CramReader(bad, fasta=fasta_path) as cram:
+                list(cram)
+        except (ValueError, IndexError, EOFError, OSError):
+            pass
+    # random single-byte corruptions (CRCs catch block damage; header
+    # damage must raise, not wedge)
+    for _ in range(60):
+        corrupted = bytearray(data)
+        pos = int(rs.randint(26, len(data)))
+        corrupted[pos] ^= 1 + int(rs.randint(255))
+        open(bad, "wb").write(bytes(corrupted))
+        try:
+            with CramReader(bad, fasta=fasta_path) as cram:
+                list(cram)
+        except (ValueError, IndexError, EOFError, OSError, KeyError,
+                UnicodeDecodeError, MemoryError, struct.error):
+            pass
