@@ -12,6 +12,7 @@ as aliases of the snake_case names.
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 
@@ -191,6 +192,20 @@ def cmd_call_bam_parallel(argv):
                         help="multi-host WGS: total hosts splitting the window list")
     parser.add_argument("--shard_id", type=int, default=0,
                         help="this host's shard index in [0, num_shards)")
+    parser.add_argument("--work_dir", default=None,
+                        help="multi-host dynamic mode: shared queue directory; "
+                             "every host runs the same command and claims "
+                             "windows atomically (replaces static sharding)")
+    parser.add_argument("--reclaim_stale", type=float, default=None,
+                        help="with --work_dir: seconds after which another "
+                             "host's claim with no result is taken over")
+    parser.add_argument("--wait", action="store_true",
+                        help="with --work_dir: idle until every window has a "
+                             "result before exiting (last host standing "
+                             "picks up crashed peers' windows)")
+    parser.add_argument("--finalize_only", action="store_true",
+                        help="with --work_dir: skip calling; merge finished "
+                             "windows into <output_prefix>.vcf and report")
     args = parser.parse_args(argv)
 
     from clair_tpu.pipeline.call_bam_parallel import (
@@ -219,6 +234,39 @@ def cmd_call_bam_parallel(argv):
         bam_path=args.bam_fn, fasta_path=args.ref_fn,
         bed_path=args.bed_fn, qual=args.qual,
     )
+    if args.work_dir:
+        from clair_tpu.io.fasta import FastaReader
+        from clair_tpu.pipeline.call_bam_parallel import genome_windows
+        from clair_tpu.pipeline.work_queue import WorkQueue, finalize, run_worker
+        from clair_tpu.utils.intervals import BedIntervals
+
+        queue = WorkQueue(args.work_dir)
+        fasta = FastaReader(args.ref_fn)
+        contigs = fasta.contigs
+        if not args.finalize_only:
+            bed = BedIntervals.from_bed(args.bed_fn) if args.bed_fn else None
+            windows = list(genome_windows(
+                fasta, args.refChunkSize, args.includingAllContigs, bed
+            ))
+            queue.initialize(windows, meta={"bam": args.bam_fn})
+        fasta.close()
+        if args.finalize_only:
+            state = finalize(queue, args.output_prefix + ".vcf",
+                             contigs=contigs, qual=args.qual)
+            print(json.dumps(state), file=sys.stderr)
+            return
+        total = run_worker(
+            queue, base, _predictor_from(args.chkpnt_fn),
+            reclaim_stale_s=args.reclaim_stale,
+            wait_for_stragglers=args.wait,
+        )
+        state = queue.status()
+        print(f"[INFO] this worker called {total} sites; queue: {state}",
+              file=sys.stderr)
+        if state["ok"] + state["failed"] == state["total"]:
+            finalize(queue, args.output_prefix + ".vcf",
+                     contigs=contigs, qual=args.qual)
+        return
     if args.process_pool:
         paths = call_bam_parallel(
             base, lambda: _predictor_from(args.chkpnt_fn), args.output_prefix,

@@ -1,0 +1,179 @@
+"""Multi-host dynamic work queue: atomic claiming over a shared directory,
+crash recovery via stale-claim reclaim, and a finalize step whose merged
+VCF matches the single-host threaded runner's output."""
+
+import json
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from clair_tpu.pipeline.call_bam import CallBamConfig
+from clair_tpu.pipeline.call_bam_parallel import call_bam_windows_threaded
+from clair_tpu.pipeline.work_queue import WorkQueue, finalize, run_worker
+from clair_tpu.utils.simulate import (
+    plant_variants,
+    random_reference,
+    simulate_bam,
+    write_fasta,
+)
+from tests.test_pipeline_e2e import OraclePredictor
+
+
+@pytest.fixture(scope="module")
+def genome(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("queue_genome")
+    rs = np.random.RandomState(13)
+    reference = random_reference(rs, 12_000)
+    variants = plant_variants(rs, reference, n_variants=20, spacing=400)
+    fasta_path = str(tmp / "ref.fa")
+    bam_path = str(tmp / "s.bam")
+    write_fasta(fasta_path, reference)
+    simulate_bam(bam_path, reference, variants, rs, coverage=25)
+    return dict(fasta=fasta_path, bam=bam_path, variants=variants, tmp=tmp)
+
+
+def _base(genome):
+    return CallBamConfig(
+        bam_path=genome["bam"], fasta_path=genome["fasta"],
+        minimum_af=0.2, minimum_coverage=4,
+    )
+
+
+def _queue_with_windows(genome, root, chunk=2000):
+    from clair_tpu.io.fasta import FastaReader
+    from clair_tpu.pipeline.call_bam_parallel import genome_windows
+
+    queue = WorkQueue(str(root))
+    fasta = FastaReader(genome["fasta"])
+    windows = list(genome_windows(fasta, chunk, include_all_contigs=True))
+    fasta.close()
+    assert queue.initialize(windows)
+    assert not queue.initialize(windows)  # second init loses the race
+    return queue, windows
+
+
+def test_two_workers_drain_disjointly_and_match_single_host(genome, tmp_path):
+    queue, windows = _queue_with_windows(genome, tmp_path / "q")
+    assert len(windows) == 6
+
+    totals = {}
+
+    def worker(name):
+        totals[name] = run_worker(queue, _base(genome), OraclePredictor())
+
+    threads = [threading.Thread(target=worker, args=(k,)) for k in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    state = queue.status()
+    assert state == {"total": 6, "ok": 6, "failed": 0,
+                     "in_progress": 0, "unclaimed": 0}
+    # every window done exactly once
+    merged = str(tmp_path / "merged.vcf")
+    finalize(queue, merged)
+    queue_rows = [r for r in open(merged) if not r.startswith("#")]
+
+    single = str(tmp_path / "single.vcf")
+    single_total = call_bam_windows_threaded(
+        _base(genome), OraclePredictor(), single,
+        chunk_size=2000, include_all_contigs=True, pileup_workers=2,
+    )
+    # both workers' processed-site counts sum to the single-host count
+    # (sites, not rows: reference calls produce no row without --showRef)
+    assert sum(totals.values()) == single_total
+    single_rows = [r for r in open(single) if not r.startswith("#")]
+    assert queue_rows == single_rows
+    truth = {v.position for v in genome["variants"]}
+    called = {int(r.split("\t")[1]) for r in queue_rows}
+    # small 2kb windows lose a variant whose flank crosses a boundary
+    # (share-nothing chunking, same as the reference's 10Mb windows —
+    # production chunks make this negligible); the equality check above is
+    # the real assertion
+    assert len(truth & called) >= len(truth) - 2
+
+
+def test_stale_claim_reclaim(genome, tmp_path):
+    queue, windows = _queue_with_windows(genome, tmp_path / "q2")
+    # a "crashed host": claims a window, never finishes
+    assert queue.try_claim(windows[0])
+    stale = queue._claim_path(windows[0])
+    old = time.time() - 3600
+    os.utime(stale, (old, old))
+    # a live claim must NOT be reclaimed
+    assert queue.try_claim(windows[1])
+
+    assert queue.reclaim_stale(600) == 1
+    total = run_worker(queue, _base(genome), OraclePredictor(),
+                       reclaim_stale_s=600)
+    assert total >= 0
+    state = queue.status()
+    # windows[1] is still claimed by the "live host" and unfinished
+    assert state["ok"] == len(windows) - 1
+    assert state["in_progress"] == 1
+
+    # the live host finishing its window completes the queue
+    import dataclasses
+
+    from clair_tpu.io.vcf import VcfWriter
+    from clair_tpu.pipeline.call_bam import call_window, prepare_window
+
+    contig, start, end = windows[1]
+    config = dataclasses.replace(_base(genome), contig=contig,
+                                 ctg_start=start, ctg_end=end)
+    work = prepare_window(config)
+    with open(queue.vcf_path(windows[1]), "w") as fh:
+        sites = call_window(work, OraclePredictor(), VcfWriter(fh))
+    queue.mark_done(windows[1], "ok", sites=sites)
+    assert queue.status()["ok"] == len(windows)
+
+
+def test_failed_window_recorded_and_finalize_warns(genome, tmp_path, caplog):
+    queue, windows = _queue_with_windows(genome, tmp_path / "q3")
+    bad = CallBamConfig(
+        bam_path=genome["bam"] + ".missing", fasta_path=genome["fasta"],
+    )
+    run_worker(queue, bad, OraclePredictor())
+    state = queue.status()
+    assert state["failed"] == len(windows)
+    entry = json.load(open(queue._done_path(windows[0])))
+    assert entry["status"] == "failed" and "error" in entry
+    out = str(tmp_path / "partial.vcf")
+    state = finalize(queue, out)
+    assert state["failed"] == len(windows)
+    rows = [r for r in open(out) if not r.startswith("#")]
+    assert rows == []
+
+
+def test_cli_work_queue_mode(genome, tmp_path):
+    import subprocess
+    import sys as _sys
+
+    # CLI worker with the vendored checkpoint, then finalize_only
+    env = {**os.environ, "JAX_PLATFORMS": "", "JAX_PLATFORM_NAME": "cpu"}
+    prefix = str(tmp_path / "out")
+    cmd = [
+        _sys.executable, "-m", "clair_tpu", "call_bam_parallel",
+        "--bam_fn", genome["bam"], "--ref_fn", genome["fasta"],
+        "--chkpnt_fn", "examples/ont_synthetic.ckpt",
+        "--output_prefix", prefix, "--run",
+        "--work_dir", str(tmp_path / "qcli"),
+        "--refChunkSize", "4000", "--includingAllContigs",
+    ]
+    result = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                            cwd="/root/repo")
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert os.path.isfile(prefix + ".vcf")
+    rows = [r for r in open(prefix + ".vcf") if not r.startswith("#")]
+    assert rows
+    result = subprocess.run(
+        cmd + ["--finalize_only"], capture_output=True, text=True, env=env,
+        cwd="/root/repo",
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    state = json.loads(result.stderr.strip().splitlines()[-1])
+    assert state["ok"] == state["total"] > 0
