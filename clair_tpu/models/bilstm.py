@@ -45,8 +45,21 @@ def bilstm(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     """Bidirectional LSTM over a (B, T, F) batch -> (B, T, 2H).
 
     Forward and backward directions share one scan by stacking the reversed
-    sequence along the batch axis.
+    sequence along the batch axis. Two step forms, picked by the (static)
+    batch size:
+
+    - hoisted (B <= 512): all input projections precompute as one big MXU
+      matmul; each step streams its (2B, 4H) xw row. Fastest at the
+      production predict batch (512: 1.74M vs 1.57M tensors/s full-model).
+    - fused (B > 512): x_t @ W happens inside the step as one
+      [x_t, h] @ [[W],[U]] matmul, so a step reads the (2B, F) input row
+      instead of the 16x larger xw row. The hoisted form falls off a
+      VMEM/HBM cliff past batch 512 (full model 0.76M t/s at batch 1000 vs
+      fused 1.57M; train step at 10000: 86.4 -> 75.0 ms). Same math,
+      different accumulation order (outputs agree to ~1e-4).
     """
+    if x.shape[0] > 512:
+        return _bilstm_fused(params, x)
     hidden = params["fw"]["u"].shape[0]
     x_rev = jnp.flip(x, axis=1)
 
@@ -86,5 +99,39 @@ def bilstm(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     )  # (T, 2B, H)
 
     out_fw = outputs[:, :b].transpose(1, 0, 2)                 # (B, T, H)
+    out_bw = jnp.flip(outputs[:, b:].transpose(1, 0, 2), axis=1)
+    return jnp.concatenate([out_fw, out_bw], axis=-1)
+
+
+def _bilstm_fused(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Large-batch step form: input projection fused into the recurrence
+    (see bilstm docstring for the measured crossover)."""
+    hidden = params["fw"]["u"].shape[0]
+    b = x.shape[0]
+    x_rev = jnp.flip(x, axis=1)
+    xs = jnp.concatenate(
+        [x.transpose(1, 0, 2), x_rev.transpose(1, 0, 2)], axis=1
+    )  # (T, 2B, F)
+    wu_fw = jnp.concatenate([params["fw"]["w"], params["fw"]["u"]], axis=0)
+    wu_bw = jnp.concatenate([params["bw"]["w"], params["bw"]["u"]], axis=0)
+    b_fw, b_bw = params["fw"]["b"], params["bw"]["b"]
+
+    def step(carry, x_t):
+        h, c = carry
+        inp_fw = jnp.concatenate([x_t[:b], h[:b]], axis=-1)
+        inp_bw = jnp.concatenate([x_t[b:], h[b:]], axis=-1)
+        gates = jnp.concatenate(
+            [inp_fw @ wu_fw + b_fw, inp_bw @ wu_bw + b_bw], axis=0
+        )
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    n2 = 2 * b
+    h0 = jnp.zeros((n2, hidden), x.dtype)
+    c0 = jnp.zeros((n2, hidden), x.dtype)
+    (_, _), outputs = jax.lax.scan(step, (h0, c0), xs, unroll=xs.shape[0])
+    out_fw = outputs[:, :b].transpose(1, 0, 2)
     out_bw = jnp.flip(outputs[:, b:].transpose(1, 0, 2), axis=1)
     return jnp.concatenate([out_fw, out_bw], axis=-1)

@@ -140,3 +140,23 @@ def test_total_loss_and_gradients(small_model):
     flat = jax.tree.leaves(grad_norms)
     assert all(np.isfinite(v) for v in flat)
     assert any(v > 0 for v in flat)
+
+
+def test_bilstm_fused_form_matches_hoisted():
+    """The large-batch fused step form (x@W inside the recurrence) must
+    compute the same function as the hoisted form up to accumulation
+    order; the dispatch threshold is batch > 512."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clair_tpu.models.bilstm import _bilstm_fused, bilstm, init_bilstm_params
+
+    rng = jax.random.PRNGKey(3)
+    params = init_bilstm_params(rng, 32, 64)
+    x = jnp.asarray(np.random.RandomState(0).rand(24, 33, 32), jnp.float32)
+    hoisted = bilstm(params, x)          # B=24 -> hoisted path
+    fused = _bilstm_fused(params, x)
+    np.testing.assert_allclose(
+        np.asarray(hoisted), np.asarray(fused), atol=2e-4, rtol=1e-4
+    )
