@@ -93,13 +93,18 @@ def device_throughput(params, config, batch=BATCH) -> float:
 
     float(loop(params, x, 1))
     float(loop(params, x, 51))
-    t0 = time.perf_counter()
-    float(loop(params, x, 1))
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(loop(params, x, 51))
-    t51 = time.perf_counter() - t0
-    return batch / ((t51 - t1) / 50)
+    # best-of-3: the remote-link round trip occasionally stalls mid-run,
+    # which would poison a single differenced measurement
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(loop(params, x, 1))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(loop(params, x, 51))
+        t51 = time.perf_counter() - t0
+        best = min(best, max((t51 - t1) / 50, 1e-9))
+    return batch / best
 
 
 def decode_throughput(params, config) -> float:
@@ -235,13 +240,16 @@ def train_throughput(config, batch=TRAIN_BATCH) -> float:
 
     float(loop(params, opt_state, x, y, 1))
     float(loop(params, opt_state, x, y, 21))
-    t0 = time.perf_counter()
-    float(loop(params, opt_state, x, y, 1))
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(loop(params, opt_state, x, y, 21))
-    t21 = time.perf_counter() - t0
-    return batch / ((t21 - t1) / 20)
+    best = float("inf")
+    for _ in range(3):  # best-of-3: robust to transient link stalls
+        t0 = time.perf_counter()
+        float(loop(params, opt_state, x, y, 1))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(loop(params, opt_state, x, y, 21))
+        t21 = time.perf_counter() - t0
+        best = min(best, max((t21 - t1) / 20, 1e-9))
+    return batch / best
 
 
 def wgs_throughput(params, config, genome_mb=1.0, coverage=30) -> float:
