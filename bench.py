@@ -50,6 +50,28 @@ BASELINE_BATCH = 1000
 TRAIN_BATCH = 10_000
 
 
+def _best_positive_sample(sample, tries=5):
+    """Best (smallest) positive differenced timing out of several tries.
+
+    The remote link occasionally stalls mid-measurement; a stall during the
+    1-iteration calibration makes the difference NEGATIVE, so clamping
+    would let a poisoned sample win. Non-positive samples are discarded; a
+    stall during the N-iteration run only ever makes a sample slower, so
+    min() over positives is robust. If every try is poisoned, fall back to
+    the N-run mean (round trip included) — pessimistic but sane."""
+    best = float("inf")
+    last_total = None
+    for _ in range(tries):
+        started = time.perf_counter()
+        value = sample()
+        last_total = time.perf_counter() - started
+        if value > 0:
+            best = min(best, value)
+    if best < float("inf"):
+        return best
+    return last_total / 2  # ~ the N-run wall clock per iteration block
+
+
 def _synthetic_batch(batch=BATCH):
     """Realistic candidate tensors: ~60x depth sites, 1/3 alt support."""
     from clair_tpu.data.tensor_stream import normalize_channels
@@ -93,18 +115,16 @@ def device_throughput(params, config, batch=BATCH) -> float:
 
     float(loop(params, x, 1))
     float(loop(params, x, 51))
-    # best-of-3: the remote-link round trip occasionally stalls mid-run,
-    # which would poison a single differenced measurement
-    best = float("inf")
-    for _ in range(3):
+
+    def sample():
         t0 = time.perf_counter()
         float(loop(params, x, 1))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         float(loop(params, x, 51))
-        t51 = time.perf_counter() - t0
-        best = min(best, max((t51 - t1) / 50, 1e-9))
-    return batch / best
+        return (time.perf_counter() - t0 - t1) / 50
+
+    return batch / _best_positive_sample(sample)
 
 
 def decode_throughput(params, config) -> float:
@@ -240,16 +260,16 @@ def train_throughput(config, batch=TRAIN_BATCH) -> float:
 
     float(loop(params, opt_state, x, y, 1))
     float(loop(params, opt_state, x, y, 21))
-    best = float("inf")
-    for _ in range(3):  # best-of-3: robust to transient link stalls
+
+    def sample():
         t0 = time.perf_counter()
         float(loop(params, opt_state, x, y, 1))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         float(loop(params, opt_state, x, y, 21))
-        t21 = time.perf_counter() - t0
-        best = min(best, max((t21 - t1) / 20, 1e-9))
-    return batch / best
+        return (time.perf_counter() - t0 - t1) / 20
+
+    return batch / _best_positive_sample(sample)
 
 
 def wgs_throughput(params, config, genome_mb=1.0, coverage=30) -> float:
@@ -313,12 +333,18 @@ def wgs_throughput(params, config, genome_mb=1.0, coverage=30) -> float:
     )
     out = os.path.join(tmp, "calls.vcf")
     workers = max(os.cpu_count() or 1, 1)
-    start = time.perf_counter()
-    call_bam_windows_threaded(
-        base, predictor, out,
-        chunk_size=250_000, include_all_contigs=True, pileup_workers=workers,
-    )
-    elapsed = time.perf_counter() - start
+    # best-of-2: the remote link's per-batch round trips make a single
+    # wall-clock sample noisy on this harness (observed 5-35 Mbp/min for
+    # identical code); the faster run is the one closer to the hardware
+    elapsed = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        call_bam_windows_threaded(
+            base, predictor, out,
+            chunk_size=250_000, include_all_contigs=True,
+            pileup_workers=workers,
+        )
+        elapsed = min(elapsed, time.perf_counter() - start)
     return genome_mb / (elapsed / 60.0)
 
 

@@ -207,6 +207,8 @@ def cmd_call_bam_parallel(argv):
                         help="with --work_dir: skip calling; merge finished "
                              "windows into <output_prefix>.vcf and report")
     args = parser.parse_args(argv)
+    if args.work_dir or args.finalize_only:
+        args.run = True  # queue modes are always inline execution
 
     from clair_tpu.pipeline.call_bam_parallel import (
         call_bam_parallel,

@@ -770,6 +770,10 @@ def _consume_tag_value(codec, typ: str, s: SliceStreams) -> None:
     if hasattr(codec, "read_bytes") and not isinstance(codec, ExternalCodec):
         codec.read_bytes(s, None)
         return
+    if not isinstance(codec, ExternalCodec):
+        raise ValueError(
+            f"unsupported tag value encoding {type(codec).__name__}"
+        )
     cursor = s.ext[codec.cid]
     if typ in ("A", "c", "C"):
         cursor.read(1)
@@ -950,7 +954,10 @@ def decode_slice_records(
             if cf & CF_QS_ARRAY:
                 _read_byte_run(codecs["QS"], streams, rl)
         else:
-            _read_bases_into(codecs["BA"], streams, seq, rl)
+            # CF_NO_SEQ records carry no base bytes at all (htslib writes
+            # nothing for SEQ '*' reads); reading BA would desync the stream
+            if not (cf & CF_NO_SEQ):
+                _read_bases_into(codecs["BA"], streams, seq, rl)
             if cf & CF_QS_ARRAY:
                 _read_byte_run(codecs["QS"], streams, rl)
         if cf & CF_NO_SEQ:

@@ -266,11 +266,16 @@ int clair_decode_fast(
         insb[L] = 0;
       };
 
-      double ins_sup = 0.0, del_sup = 0.0;
+      // float accumulation in numpy's order (separate channel sums, then
+      // subtract) so AF matches the Python path bit-for-bit even on
+      // non-integer tensors
+      float ins_pos = 0.0f, ins_neg = 0.0f, del_f = 0.0f;
       for (int r = 0; r < 8; r++) {
-        ins_sup += (double)xi[17 * 32 + r * 4 + 1] - xi[17 * 32 + r * 4 + 3];
-        del_sup += (double)xi[17 * 32 + r * 4 + 2];
+        ins_pos += xi[17 * 32 + r * 4 + 1];
+        ins_neg += xi[17 * 32 + r * 4 + 3];
+        del_f += xi[17 * 32 + r * 4 + 2];
       }
+      double ins_sup = (double)(ins_pos - ins_neg), del_sup = (double)del_f;
 
       int het_ins_arg = 0, het_del_arg = 0;
       for (int k = 1; k < 4; k++) {
@@ -279,10 +284,11 @@ int clair_decode_fast(
       }
 
       auto base_sup = [&](int b) {
-        return (double)xi[center * 32 + b * 4 + 3]
-             + xi[center * 32 + (b + 4) * 4 + 3]
-             + xi[center * 32 + b * 4 + 0]
-             + xi[center * 32 + (b + 4) * 4 + 0];
+        // float32 left-to-right like the Python base_support
+        return (double)(xi[center * 32 + b * 4 + 3]
+                        + xi[center * 32 + (b + 4) * 4 + 3]
+                        + xi[center * 32 + b * 4 + 0]
+                        + xi[center * 32 + (b + 4) * 4 + 0]);
       };
 
       char ref_buf[24];

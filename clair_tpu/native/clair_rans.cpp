@@ -67,6 +67,9 @@ bool walk_symbols(Reader& r, Visit visit) {
 
 bool read_table(Reader& r, Table& t) {
     std::memset(t.freq, 0, sizeof(t.freq));
+    // gap slots (tables summing < 4096) must decode deterministically as
+    // symbol 0, exactly like the Python reference's zeroed sym_of
+    std::memset(t.sym_of, 0, sizeof(t.sym_of));
     if (!walk_symbols(r, [&](int j) {
             t.freq[j] = (uint16_t)r.freq();
             return r.ok;

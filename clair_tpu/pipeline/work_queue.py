@@ -33,6 +33,7 @@ import json
 import logging
 import os
 import socket
+import threading
 import time
 from typing import List, Optional, Tuple
 
@@ -221,9 +222,20 @@ def run_worker(
             base_config, contig=contig, ctg_start=start, ctg_end=end
         )
         started = time.perf_counter()
+        # refresh the claim mtime for as long as the window runs — without
+        # this a slow (but healthy) window older than reclaim_stale_s
+        # would be taken over by a peer and computed twice
+        stop_beat = threading.Event()
+        beat_every = max((reclaim_stale_s or 120.0) / 4.0, 1.0)
+
+        def _beat():
+            while not stop_beat.wait(beat_every):
+                queue.heartbeat(window)
+
+        beater = threading.Thread(target=_beat, daemon=True)
+        beater.start()
         try:
             work = prepare_window(config)
-            queue.heartbeat(window)
             path = queue.vcf_path(window)
             with open(path + f".tmp.{os.getpid()}", "w") as fh:
                 writer = VcfWriter(fh, sample_name=base_config.sample_name,
@@ -238,6 +250,9 @@ def run_worker(
             queue.mark_done(window, "failed", error=f"{type(exc).__name__}: {exc}",
                             elapsed=time.perf_counter() - started)
             logger.error("window %s:%d-%d FAILED: %s", contig, start, end, exc)
+        finally:
+            stop_beat.set()
+            beater.join()
     return total
 
 
@@ -249,7 +264,10 @@ def finalize(queue: WorkQueue, output_path: str, sample_name: str = "SAMPLE",
     from clair_tpu.io.vcf import VcfWriter
 
     state = queue.status()
-    with open(output_path, "w") as out:
+    # temp + atomic rename: several hosts can reach completion near-
+    # simultaneously and all finalize the same shared path
+    tmp_path = output_path + f".tmp.{socket.gethostname()}.{os.getpid()}"
+    with open(tmp_path, "w") as out:
         writer = VcfWriter(out, sample_name=sample_name, contigs=contigs,
                            quality_score_for_pass=qual)
         writer.write_header()
@@ -260,6 +278,7 @@ def finalize(queue: WorkQueue, output_path: str, sample_name: str = "SAMPLE",
                     for line in fh:
                         if not line.startswith("#"):
                             out.write(line)
+    os.replace(tmp_path, output_path)
     if state["failed"] or state["unclaimed"] or state["in_progress"]:
         logger.warning(
             "finalize with incomplete queue: %s (failed/unfinished windows "

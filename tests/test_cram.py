@@ -457,3 +457,54 @@ def test_corrupt_cram_fails_cleanly(tmp_path):
         except (ValueError, IndexError, EOFError, OSError, KeyError,
                 UnicodeDecodeError, MemoryError, struct.error):
             pass
+
+
+def test_no_seq_records_consume_no_base_bytes():
+    """CF_NO_SEQ (SEQ '*') records carry no BA bytes; reading any would
+    desync every later record in the slice (htslib writes such records for
+    seq-less secondary alignments)."""
+    from clair_tpu.io.cram import (
+        CF_NO_SEQ,
+        CF_QS_ARRAY,
+        CompressionHeader,
+        SliceHeader,
+        _writer_encoding_map,
+        _W_IDS,
+        decode_slice_records,
+        parse_compression_header,
+        serialize_compression_header,
+    )
+
+    # serialize a compression header with the writer's encoding map, then
+    # parse it back to get decode-side codecs
+    h = CompressionHeader()
+    h.codecs = _writer_encoding_map()
+    header = parse_compression_header(serialize_compression_header(h))
+
+    # two unmapped records: first NO_SEQ (rl=5, no BA bytes), second normal
+    ext = {cid: bytearray() for cid in _W_IDS.values()}
+    def put(series, *vals):
+        for v in vals:
+            ext[_W_IDS[series]] += itf8_encode(v)
+    # record 1: BF=4 (unmapped), CF = NO_SEQ (no quals either), RL=5, AP
+    # delta 0, RG -1, name
+    put("BF", 4); put("CF", CF_NO_SEQ); put("RL", 5); put("AP", 0); put("RG", -1)
+    ext[_W_IDS["RN"]] += b"noseq\x00"
+    # record 2: BF=4, CF = quals array, RL=4, AP delta 1, RG -1, name, bases+quals
+    put("BF", 4); put("CF", CF_QS_ARRAY); put("RL", 4); put("AP", 1); put("RG", -1)
+    ext[_W_IDS["RN"]] += b"normal\x00"
+    ext[_W_IDS["BA"]] += b"ACGT"
+    ext[_W_IDS["QS"]] += bytes([30] * 4)
+
+    slice_header = SliceHeader(
+        ref_seq_id=0, start=100, span=10, n_records=2, record_counter=0,
+        n_blocks=0, content_ids=[],
+    )
+    streams = SliceStreams(b"", {cid: bytes(data) for cid, data in ext.items()})
+    records = decode_slice_records(
+        header, slice_header, streams, lambda ref_id, pos0, length: None
+    )
+    assert records[0].read_name == "noseq"
+    assert records[0].seq_str() == "NNNNN"
+    assert records[1].read_name == "normal"
+    assert records[1].seq_str() == "ACGT"  # would be garbage on desync
