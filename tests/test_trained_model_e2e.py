@@ -1,8 +1,9 @@
-"""End-to-end calling with a REAL trained model (the vendored checkpoint
-examples/ont_synthetic.ckpt: the full-size 2BiLSTM trained on TPU over
-150kb of ONT-noise simulation — docs/ACCURACY.md). Unlike the oracle-
-predictor e2e tests, this exercises decode on genuine trained-model
-probability distributions, on a genome the model never saw."""
+"""End-to-end calling with REAL trained models: one vendored full-size
+checkpoint per reference platform (examples/{ont,ccs,ilmn}_synthetic.ckpt,
+trained on TPU by examples/train_synthetic.py — docs/ACCURACY.md; the
+reference publishes a model per platform, README.md:207-229). Unlike the
+oracle-predictor e2e tests, this exercises decode on genuine trained-model
+probability distributions, on genomes the models never saw."""
 
 import numpy as np
 import pytest
@@ -11,8 +12,8 @@ from clair_tpu.models.checkpoint import load_checkpoint
 from clair_tpu.params import ModelConfig
 from clair_tpu.pipeline.call_bam import CallBamConfig, call_bam
 from clair_tpu.pipeline.call_var import Predictor
+from clair_tpu.utils import simulate
 from clair_tpu.utils.simulate import (
-    ONT_R94,
     plant_variants,
     random_reference,
     simulate_bam,
@@ -21,10 +22,18 @@ from clair_tpu.utils.simulate import (
 
 CKPT = "examples/ont_synthetic.ckpt"
 
+PLATFORMS = {
+    "ont": ("examples/ont_synthetic.ckpt", "ONT_R94", 50, 900, 0.4),
+    "ccs": ("examples/ccs_synthetic.ckpt", "PACBIO_CCS", 30, 2000, 0.2),
+    "ilmn": ("examples/ilmn_synthetic.ckpt", "ILLUMINA", 60, 150, 0.0),
+}
+
 
 @pytest.mark.slow
-def test_trained_checkpoint_calls_unseen_genome(tmp_path):
-    params, meta = load_checkpoint(CKPT)
+@pytest.mark.parametrize("platform", sorted(PLATFORMS))
+def test_trained_checkpoint_calls_unseen_genome(tmp_path, platform):
+    ckpt, profile_name, coverage, read_length, sigma = PLATFORMS[platform]
+    params, meta = load_checkpoint(ckpt)
     assert meta.get("epoch") == 400
 
     # a genome the model never saw (fresh seed, same platform profile)
@@ -34,9 +43,9 @@ def test_trained_checkpoint_calls_unseen_genome(tmp_path):
     fasta_path = str(tmp_path / "ref.fa")
     bam_path = str(tmp_path / "s.bam")
     write_fasta(fasta_path, reference)
-    simulate_bam(bam_path, reference, variants, rs, coverage=50,
-                 read_length=900, read_length_sigma=0.4,
-                 error_profile=ONT_R94)
+    simulate_bam(bam_path, reference, variants, rs, coverage=coverage,
+                 read_length=read_length, read_length_sigma=sigma,
+                 error_profile=getattr(simulate, profile_name))
 
     predictor = Predictor(params, ModelConfig(), batch_size=256)
     out = str(tmp_path / "calls.vcf")
