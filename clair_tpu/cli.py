@@ -30,6 +30,25 @@ def _predictor_from(checkpoint_path, batch_size=None, dtype=None):
 # calling commands
 # ---------------------------------------------------------------------------
 
+def _apply_common_runtime_flags(args):
+    """--log_path: mirror the reference's file logging; --threads: cap the
+    host decode worker threads (the reference clamps TF/OMP threads,
+    call_var.py:176-189)."""
+    import logging
+
+    if getattr(args, "log_path", None):
+        logging.basicConfig(filename=args.log_path, level=logging.INFO,
+                            format="%(message)s")
+    threads = getattr(args, "threads", None)
+    if threads:
+        import os
+
+        os.environ.setdefault("OMP_NUM_THREADS", str(threads))
+        from clair_tpu.pipeline import call_var as _cv
+
+        _cv.DECODE_THREADS = threads
+
+
 def cmd_call_var(argv):
     parser = argparse.ArgumentParser(
         prog="call_var", description="Call variants from pileup tensors"
@@ -55,9 +74,14 @@ def cmd_call_var(argv):
     parser.add_argument("--activation_only", action="store_true",
                         help="dump layer activations instead of calling")
     parser.add_argument("--log_path", default=None)
+    parser.add_argument("--threads", type=int, default=None,
+                        help="host decode threads (reference: TF threads)")
+    parser.add_argument("--fast_plotting", action="store_true",
+                        help=argparse.SUPPRESS)  # compat: plotting concurrency
     parser.add_argument("--max_plot", type=int, default=10)
     args = parser.parse_args(argv)
 
+    _apply_common_runtime_flags(args)
     if args.activation_only:
         _dump_activations(args)
         return
@@ -135,7 +159,22 @@ def cmd_call_bam(argv):
                         action="store_true", dest="bam_for_all_indel_bases")
     parser.add_argument("--dtype", choices=("float32", "bfloat16"), default=None,
                         help="inference compute dtype (default float32)")
+    parser.add_argument("--debug", action="store_true",
+                        help="print per-site probability vectors instead of rows")
+    parser.add_argument("--output_for_ensemble", action="store_true",
+                        help="emit tensor+probability rows for the ensemble combiner")
+    parser.add_argument("--stop_consider_left_edge", action="store_true",
+                        help="reference-parity tensor mode (CreateTensor.py:187)")
+    parser.add_argument("--log_path", default=None)
+    parser.add_argument("--threads", type=int, default=None,
+                        help="host decode threads (reference: TF threads)")
+    # accepted for command-sheet compatibility; meaningless in the
+    # single-process design (no pypy/samtools subprocesses, no start delay)
+    parser.add_argument("--pypy", default=None, help=argparse.SUPPRESS)
+    parser.add_argument("--samtools", default=None, help=argparse.SUPPRESS)
+    parser.add_argument("--delay", type=int, default=None, help=argparse.SUPPRESS)
     args = parser.parse_args(argv)
+    _apply_common_runtime_flags(args)
 
     from clair_tpu.pipeline.call_bam import CallBamConfig, call_bam
 
@@ -157,6 +196,9 @@ def cmd_call_bam(argv):
         haploid_sensitive=args.haploid_sensitive,
         use_bam_for_all_indels=args.bam_for_all_indel_bases,
         truth_vcf_path=args.vcf_fn,
+        stop_consider_left_edge=args.stop_consider_left_edge,
+        debug=args.debug,
+        output_for_ensemble=args.output_for_ensemble,
     )
     total = call_bam(
         config, _predictor_from(args.chkpnt_fn, dtype=args.dtype),

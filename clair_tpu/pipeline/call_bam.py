@@ -70,15 +70,18 @@ def load_region_events(
     minimum_mapq: int,
     dcov: int,
     fasta: Optional[FastaReader] = None,
+    track_read_layout: bool = False,
 ):
     """(candidate_events, tensor_events) for a region, via the native C++
     engine when available (BAM only), else the Python reader. ``fasta``
-    enables CRAM inputs (reference-based sequence reconstruction)."""
+    enables CRAM inputs (reference-based sequence reconstruction);
+    ``track_read_layout`` forces the Python reader and per-read layout
+    tracking (needed by the reference-parity tensor modes)."""
     from clair_tpu import native
 
     _ensure_bai(bam_path)
 
-    if native.available() and not is_cram(bam_path):
+    if native.available() and not is_cram(bam_path) and not track_read_layout:
         with BamReader(bam_path) as bam:
             ref_id = bam.reference_id(contig)
         if ref_id is not None:
@@ -94,7 +97,9 @@ def load_region_events(
     candidate_events = events_from_reads(
         [r for r in records if soft_clip_fraction_ok(r)]
     )
-    tensor_events = events_from_reads(apply_depth_cap(records, dcov))
+    tensor_events = events_from_reads(
+        apply_depth_cap(records, dcov), track_read_layout=track_read_layout
+    )
     return candidate_events, tensor_events
 
 
@@ -130,6 +135,7 @@ def load_region_counts(
     region_start: int,
     region_length: int,
     fasta: Optional[FastaReader] = None,
+    track_read_layout: bool = False,
 ):
     """(candidate_counts, tensor_events) for a region. The native engine
     accumulates the candidate pileup matrix inside its single scan —
@@ -140,7 +146,7 @@ def load_region_counts(
 
     _ensure_bai(bam_path)
 
-    if native.available() and not is_cram(bam_path):
+    if native.available() and not is_cram(bam_path) and not track_read_layout:
         with BamReader(bam_path) as bam:
             ref_id = bam.reference_id(contig)
         if ref_id is not None:
@@ -152,7 +158,8 @@ def load_region_counts(
                 return result
 
     candidate_events, tensor_events = load_region_events(
-        bam_path, contig, start0, end, minimum_mapq, dcov, fasta=fasta
+        bam_path, contig, start0, end, minimum_mapq, dcov, fasta=fasta,
+        track_read_layout=track_read_layout,
     )
     return (
         pileup_counts(candidate_events, region_start, region_length),
@@ -307,6 +314,13 @@ class CallBamConfig:
     use_bam_for_all_indels: bool = False
     # GetTruth-mode: call at truth positions instead of extracted candidates
     truth_vcf_path: Optional[str] = None
+    # reference-parity tensor mode (CreateTensor.py:187: exclude candidates
+    # whose window only overlaps a read's left edge); forces the Python
+    # tensor engine with per-read layout tracking
+    stop_consider_left_edge: bool = False
+    # per-site probability dump / ensemble tensor+probability output
+    debug: bool = False
+    output_for_ensemble: bool = False
 
 
 @dataclass
@@ -344,8 +358,12 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
     # Fully-native fast path: inflate + filter the region's records ONCE,
     # run the candidate counts pass, select sites, then build the window
     # tensors in C++ — match events (~93% of event volume) never cross
-    # into Python. Fallback: the dual-events path below.
-    scan = _open_region_scan(config, ctg_start, ctg_end)
+    # into Python. Fallback: the dual-events path below (forced by the
+    # left-edge parity mode, which needs per-read layout tracking).
+    scan = (
+        None if config.stop_consider_left_edge
+        else _open_region_scan(config, ctg_start, ctg_end)
+    )
 
     def truth_centers():
         from clair_tpu.data.truth import truth_variants_from_vcf
@@ -400,6 +418,7 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
             region_start=ctg_start - 1,
             region_length=ctg_end - (ctg_start - 1),
             fasta=fasta,
+            track_read_layout=config.stop_consider_left_edge,
         )
         if config.truth_vcf_path is not None:
             centers = truth_centers()
@@ -408,6 +427,7 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
         tensors, centers, sequences = create_tensors(
             tensor_events, centers, reference_sequence, ref_seq_start,
             minimum_coverage=0,
+            consider_left_edge=not config.stop_consider_left_edge,
         )
 
     work = WindowWork(
@@ -423,6 +443,8 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
             is_show_reference=config.show_reference,
             is_haploid_precision_mode_enabled=config.haploid_precision,
             is_haploid_sensitive_mode_enabled=config.haploid_sensitive,
+            is_debug=config.debug,
+            is_output_for_ensemble=config.output_for_ensemble,
             quality_score_for_pass=config.qual,
         ),
     )
@@ -437,12 +459,34 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
     return work
 
 
-def call_window(work: WindowWork, predictor: Predictor, writer: VcfWriter) -> int:
-    """Device inference + decode + VCF rows for one prepared window."""
+def call_window(work: WindowWork, predictor: Predictor, writer: VcfWriter,
+                debug_fh=None) -> int:
+    """Device inference + decode + VCF rows for one prepared window.
+    In ensemble mode rows are tensor+probability dumps instead of VCF
+    (ref callVarBam.py forwards --output_for_ensemble to call_var)."""
     config = work.config
+    ensemble = work.output_config.is_output_for_ensemble
     total = 0
     batch = predictor.batch_size
     pending = None
+
+    def flush(pending):
+        infos, x, out, n = pending
+        if ensemble:
+            from clair_tpu.pipeline.call_var import write_ensemble_rows
+
+            infos_list = [
+                (infos.contig, int(infos.positions[i]), infos.sequences[i])
+                for i in range(n)
+            ]
+            write_ensemble_rows(
+                x, infos_list, predictor.gather(out, n), n, writer._fh
+            )
+        else:
+            _decode_batch(pending, predictor, work.output_config, writer,
+                          work.indel_sources, debug_fh)
+        return n
+
     for off in range(0, len(work.tensors), batch):
         x = normalize_channels(work.tensors[off:off + batch].copy())
         infos = LazyTensorInfos(
@@ -452,14 +496,10 @@ def call_window(work: WindowWork, predictor: Predictor, writer: VcfWriter) -> in
         )
         out, n = predictor.predict_async(x)
         if pending is not None:
-            _decode_batch(pending, predictor, work.output_config, writer,
-                          work.indel_sources, None)
-            total += pending[3]
+            total += flush(pending)
         pending = (infos, x, out, n)
     if pending is not None:
-        _decode_batch(pending, predictor, work.output_config, writer,
-                      work.indel_sources, None)
-        total += pending[3]
+        total += flush(pending)
     fasta = getattr(work, "_fasta_to_close", None)
     if fasta is not None:
         fasta.close()
@@ -488,9 +528,13 @@ def call_bam(
         contigs=work.contigs,
         quality_score_for_pass=config.qual,
     )
-    writer.write_header()
+    if not config.output_for_ensemble:
+        writer.write_header()
 
-    total = call_window(work, predictor, writer)
+    total = call_window(
+        work, predictor, writer,
+        debug_fh=output_fh if config.debug else None,
+    )
 
     if close_output:
         output_fh.close()

@@ -28,6 +28,11 @@ from clair_tpu.utils.genomics import BASIC_BASES
 logging.basicConfig(format="%(message)s", level=logging.INFO)
 logger = logging.getLogger(__name__)
 
+# host decode worker threads for the native fast path (None = cpu count);
+# settable via the --threads CLI flag (the reference's thread clamp,
+# call_var.py:176-189)
+DECODE_THREADS = None
+
 
 @dataclass
 class BatchSource:
@@ -261,6 +266,7 @@ def _native_decode_batch(
         haploid_sensitive=output_config.is_haploid_sensitive_mode_enabled,
         qual_cutoff=output_config.quality_score_for_pass,
         sequences=sequences,
+        threads=DECODE_THREADS,
     )
     if result is None:
         return False
@@ -338,22 +344,33 @@ def call_variants_for_ensemble(
     total = 0
     for x, infos in tensor_batches_from(tensor_source, batch_size):
         out, n = predictor.predict_async(x)
-        gt21_p, genotype_p, vl1_p, vl2_p = predictor.gather(out, n)
-        for i in range(n):
-            chromosome, position_str, sequence = infos[i]
-            if sequence[len(sequence) // 2] not in BASIC_BASES:
-                continue
-            tensor_str = "\t".join(x[i].reshape(-1).astype(int).astype(str))
-            probs = [
-                "{:0.6f}".format(p)
-                for vec in (gt21_p[i], genotype_p[i], vl1_p[i], vl2_p[i])
-                for p in vec
-            ]
-            print(
-                "\t".join([chromosome, position_str, sequence, tensor_str] + probs),
-                file=output_fh,
-            )
-            total += 1
+        total += write_ensemble_rows(
+            x, infos, predictor.gather(out, n), n, output_fh
+        )
+    return total
+
+
+def write_ensemble_rows(x, infos, probs, n, output_fh) -> int:
+    """Ensemble-mode rows: contig, position, 33-mer, tensor ints, and the
+    90 probabilities at 6 decimals (ref call_var.py:950-1000)."""
+    gt21_p, genotype_p, vl1_p, vl2_p = probs
+    total = 0
+    for i in range(n):
+        chromosome, position_str, sequence = infos[i]
+        if sequence[len(sequence) // 2] not in BASIC_BASES:
+            continue
+        tensor_str = "\t".join(x[i].reshape(-1).astype(int).astype(str))
+        prob_cols = [
+            "{:0.6f}".format(p)
+            for vec in (gt21_p[i], genotype_p[i], vl1_p[i], vl2_p[i])
+            for p in vec
+        ]
+        print(
+            "\t".join([chromosome, str(position_str), sequence, tensor_str]
+                       + prob_cols),
+            file=output_fh,
+        )
+        total += 1
     return total
 
 

@@ -110,3 +110,63 @@ def test_train_profile_dir(tmp_path):
     ])
     import glob
     assert glob.glob(profile_dir + "/**/*", recursive=True)
+
+
+def test_call_bam_reference_flag_surface(tmp_path):
+    """The call_bam CLI accepts the reference callVarBam flag set: --debug,
+    --output_for_ensemble, --stop_consider_left_edge, --threads,
+    --log_path, and the obsolete process flags (--pypy/--samtools/--delay)
+    as compat no-ops."""
+    import subprocess
+    import sys as _sys
+
+    import numpy as np
+
+    from clair_tpu.utils.simulate import (
+        plant_variants, random_reference, simulate_bam, write_fasta,
+    )
+
+    rs = np.random.RandomState(3)
+    ref = random_reference(rs, 4000)
+    variants = plant_variants(rs, ref, n_variants=6, spacing=400)
+    fasta = str(tmp_path / "ref.fa")
+    bam = str(tmp_path / "s.bam")
+    write_fasta(fasta, ref)
+    simulate_bam(bam, ref, variants, rs, coverage=25)
+
+    env = {**__import__("os").environ, "JAX_PLATFORMS": "",
+           "JAX_PLATFORM_NAME": "cpu"}
+    base = [
+        _sys.executable, "-m", "clair_tpu", "call_bam",
+        "--bam_fn", bam, "--ref_fn", fasta,
+        "--chkpnt_fn", "examples/ont_synthetic.ckpt",
+        "--ctgName", "chr1", "--threshold", "0.2",
+        "--pypy", "pypy3", "--samtools", "samtools", "--delay", "10",
+        "--threads", "2", "--log_path", str(tmp_path / "run.log"),
+    ]
+    # ensemble output: headerless tensor+probability rows
+    out = str(tmp_path / "ens.txt")
+    r = subprocess.run(base + ["--output_for_ensemble", "--call_fn", out],
+                       capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = open(out).read().splitlines()
+    assert rows and not rows[0].startswith("#")
+    columns = rows[0].split("\t")
+    assert len(columns) == 3 + 33 * 8 * 4 + 90  # ctg pos seq tensor probs
+    assert len(columns[2]) == 33
+
+    # debug mode: per-site probability vectors, no VCF rows
+    out = str(tmp_path / "dbg.txt")
+    r = subprocess.run(base + ["--debug", "--call_fn", out],
+                       capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    body = [l for l in open(out) if not l.startswith("#")]
+    assert body and ("Normal output" in body[0] or "Reference" in body[0])
+
+    # left-edge parity mode still calls variants
+    out = str(tmp_path / "edge.vcf")
+    r = subprocess.run(base + ["--stop_consider_left_edge", "--call_fn", out],
+                       capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [l for l in open(out) if not l.startswith("#")]
+    assert len(rows) >= len(variants) - 1
