@@ -217,9 +217,29 @@ def cmd_call_bam_parallel(argv):
     parser.add_argument("--chkpnt_fn", required=True)
     parser.add_argument("--output_prefix", required=True)
     parser.add_argument("--bed_fn", default=None)
+    parser.add_argument("--vcf_fn", default=None,
+                        help="candidate sites from a truth VCF (GetTruth mode)")
     parser.add_argument("--refChunkSize", type=int, default=10_000_000)
     parser.add_argument("--includingAllContigs", action="store_true")
+    parser.add_argument("--threshold", type=float, default=0.125)
+    parser.add_argument("--minCoverage", type=float, default=4)
+    parser.add_argument("--minMQ", type=int, default=0)
+    parser.add_argument("--dcov", type=int, default=250)
     parser.add_argument("--qual", type=int, default=None)
+    parser.add_argument("--sampleName", default="SAMPLE")
+    parser.add_argument("--showRef", action="store_true")
+    parser.add_argument("--haploid_precision", action="store_true")
+    parser.add_argument("--haploid_sensitive", action="store_true")
+    parser.add_argument("--bam_for_all_indel_bases", "--pysam_for_all_indel_bases",
+                        action="store_true", dest="bam_for_all_indel_bases")
+    parser.add_argument("--stop_consider_left_edge", action="store_true")
+    parser.add_argument("--log_path", default=None)
+    # compat no-ops (reference per-job process plumbing)
+    parser.add_argument("--tensorflowThreads", type=int, default=None,
+                        help=argparse.SUPPRESS)
+    parser.add_argument("--pypy", default=None, help=argparse.SUPPRESS)
+    parser.add_argument("--samtools", default=None, help=argparse.SUPPRESS)
+    parser.add_argument("--delay", type=int, default=None, help=argparse.SUPPRESS)
     parser.add_argument("--run", action="store_true", help="execute inline instead of printing commands")
     parser.add_argument("--workers", type=int, default=4,
                         help="pileup worker threads (or process-pool size with --process_pool)")
@@ -249,6 +269,7 @@ def cmd_call_bam_parallel(argv):
                         help="with --work_dir: skip calling; merge finished "
                              "windows into <output_prefix>.vcf and report")
     args = parser.parse_args(argv)
+    _apply_common_runtime_flags(args)
     if args.work_dir or args.finalize_only:
         args.run = True  # queue modes are always inline execution
 
@@ -259,9 +280,17 @@ def cmd_call_bam_parallel(argv):
     )
 
     if not args.run:
-        extra = f"--qual {args.qual}" if args.qual is not None else ""
+        extra = f"--threshold {args.threshold} --minCoverage {args.minCoverage}"
+        if args.qual is not None:
+            extra += f" --qual {args.qual}"
         if args.bed_fn:
             extra += f" --bed_fn {args.bed_fn}"
+        if args.vcf_fn:
+            extra += f" --vcf_fn {args.vcf_fn}"
+        for flag in ("showRef", "haploid_precision", "haploid_sensitive",
+                     "stop_consider_left_edge"):
+            if getattr(args, flag):
+                extra += f" --{flag}"
         emit_command_sheet(
             args.ref_fn, args.bam_fn, args.chkpnt_fn, args.output_prefix,
             chunk_size=args.refChunkSize,
@@ -277,6 +306,14 @@ def cmd_call_bam_parallel(argv):
     base = CallBamConfig(
         bam_path=args.bam_fn, fasta_path=args.ref_fn,
         bed_path=args.bed_fn, qual=args.qual,
+        minimum_af=args.threshold, minimum_coverage=args.minCoverage,
+        minimum_mapq=args.minMQ, dcov=args.dcov,
+        sample_name=args.sampleName, show_reference=args.showRef,
+        haploid_precision=args.haploid_precision,
+        haploid_sensitive=args.haploid_sensitive,
+        use_bam_for_all_indels=args.bam_for_all_indel_bases,
+        truth_vcf_path=args.vcf_fn,
+        stop_consider_left_edge=args.stop_consider_left_edge,
     )
     if args.work_dir:
         from clair_tpu.io.fasta import FastaReader
@@ -296,6 +333,7 @@ def cmd_call_bam_parallel(argv):
         fasta.close()
         if args.finalize_only:
             state = finalize(queue, args.output_prefix + ".vcf",
+                             sample_name=args.sampleName,
                              contigs=contigs, qual=args.qual)
             print(json.dumps(state), file=sys.stderr)
             return
@@ -309,6 +347,7 @@ def cmd_call_bam_parallel(argv):
               file=sys.stderr)
         if state["ok"] + state["failed"] == state["total"]:
             finalize(queue, args.output_prefix + ".vcf",
+                     sample_name=args.sampleName,
                      contigs=contigs, qual=args.qual)
         return
     if args.process_pool:
