@@ -508,3 +508,38 @@ def test_no_seq_records_consume_no_base_bytes():
     assert records[0].seq_str() == "NNNNN"
     assert records[1].read_name == "normal"
     assert records[1].seq_str() == "ACGT"  # would be garbage on desync
+
+
+def test_multi_contig_roundtrip_and_fetch(tmp_path):
+    """Records spanning contigs: the writer must cut slices at contig
+    boundaries and region fetch must confine itself to the asked contig."""
+    from clair_tpu.io.bam import BamWriter
+
+    fasta_path = os.path.join(str(tmp_path), "ref.fa")
+    with open(fasta_path, "w") as fh:
+        for name in ("chr1", "chr2"):
+            fh.write(f">{name}\n{REF}\n")
+    from clair_tpu.io.fasta import build_fai
+
+    build_fai(fasta_path)
+
+    bam_path = os.path.join(str(tmp_path), "mc.bam")
+    with BamWriter(bam_path, [("chr1", len(REF)), ("chr2", len(REF))]) as w:
+        for i in range(10):
+            w.write(f"a{i}", 0, 40 * i, 60, 0, [(60, "M")], REF[40 * i: 40 * i + 60])
+        for i in range(10):
+            w.write(f"b{i}", 1, 40 * i, 60, 0, [(60, "M")], REF[40 * i: 40 * i + 60])
+    cram_path = os.path.join(str(tmp_path), "mc.cram")
+    assert bam_to_cram(bam_path, cram_path, fasta_path) == 20
+
+    with CramReader(cram_path, fasta=fasta_path) as cram:
+        assert cram.references == [("chr1", len(REF)), ("chr2", len(REF))]
+        all_records = list(cram)
+        assert [r.ref_id for r in all_records] == [0] * 10 + [1] * 10
+        chr2_only = list(cram.fetch("chr2", 0, 1000))
+        assert [r.read_name for r in chr2_only] == [f"b{i}" for i in range(10)]
+        chr1_window = list(cram.fetch("chr1", 100, 200))
+        assert all(r.ref_id == 0 for r in chr1_window)
+        assert {r.read_name for r in chr1_window} == {
+            f"a{i}" for i in range(10) if 40 * i < 200 and 40 * i + 60 > 100
+        }
