@@ -87,6 +87,7 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p, ctypes.c_char_p,
         ctypes.c_int64, ctypes.c_char_p,
+        ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_char)), ctypes.POINTER(ctypes.c_int64),
@@ -140,6 +141,7 @@ def decode_fast_native(
     x, gt21, geno, vl1, vl2, positions, center_bases, contig,
     show_ref=False, haploid_precision=False, haploid_sensitive=False,
     qual_cutoff=None, threads=None, sequences=None,
+    has_insertion_source=True,
 ):
     """Native fast-path decode. Returns (rows_text, row_sites, fallback_sites)
     or None when the library is unavailable.
@@ -182,6 +184,7 @@ def decode_fast_native(
         x_p, g_p, ge_p, v1_p, v2_p,
         pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         bases, seq_buf, len(pos), contig.encode(),
+        int(has_insertion_source),
         int(show_ref), int(haploid_precision), int(haploid_sensitive),
         -(2 ** 31) if qual_cutoff is None else int(qual_cutoff),
         int(threads if threads is not None else min(os.cpu_count() or 1, 8)),

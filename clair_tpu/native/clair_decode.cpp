@@ -131,6 +131,8 @@ int clair_decode_fast(
     const char* sequences,     // (n, 33) ref windows, NULL -> indels fall back
     int64_t n,
     const char* contig,
+    int32_t has_insertion_source,  // nonzero -> het ins+ins needs the
+                                   // Python allele-recovery callback
     int32_t show_ref, int32_t haploid_precision, int32_t haploid_sensitive,
     int32_t qual_cutoff,       // INT32_MIN -> '.', else PASS/LowQual
     int32_t n_threads,
@@ -232,7 +234,11 @@ int clair_decode_fast(
 
     if (winner > 2) {
       // --- indel assembly (batch_decode_indels semantics) ---
-      if (sequences == nullptr || winner == 5) {  // het ins+ins: callback
+      if (sequences == nullptr
+          || (winner == 5 && has_insertion_source)) {
+        // het ins+ins consults the insertion-recovery callback when one is
+        // configured (call_bam's event-indexed sources); without one the
+        // shorter allele is the winning bases' prefix and decodes here
         fallback.push_back(i);
         continue;
       }
@@ -345,6 +351,31 @@ int clair_decode_fast(
             genotype = "0/1";
             gcode = kHetIns[base_index(refc)];
           }
+          break;
+        }
+        case 5: {  // het ins+ins (no recovery source: prefix allele)
+          int ai = 0, aj = 0;
+          double bestp = -1.0;
+          for (int ii = 0; ii < 16; ii++)
+            for (int jj = 0; jj < 16; jj++) {
+              double v = pv1(ii) * pv2(jj);
+              if (v > bestp) { bestp = v; ai = ii; aj = jj; }
+            }
+          int vls = std::min(ai, aj) + 1, vll = std::max(ai, aj) + 1;
+          if (vll >= 16) { give_up = true; break; }
+          ins_str(vll);
+          // alt1 = refc + bases[:vls], alt2 = refc + bases; identical
+          // alleles retry through the Python lattice (ref call_var.py:838)
+          if (vls == vll) { give_up = true; break; }
+          ref_buf[0] = refc; ref_buf[1] = 0;
+          alt_buf[0] = refc;
+          memcpy(alt_buf + 1, insb, (size_t)vls);
+          alt_buf[1 + vls] = ',';
+          alt_buf[2 + vls] = refc;
+          memcpy(alt_buf + 3 + vls, insb, (size_t)vll + 1);
+          supported = ins_sup;
+          genotype = "1/2"; is_multi = true;
+          gcode = kInsIns;
           break;
         }
         case 6: {  // homo del

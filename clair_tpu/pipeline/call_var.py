@@ -267,6 +267,7 @@ def _native_decode_batch(
         qual_cutoff=output_config.quality_score_for_pass,
         sequences=sequences,
         threads=DECODE_THREADS,
+        has_insertion_source=indel_sources.insertion_bases is not None,
     )
     if result is None:
         return False
