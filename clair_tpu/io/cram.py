@@ -1125,8 +1125,22 @@ class CramReader:
                     raise ValueError(
                         "CRAM slice requires the reference; pass fasta= to CramReader"
                     )
+                # one FASTA read per slice, not per record: prefetch the
+                # slice's alignment span (+ slack for trailing deletions)
+                span_start = max(sh.start - 1, 0)
+                span = None
+                if sh.ref_seq_id >= 0 and sh.span > 0:
+                    span = self._fasta_fetch(
+                        sh.ref_seq_id, span_start, sh.span + 1024
+                    )
 
-                def ref_fetch(ref_id, pos0, length):
+                def ref_fetch(ref_id, pos0, length, _s=span_start, _b=span):
+                    if (
+                        _b is not None
+                        and pos0 >= _s
+                        and pos0 + length <= _s + len(_b)
+                    ):
+                        return _b[pos0 - _s: pos0 - _s + length]
                     return self._fasta_fetch(ref_id, pos0, length)
             else:
                 def ref_fetch(ref_id, pos0, length):

@@ -41,6 +41,23 @@ def init_bilstm_params(rng: jax.Array, input_dim: int, hidden: int) -> Dict:
     }
 
 
+def _stack_directions(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, F) -> time-major (T, 2B, F) with the reversed sequence
+    stacked along batch (one scan serves both directions)."""
+    x_rev = jnp.flip(x, axis=1)
+    return jnp.concatenate(
+        [x.transpose(1, 0, 2), x_rev.transpose(1, 0, 2)], axis=1
+    )
+
+
+def _unstack_outputs(outputs: jnp.ndarray, b: int) -> jnp.ndarray:
+    """(T, 2B, H) scan outputs -> (B, T, 2H) with the backward half
+    re-reversed and concatenated on features."""
+    out_fw = outputs[:, :b].transpose(1, 0, 2)
+    out_bw = jnp.flip(outputs[:, b:].transpose(1, 0, 2), axis=1)
+    return jnp.concatenate([out_fw, out_bw], axis=-1)
+
+
 def bilstm(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     """Bidirectional LSTM over a (B, T, F) batch -> (B, T, 2H).
 
@@ -61,20 +78,15 @@ def bilstm(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     if x.shape[0] > 512:
         return _bilstm_fused(params, x)
     hidden = params["fw"]["u"].shape[0]
-    x_rev = jnp.flip(x, axis=1)
+    b = x.shape[0]
 
-    # (B, T, F) @ (F, 4H) for both directions in two big MXU matmuls
+    # (B, T, F) @ (F, 4H) for both directions in two big MXU matmuls,
+    # then time-major with directions stacked on batch: (T, 2B, 4H)
     xw_fw = x @ params["fw"]["w"] + params["fw"]["b"]
-    xw_bw = x_rev @ params["bw"]["w"] + params["bw"]["b"]
-
-    # time-major, directions stacked on batch: (T, 2B, 4H)
+    xw_bw = jnp.flip(x, axis=1) @ params["bw"]["w"] + params["bw"]["b"]
     xw = jnp.concatenate(
         [xw_fw.transpose(1, 0, 2), xw_bw.transpose(1, 0, 2)], axis=1
     )
-
-    # One scan for both directions; the recurrent matmul is per-direction
-    # (different U), computed on the stacked batch halves.
-    b = x.shape[0]
 
     def step(carry, xw_t):
         h, c = carry
@@ -97,10 +109,7 @@ def bilstm(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     (_, _), outputs = jax.lax.scan(
         step, (h0, c0), xw, unroll=xw.shape[0]
     )  # (T, 2B, H)
-
-    out_fw = outputs[:, :b].transpose(1, 0, 2)                 # (B, T, H)
-    out_bw = jnp.flip(outputs[:, b:].transpose(1, 0, 2), axis=1)
-    return jnp.concatenate([out_fw, out_bw], axis=-1)
+    return _unstack_outputs(outputs, b)
 
 
 def _bilstm_fused(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
@@ -108,10 +117,7 @@ def _bilstm_fused(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     (see bilstm docstring for the measured crossover)."""
     hidden = params["fw"]["u"].shape[0]
     b = x.shape[0]
-    x_rev = jnp.flip(x, axis=1)
-    xs = jnp.concatenate(
-        [x.transpose(1, 0, 2), x_rev.transpose(1, 0, 2)], axis=1
-    )  # (T, 2B, F)
+    xs = _stack_directions(x)  # (T, 2B, F)
     wu_fw = jnp.concatenate([params["fw"]["w"], params["fw"]["u"]], axis=0)
     wu_bw = jnp.concatenate([params["bw"]["w"], params["bw"]["u"]], axis=0)
     b_fw, b_bw = params["fw"]["b"], params["bw"]["b"]
@@ -132,6 +138,4 @@ def _bilstm_fused(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     h0 = jnp.zeros((n2, hidden), x.dtype)
     c0 = jnp.zeros((n2, hidden), x.dtype)
     (_, _), outputs = jax.lax.scan(step, (h0, c0), xs, unroll=xs.shape[0])
-    out_fw = outputs[:, :b].transpose(1, 0, 2)
-    out_bw = jnp.flip(outputs[:, b:].transpose(1, 0, 2), axis=1)
-    return jnp.concatenate([out_fw, out_bw], axis=-1)
+    return _unstack_outputs(outputs, b)

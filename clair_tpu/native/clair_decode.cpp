@@ -161,6 +161,42 @@ int clair_decode_fast(
   std::vector<int64_t>& fallback = shard.fallback;
   rows.reserve((size_t)(hi - lo) * 48);
 
+  // shared row emitter: "<ctg>\t<pos>\t.\t<ref>\t<alt>\t<qual>\t<filter>
+  // \t.\tGT:GQ:DP:AF\t<gt>:<qual>:<depth>:<af>\n" (hand-rolled; snprintf
+  // dominated per-site decode cost)
+  auto emit_row = [&](int64_t i, const char* ref_str, const char* alt_str,
+                      const char* genotype_out, long quality, double depth,
+                      double af) {
+    const char* filter = ".";
+    if (qual_cutoff != INT32_MIN) {
+      filter = quality >= qual_cutoff ? "PASS" : "LowQual";
+    }
+    char* wp = line;
+    memcpy(wp, prefix, prefix_len);
+    wp += prefix_len;
+    wp = put_u64(wp, (uint64_t)positions[i]);
+    *wp++ = '\t'; *wp++ = '.'; *wp++ = '\t';
+    for (const char* s = ref_str; *s; s++) *wp++ = *s;
+    *wp++ = '\t';
+    for (const char* s = alt_str; *s; s++) *wp++ = *s;
+    *wp++ = '\t';
+    wp = put_u64(wp, (uint64_t)quality);
+    *wp++ = '\t';
+    for (const char* s = filter; *s; s++) *wp++ = *s;
+    memcpy(wp, "\t.\tGT:GQ:DP:AF\t", 15);
+    wp += 15;
+    for (const char* s = genotype_out; *s; s++) *wp++ = *s;
+    *wp++ = ':';
+    wp = put_u64(wp, (uint64_t)quality);
+    *wp++ = ':';
+    wp = put_u64(wp, (uint64_t)llrint(depth));
+    *wp++ = ':';
+    wp = put_af4(wp, af);
+    *wp++ = '\n';
+    rows.append(line, wp - line);
+    row_sites.push_back(i);
+  };
+
   for (int64_t i = lo; i < hi; i++) {
     const char raw_base = center_bases[i];
     if (!is_basic_base(raw_base)) continue;
@@ -490,34 +526,7 @@ int clair_decode_fast(
       }
       double af = (supported + extra) / depth;
       if (af > 1.0) af = 1.0;
-      const char* filter = ".";
-      if (qual_cutoff != INT32_MIN) {
-        filter = quality >= qual_cutoff ? "PASS" : "LowQual";
-      }
-      char* wp = line;
-      memcpy(wp, prefix, prefix_len);
-      wp += prefix_len;
-      wp = put_u64(wp, (uint64_t)positions[i]);
-      *wp++ = '\t'; *wp++ = '.'; *wp++ = '\t';
-      for (const char* s = ref_buf; *s; s++) *wp++ = *s;
-      *wp++ = '\t';
-      for (const char* s = alt_buf; *s; s++) *wp++ = *s;
-      *wp++ = '\t';
-      wp = put_u64(wp, (uint64_t)quality);
-      *wp++ = '\t';
-      for (const char* s = filter; *s; s++) *wp++ = *s;
-      memcpy(wp, "\t.\tGT:GQ:DP:AF\t", 15);
-      wp += 15;
-      for (const char* s = genotype_out; *s; s++) *wp++ = *s;
-      *wp++ = ':';
-      wp = put_u64(wp, (uint64_t)quality);
-      *wp++ = ':';
-      wp = put_u64(wp, (uint64_t)llrint(depth));
-      *wp++ = ':';
-      wp = put_af4(wp, af);
-      *wp++ = '\n';
-      rows.append(line, wp - line);
-      row_sites.push_back(i);
+      emit_row(i, ref_buf, alt_buf, genotype_out, quality, depth, af);
       continue;
     }
 
@@ -591,38 +600,7 @@ int clair_decode_fast(
 
     double af = supported / depth;
     if (af > 1.0) af = 1.0;
-    const char* filter = ".";
-    if (qual_cutoff != INT32_MIN) {
-      filter = quality >= qual_cutoff ? "PASS" : "LowQual";
-    }
-
-    // hand-rolled row emitter (snprintf dominated per-site decode cost):
-    // "<ctg>\t<pos>\t.\t<ref>\t<alt>\t<qual>\t<filter>\t.\tGT:GQ:DP:AF\t
-    //  <gt>:<qual>:<depth>:<af>\n"
-    char* wp = line;
-    memcpy(wp, prefix, prefix_len);
-    wp += prefix_len;
-    wp = put_u64(wp, (uint64_t)positions[i]);
-    *wp++ = '\t'; *wp++ = '.'; *wp++ = '\t';
-    for (const char* s = ref_out; *s; s++) *wp++ = *s;
-    *wp++ = '\t';
-    for (const char* s = alt_out; *s; s++) *wp++ = *s;
-    *wp++ = '\t';
-    wp = put_u64(wp, (uint64_t)quality);
-    *wp++ = '\t';
-    for (const char* s = filter; *s; s++) *wp++ = *s;
-    memcpy(wp, "\t.\tGT:GQ:DP:AF\t", 15);
-    wp += 15;
-    for (const char* s = genotype_out; *s; s++) *wp++ = *s;
-    *wp++ = ':';
-    wp = put_u64(wp, (uint64_t)quality);
-    *wp++ = ':';
-    wp = put_u64(wp, (uint64_t)llrint(depth));
-    *wp++ = ':';
-    wp = put_af4(wp, af);
-    *wp++ = '\n';
-    rows.append(line, wp - line);
-    row_sites.push_back(i);
+    emit_row(i, ref_out, alt_out, genotype_out, quality, depth, af);
   }
   };  // decode_range
 

@@ -49,6 +49,7 @@ def _window_key(window: Window) -> str:
 class WorkQueue:
     def __init__(self, root: str):
         self.root = root
+        self._scan_from = 0  # done-prefix skip for next_window (see below)
         self.claims = os.path.join(root, "claims")
         self.done = os.path.join(root, "done")
         self.vcf = os.path.join(root, "vcf")
@@ -141,10 +142,23 @@ class WorkQueue:
 
     def next_window(self) -> Optional[Window]:
         """Claim and return an unstarted window (None when none remain
-        unclaimed — finished or not)."""
-        for window in self.windows():
+        unclaimed — finished or not).
+
+        Scanning restarts after the longest done-prefix instead of from
+        zero: with fine chunking a WGS queue holds thousands of windows,
+        and a full rescan per claim would cost O(W^2) stat calls. Windows
+        before the prefix can never need work again (done records are
+        permanent); claimed-but-unfinished windows halt the prefix so
+        reclaimed windows are still found."""
+        windows = self.windows()
+        advancing = True
+        for idx in range(self._scan_from, len(windows)):
+            window = windows[idx]
             if os.path.isfile(self._done_path(window)):
+                if advancing and idx == self._scan_from:
+                    self._scan_from = idx + 1
                 continue
+            advancing = False
             if os.path.isfile(self._claim_path(window)):
                 continue
             if self.try_claim(window):
