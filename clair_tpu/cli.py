@@ -877,11 +877,15 @@ def cmd_bam2cram(argv):
     parser.add_argument("--bam_fn", required=True)
     parser.add_argument("--cram_fn", required=True)
     parser.add_argument("--ref_fn", required=True, help="reference FASTA")
+    parser.add_argument("--embed_ref", action="store_true",
+                        help="store each slice's reference span in the "
+                             "CRAM (decodes without the FASTA)")
     args = parser.parse_args(argv)
 
     from clair_tpu.io.cram import bam_to_cram
 
-    n = bam_to_cram(args.bam_fn, args.cram_fn, args.ref_fn)
+    n = bam_to_cram(args.bam_fn, args.cram_fn, args.ref_fn,
+                    embed_reference=args.embed_ref)
     print(f"wrote {args.cram_fn} ({n} records)", file=sys.stderr)
 
 

@@ -1270,7 +1270,11 @@ class CramWriter:
 
     def __init__(self, path: str, references: List[Tuple[str, int]], fasta,
                  header_text: str = "", records_per_slice: int = 2048,
-                 method: int = METHOD_RANS):
+                 method: int = METHOD_RANS, embed_reference: bool = False):
+        """embed_reference=True stores each slice's reference span as an
+        extra external block (content id 99) and points the slice header's
+        embedded-reference id at it — the resulting CRAM decodes without
+        the FASTA at hand (htslib's `samtools view -O cram,embed_ref`)."""
         if fasta is not None and isinstance(fasta, str):
             from clair_tpu.io.fasta import FastaReader
 
@@ -1281,6 +1285,7 @@ class CramWriter:
         self.references = references
         self._records_per_slice = records_per_slice
         self._method = method
+        self._embed_reference = embed_reference
         self._counter = 0
         self._pending: List[BamRecord] = []
         self._sub = SubstitutionMatrix()
@@ -1450,10 +1455,20 @@ class CramWriter:
             method = self._method if len(data) >= 32 else METHOD_RAW
             data_blocks.append(write_block(Block(method, CT_EXTERNAL, cid, data)))
 
+        embedded_ref_id = -1
+        if self._embed_reference:
+            embedded_ref_id = 99  # outside the series id range
+            ref_bytes = self._ref_bytes(ref_id, start - 1, start - 1 + span)
+            content_ids.append(embedded_ref_id)
+            data_blocks.append(write_block(
+                Block(self._method, CT_EXTERNAL, embedded_ref_id, ref_bytes)
+            ))
+
         slice_header = SliceHeader(
             ref_seq_id=ref_id, start=start, span=span,
             n_records=len(records), record_counter=self._counter,
             n_blocks=len(data_blocks), content_ids=content_ids,
+            embedded_ref_id=embedded_ref_id,
         )
         slice_block = write_block(
             Block(METHOD_RAW, CT_SLICE_HEADER, 0, serialize_slice_header(slice_header))

@@ -543,3 +543,29 @@ def test_multi_contig_roundtrip_and_fetch(tmp_path):
         assert {r.read_name for r in chr1_window} == {
             f"a{i}" for i in range(10) if 40 * i < 200 and 40 * i + 60 > 100
         }
+
+
+def test_embedded_reference_decodes_without_fasta(tmp_path):
+    """embed_reference=True makes the CRAM self-contained: the reader
+    reconstructs sequences from the embedded slice reference blocks and
+    never needs the FASTA."""
+    fasta_path = _write_ref(tmp_path)
+    seq_m = REF[100:160]
+    records = [
+        ("m", 100, 0, [(60, "M")], seq_m, 60),
+        ("snp", 200, 0, [(60, "M")],
+         _mutate(REF[200:260], 30, "A" if REF[230] != "A" else "G"), 60),
+        ("del", 300, 0, [(25, "M"), (5, "D"), (25, "M")],
+         REF[300:325] + REF[330:355], 40),
+    ]
+    bam_path = _make_bam(tmp_path, records)
+    cram_path = os.path.join(str(tmp_path), "embed.cram")
+    bam_to_cram(bam_path, cram_path, fasta_path, embed_reference=True)
+    with BamReader(bam_path) as bam:
+        originals = list(bam)
+    # NO fasta passed: decode must still reconstruct every base
+    with CramReader(cram_path) as cram:
+        decoded = list(cram)
+    assert len(decoded) == len(originals)
+    for a, b in zip(originals, decoded):
+        _records_equal(a, b)
