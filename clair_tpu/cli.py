@@ -280,7 +280,11 @@ def cmd_call_bam_parallel(argv):
     )
 
     if not args.run:
-        extra = f"--threshold {args.threshold} --minCoverage {args.minCoverage}"
+        extra = (
+            f"--threshold {args.threshold} --minCoverage {args.minCoverage}"
+            f" --minMQ {args.minMQ} --dcov {args.dcov}"
+            f" --sampleName {args.sampleName}"
+        )
         if args.qual is not None:
             extra += f" --qual {args.qual}"
         if args.bed_fn:
@@ -288,7 +292,7 @@ def cmd_call_bam_parallel(argv):
         if args.vcf_fn:
             extra += f" --vcf_fn {args.vcf_fn}"
         for flag in ("showRef", "haploid_precision", "haploid_sensitive",
-                     "stop_consider_left_edge"):
+                     "stop_consider_left_edge", "bam_for_all_indel_bases"):
             if getattr(args, flag):
                 extra += f" --{flag}"
         emit_command_sheet(

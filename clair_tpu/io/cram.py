@@ -872,11 +872,15 @@ def decode_slice_records(
 
             def ref_window(pos0: int, n: int) -> bytes:
                 """n reference bytes from pos0 ('N'-padded past the contig
-                end / when no reference is available)."""
+                end / when no reference is available). The over-request
+                amortizes per-record fetches — but against a per-slice
+                prefetch it must stay small, or long reads near the slice
+                end would miss the prefetched span and hit the FASTA."""
                 cache = ref_cache
                 start = cache["start"]
                 if start is None or pos0 < start or pos0 + n > start + len(cache["data"]):
-                    data = ref_fetch(ref_id, pos0, max(n, rl) + 64)
+                    ahead = 64 if getattr(ref_fetch, "prefetched", False) else max(n, rl)
+                    data = ref_fetch(ref_id, pos0, n + ahead)
                     if data is None:
                         return b"N" * n
                     cache["start"], cache["data"] = pos0, data
@@ -1142,6 +1146,8 @@ class CramReader:
                     ):
                         return _b[pos0 - _s: pos0 - _s + length]
                     return self._fasta_fetch(ref_id, pos0, length)
+
+                ref_fetch.prefetched = span is not None
             else:
                 def ref_fetch(ref_id, pos0, length):
                     return None
@@ -1456,7 +1462,7 @@ class CramWriter:
             data_blocks.append(write_block(Block(method, CT_EXTERNAL, cid, data)))
 
         embedded_ref_id = -1
-        if self._embed_reference:
+        if self._embed_reference and ref_id >= 0:
             embedded_ref_id = 99  # outside the series id range
             ref_bytes = self._ref_bytes(ref_id, start - 1, start - 1 + span)
             content_ids.append(embedded_ref_id)

@@ -57,6 +57,18 @@ PACBIO_CCS = ErrorProfile(
     homopolymer_boost=0.003, max_indel=2,
 )
 # Illumina: low, mismatch-dominated
+# per-platform simulation recipes shared by the vendored-checkpoint
+# training script (examples/train_synthetic.py) and its held-out
+# regression test, so the two can never drift apart
+PLATFORM_RECIPES = {
+    "ont": dict(profile_name="ONT_R94", coverage=50, read_length=900,
+                read_length_sigma=0.4),
+    "ccs": dict(profile_name="PACBIO_CCS", coverage=30, read_length=2000,
+                read_length_sigma=0.2),
+    "ilmn": dict(profile_name="ILLUMINA", coverage=60, read_length=150,
+                 read_length_sigma=0.0),
+}
+
 ILLUMINA = ErrorProfile(mismatch=0.002, insertion=0.0001, deletion=0.0001,
                         max_indel=1)
 

@@ -29,14 +29,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-PROFILES = {
-    "ont": dict(profile_name="ONT_R94", coverage=50, read_length=900,
-                read_length_sigma=0.4),
-    "ccs": dict(profile_name="PACBIO_CCS", coverage=30, read_length=2000,
-                read_length_sigma=0.2),
-    "ilmn": dict(profile_name="ILLUMINA", coverage=60, read_length=150,
-                 read_length_sigma=0.0),
-}
+from clair_tpu.utils.simulate import PLATFORM_RECIPES as PROFILES  # noqa: E402
 
 
 def build_dataset(work_dir, seed, genome_length, n_variants, profile_name,

@@ -1,6 +1,9 @@
 """CLI surface smoke tests: every command resolves and prints usage; the
 help listing covers the reference's submodule names."""
 
+import os as _os
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
 import os
 import subprocess
 import sys
@@ -147,7 +150,7 @@ def test_call_bam_reference_flag_surface(tmp_path):
     # ensemble output: headerless tensor+probability rows
     out = str(tmp_path / "ens.txt")
     r = subprocess.run(base + ["--output_for_ensemble", "--call_fn", out],
-                       capture_output=True, text=True, env=env, cwd="/root/repo")
+                       capture_output=True, text=True, env=env, cwd=_REPO_ROOT)
     assert r.returncode == 0, r.stderr[-2000:]
     rows = open(out).read().splitlines()
     assert rows and not rows[0].startswith("#")
@@ -158,7 +161,7 @@ def test_call_bam_reference_flag_surface(tmp_path):
     # debug mode: per-site probability vectors, no VCF rows
     out = str(tmp_path / "dbg.txt")
     r = subprocess.run(base + ["--debug", "--call_fn", out],
-                       capture_output=True, text=True, env=env, cwd="/root/repo")
+                       capture_output=True, text=True, env=env, cwd=_REPO_ROOT)
     assert r.returncode == 0, r.stderr[-2000:]
     body = [l for l in open(out) if not l.startswith("#")]
     assert body and ("Normal output" in body[0] or "Reference" in body[0])
@@ -166,7 +169,7 @@ def test_call_bam_reference_flag_surface(tmp_path):
     # left-edge parity mode still calls variants
     out = str(tmp_path / "edge.vcf")
     r = subprocess.run(base + ["--stop_consider_left_edge", "--call_fn", out],
-                       capture_output=True, text=True, env=env, cwd="/root/repo")
+                       capture_output=True, text=True, env=env, cwd=_REPO_ROOT)
     assert r.returncode == 0, r.stderr[-2000:]
     rows = [l for l in open(out) if not l.startswith("#")]
     assert len(rows) >= len(variants) - 1

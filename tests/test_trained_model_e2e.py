@@ -20,19 +20,16 @@ from clair_tpu.utils.simulate import (
     write_fasta,
 )
 
-CKPT = "examples/ont_synthetic.ckpt"
-
-PLATFORMS = {
-    "ont": ("examples/ont_synthetic.ckpt", "ONT_R94", 50, 900, 0.4),
-    "ccs": ("examples/ccs_synthetic.ckpt", "PACBIO_CCS", 30, 2000, 0.2),
-    "ilmn": ("examples/ilmn_synthetic.ckpt", "ILLUMINA", 60, 150, 0.0),
-}
+from clair_tpu.utils.simulate import PLATFORM_RECIPES
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("platform", sorted(PLATFORMS))
+@pytest.mark.parametrize("platform", sorted(PLATFORM_RECIPES))
 def test_trained_checkpoint_calls_unseen_genome(tmp_path, platform):
-    ckpt, profile_name, coverage, read_length, sigma = PLATFORMS[platform]
+    recipe = PLATFORM_RECIPES[platform]
+    ckpt = f"examples/{platform}_synthetic.ckpt"
+    profile_name, coverage = recipe["profile_name"], recipe["coverage"]
+    read_length, sigma = recipe["read_length"], recipe["read_length_sigma"]
     params, meta = load_checkpoint(ckpt)
     assert meta.get("epoch") == 400
 

@@ -2,6 +2,9 @@
 crash recovery via stale-claim reclaim, and a finalize step whose merged
 VCF matches the single-host threaded runner's output."""
 
+import os as _os
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
 import json
 import os
 import threading
@@ -165,14 +168,14 @@ def test_cli_work_queue_mode(genome, tmp_path):
         "--refChunkSize", "4000", "--includingAllContigs",
     ]
     result = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                            cwd="/root/repo")
+                            cwd=_REPO_ROOT)
     assert result.returncode == 0, result.stderr[-2000:]
     assert os.path.isfile(prefix + ".vcf")
     rows = [r for r in open(prefix + ".vcf") if not r.startswith("#")]
     assert rows
     result = subprocess.run(
         cmd + ["--finalize_only"], capture_output=True, text=True, env=env,
-        cwd="/root/repo",
+        cwd=_REPO_ROOT,
     )
     assert result.returncode == 0, result.stderr[-2000:]
     state = json.loads(result.stderr.strip().splitlines()[-1])
