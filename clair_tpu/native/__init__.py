@@ -64,7 +64,24 @@ def load_library() -> Optional[ctypes.CDLL]:
     if not os.path.isfile(_LIB_PATH) and not _build():
         _build_failed = True
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        # a vendored .so built for another machine (-march=native) or a
+        # stale/partial artifact: rebuild from source once, else fall back
+        # to the pure-Python engines
+        try:
+            os.unlink(_LIB_PATH)
+        except OSError:
+            pass
+        if not _build():
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _build_failed = True
+            return None
     lib.clair_bam_events.restype = ctypes.c_int
     lib.clair_bam_events.argtypes = [
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,

@@ -1,5 +1,7 @@
 """Native C++ event engine: equivalence against the Python/numpy path."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -217,3 +219,33 @@ def test_region_scan_tensors_match_python(tmp_path):
     np.testing.assert_array_equal(indel_events.del_op_pos, expected_events.del_op_pos)
     np.testing.assert_array_equal(indel_events.del_op_len, expected_events.del_op_len)
     np.testing.assert_array_equal(indel_events.ins_qcol, expected_events.ins_qcol)
+
+
+def test_corrupt_library_rebuilds_or_falls_back(tmp_path, monkeypatch):
+    """A vendored .so that fails to load (wrong arch / truncated) must be
+    rebuilt from source, not crash the import chain."""
+    import shutil
+
+    from clair_tpu import native as nat
+
+    src_dir = os.path.dirname(nat.__file__)
+    work = tmp_path / "native"
+    shutil.copytree(src_dir, work)
+    bad = work / "libclair_native.so"
+    bad.write_bytes(b"not an elf file")
+    monkeypatch.setattr(nat, "_LIB_PATH", str(bad))
+    monkeypatch.setattr(nat, "_DIR", str(work))
+    monkeypatch.setattr(nat, "_lib", None)
+    monkeypatch.setattr(nat, "_build_failed", False)
+
+    def rebuild():
+        import subprocess
+
+        subprocess.run(["make", "-C", str(work), "libclair_native.so"],
+                       check=True, capture_output=True, timeout=120)
+        return bad.is_file()
+
+    monkeypatch.setattr(nat, "_build", rebuild)
+    lib = nat.load_library()
+    assert lib is not None  # rebuilt from source and loaded
+    monkeypatch.setattr(nat, "_lib", None)
