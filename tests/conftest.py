@@ -18,3 +18,39 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def best_of(fn, repeats=5):
+    """Wall-clock a callable and return the FASTEST of `repeats` runs.
+
+    On a 1-core box any co-scheduled work (a parallel pytest worker, a
+    background compile) poisons individual samples; the minimum is the
+    only robust point estimate for 'how fast can this code go here'.
+    """
+    import time
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best = dt
+    return best
+
+
+def machine_scale():
+    """Slow-machine factor for wall-clock perf thresholds.
+
+    Times a fixed trivial numpy workload (argmax over 4M floats) whose
+    best-case cost on an unloaded modern core is ~2 ms, and returns
+    max(1, observed / nominal).  Perf assertions multiply their budget by
+    this so they test 'is the code the right speed RELATIVE to this
+    machine right now', not an absolute number that any co-tenant load
+    can break.
+    """
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(4_000_000).astype(np.float32)
+    sec = best_of(lambda: int(np.argmax(a)), repeats=5)
+    return max(1.0, sec / 2e-3)

@@ -91,8 +91,9 @@ def test_batch_decode_equals_per_site(config):
         assert got.is_reference == expected.is_reference, i
 
 
+@pytest.mark.slow
 def test_batch_decode_speed():
-    import time
+    from conftest import best_of, machine_scale
 
     rs = np.random.RandomState(2)
     n = 1000
@@ -110,10 +111,12 @@ def test_batch_decode_speed():
     config = OutputConfig(is_show_reference=True)
 
     decode_batch(x[:10], infos[:10], gt21[:10], geno[:10], vl1[:10], vl2[:10], config)
-    start = time.perf_counter()
-    decode_batch(x, infos, gt21, geno, vl1, vl2, config)
-    per_site = (time.perf_counter() - start) / n * 1e6
-    assert per_site < 150, f"batched decode too slow: {per_site:.0f} us/site"
+    sec = best_of(lambda: decode_batch(x, infos, gt21, geno, vl1, vl2, config))
+    budget = 150 * machine_scale()
+    per_site = sec / n * 1e6
+    assert per_site < budget, (
+        f"batched decode too slow: {per_site:.0f} us/site (budget {budget:.0f})"
+    )
 
 
 def test_batch_indel_decode_matches_per_site_chain():

@@ -77,8 +77,9 @@ def test_native_decode_matches_python(config_kwargs, qual):
     assert fallback_set == expected_fallback
 
 
+@pytest.mark.slow
 def test_native_decode_speed():
-    import time
+    from conftest import best_of, machine_scale
 
     rs = np.random.RandomState(2)
     n = 5000
@@ -95,13 +96,22 @@ def test_native_decode_speed():
 
     decode_fast_native(x[:50], gt21[:50], geno[:50], vl1[:50], vl2[:50],
                        positions[:50], center_bases[:50], "chr1", show_ref=True)
-    start = time.perf_counter()
-    rows_text, row_sites, fallback = decode_fast_native(
-        x, gt21, geno, vl1, vl2, positions, center_bases, "chr1", show_ref=True
-    )
-    per_site = (time.perf_counter() - start) / n * 1e6
+    out = []
+
+    def run():
+        out.append(decode_fast_native(
+            x, gt21, geno, vl1, vl2, positions, center_bases, "chr1",
+            show_ref=True,
+        ))
+
+    sec = best_of(run)
+    rows_text, row_sites, fallback = out[-1]
     assert len(row_sites) + len(fallback) > 0.9 * n
-    assert per_site < 20, f"native decode too slow: {per_site:.1f} us/site"
+    budget = 20 * machine_scale()
+    per_site = sec / n * 1e6
+    assert per_site < budget, (
+        f"native decode too slow: {per_site:.1f} us/site (budget {budget:.0f})"
+    )
 
 
 def _pipeline_rows(x, infos, probs, config, sources, native_on, monkeypatch):
