@@ -41,9 +41,11 @@ def _apply_common_runtime_flags(args):
                             format="%(message)s")
     threads = getattr(args, "threads", None)
     if threads:
-        import os
-
-        os.environ.setdefault("OMP_NUM_THREADS", str(threads))
+        # NOTE: numpy/JAX read OMP_NUM_THREADS at import time, long before
+        # argparse runs, so setting the env var here would be a no-op (the
+        # `clair-tpu` entry point exports it pre-import instead, see
+        # __main__.py).  The only runtime-effective cap at this point is the
+        # native decode worker count.
         from clair_tpu.pipeline import call_var as _cv
 
         _cv.DECODE_THREADS = threads
@@ -846,12 +848,32 @@ def cmd_convert_tf1(argv):
     )
     parser.add_argument("--chkpnt_fn", required=True,
                         help="TF checkpoint prefix (the path before .index)")
-    parser.add_argument("--output_fn", required=True)
+    parser.add_argument("--output_fn",
+                        help="output checkpoint path (required unless "
+                             "--audit_only)")
+    parser.add_argument("--no_strict", action="store_true",
+                        help="convert even if the structural audit fails "
+                             "(missing/unexpected variables, shape drift)")
+    parser.add_argument("--audit_only", action="store_true",
+                        help="print the audit report and exit (nonzero on "
+                             "failure) without writing a checkpoint")
     args = parser.parse_args(argv)
 
-    from clair_tpu.models.convert_tf1 import convert_tf1_checkpoint
+    from clair_tpu.models.audit import audit_tf1_vars
+    from clair_tpu.models.convert_tf1 import (
+        convert_tf1_checkpoint, load_tf1_variables,
+    )
 
-    convert_tf1_checkpoint(args.chkpnt_fn, args.output_fn)
+    if args.audit_only:
+        report = audit_tf1_vars(load_tf1_variables(args.chkpnt_fn))
+        print(report.render())
+        return 0 if report.ok else 1
+    if not args.output_fn:
+        parser.error("--output_fn is required unless --audit_only")
+    report = convert_tf1_checkpoint(
+        args.chkpnt_fn, args.output_fn, strict=not args.no_strict
+    )
+    print(report.render(), file=sys.stderr)
     print(f"wrote {args.output_fn}", file=sys.stderr)
 
 
@@ -956,5 +978,5 @@ def main(argv=None):
     if command not in COMMANDS:
         print(f"unknown command {command!r}; run with --help for the list", file=sys.stderr)
         return 1
-    COMMANDS[command](argv[1:])
-    return 0
+    rc = COMMANDS[command](argv[1:])
+    return rc if isinstance(rc, int) else 0

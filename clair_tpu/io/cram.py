@@ -1123,7 +1123,13 @@ class CramReader:
 
                 def ref_fetch(ref_id, pos0, length, _e=embedded, _s=ref_start):
                     lo = pos0 - _s
-                    return _e[max(lo, 0): lo + length] if lo < len(_e) else None
+                    # A record aligned before the slice start (unsorted input)
+                    # has no bases in the embedded window; N-pad rather than
+                    # silently returning the wrong window (which ref_window
+                    # would then cache).
+                    if lo < 0 or lo >= len(_e):
+                        return None
+                    return _e[lo: lo + length]
             elif comp.reference_required:
                 if self._fasta is None:
                     raise ValueError(

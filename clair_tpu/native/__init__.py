@@ -69,12 +69,20 @@ def load_library() -> Optional[ctypes.CDLL]:
     except OSError:
         # a vendored .so built for another machine (-march=native) or a
         # stale/partial artifact: rebuild from source once, else fall back
-        # to the pure-Python engines
+        # to the pure-Python engines.  The existing artifact is set aside
+        # rather than deleted so a transient dlopen failure (e.g. ENOMEM,
+        # or a host without a compiler) cannot destroy a valid library.
+        aside = _LIB_PATH + ".unloadable"
         try:
-            os.unlink(_LIB_PATH)
+            os.replace(_LIB_PATH, aside)
         except OSError:
-            pass
+            aside = None
         if not _build():
+            if aside is not None:
+                try:
+                    os.replace(aside, _LIB_PATH)
+                except OSError:
+                    pass
             _build_failed = True
             return None
         try:
@@ -82,6 +90,11 @@ def load_library() -> Optional[ctypes.CDLL]:
         except OSError:
             _build_failed = True
             return None
+        if aside is not None:
+            try:
+                os.unlink(aside)
+            except OSError:
+                pass
     lib.clair_bam_events.restype = ctypes.c_int
     lib.clair_bam_events.argtypes = [
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
