@@ -17,9 +17,12 @@ minimum of the stage throughputs:
      so the tunnel round-trip cancels: per_iter = (t51 - t1) / 50.
   2. host decode: the production path (native C++ fast-path decoder with
      the Python lattice fallback) + VCF row emission, measured on this
-     host's CPU over a ref/SNP-dominated probability mix (the Illumina-like
-     regime; ONT-noise output sends ~57% of sites through the batched indel
-     path at ~86k sites/s — see docs/ROADMAP.md).
+     host's CPU over REAL window batches: pileup tensors from simulated
+     flowcells, probabilities from the vendored trained checkpoints'
+     actual forward output, event-indexed indel recovery sources wired in.
+     The HEADLINE decode leg is the ONT regime (the reference's first
+     platform, README.md:57-59) where a large share of sites leave the
+     SNP fast path; the clean short-read regime is reported alongside.
 
 Both float32 (the default — exact parity with converted reference
 checkpoints; the unrolled BiLSTM made bf16's speed advantage vanish) and
@@ -70,6 +73,89 @@ def _best_positive_sample(sample, tries=5):
     if best < float("inf"):
         return best
     return last_total / 2  # ~ the N-run wall clock per iteration block
+
+
+def _load_vendored(name):
+    """Load a vendored per-platform checkpoint (examples/, trained by
+    examples/train_synthetic.py); None when absent so every stage has an
+    init-params fallback."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "examples", f"{name}_synthetic.ckpt")
+    if not os.path.isfile(path):
+        return None
+    from clair_tpu.models.checkpoint import load_checkpoint
+
+    params, _ = load_checkpoint(path)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Synthetic flowcells (generation is NOT timed)
+# ---------------------------------------------------------------------------
+
+def _make_clean_bam(tmp, genome_mb=1.0, coverage=30):
+    """Short-read flowcell: 150 bp pure-M reads, 0.2% error, ~1 het SNP/kb
+    (the Illumina-like easy regime). Vectorized so the bench measures the
+    caller, not the simulator."""
+    from clair_tpu.io.bai import build_bai
+    from clair_tpu.io.bam import BamWriter
+    from clair_tpu.utils.simulate import write_fasta
+
+    rs = np.random.RandomState(0)
+    length = int(genome_mb * 1e6)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    ref = bases[rs.randint(0, 4, length)]
+    read_len = 150
+    n_reads = length * coverage // read_len
+    starts = np.sort(rs.randint(0, length - read_len, n_reads))
+    reads = ref[starts[:, None] + np.arange(read_len)].copy()
+
+    err = rs.rand(n_reads, read_len) < 0.002
+    reads[err] = bases[rs.randint(0, 4, int(err.sum()))]
+    snp_positions = np.arange(500, length - 500, 1000)
+    for pos in snp_positions:
+        lo = np.searchsorted(starts, pos - read_len + 1, side="left")
+        hi = np.searchsorted(starts, pos, side="right")
+        rows = np.arange(lo, hi)
+        rows = rows[rs.rand(len(rows)) < 0.5]
+        alt = bases[(np.searchsorted(bases, ref[pos]) + 1) % 4]
+        reads[rows, pos - starts[rows]] = alt
+
+    fasta_path = os.path.join(tmp, "clean_ref.fa")
+    bam_path = os.path.join(tmp, "clean.bam")
+    write_fasta(fasta_path, ref.tobytes().decode("ascii"))
+    cigar = [(read_len, "M")]
+    with BamWriter(bam_path, [("chr1", length)]) as writer:
+        for i in range(n_reads):
+            writer.write(
+                f"r{i}", 0, int(starts[i]), 60, 0, cigar,
+                reads[i].tobytes().decode("ascii"),
+            )
+    build_bai(bam_path, bam_path + ".bai")
+    return bam_path, fasta_path, length
+
+
+def _make_ont_bam(tmp, genome_kb=400, coverage=35):
+    """ONT-like flowcell via the shared vectorized simulator
+    (utils.simulate.simulate_ont_fast): lognormal read lengths, 5%
+    mismatch, ~5% indels with homopolymer-boosted deletions, systematic
+    error hotspots, planted SNP/ins/del variants every ~1.2 kb. This is
+    the regime the reference was built for (ONT first, README.md:57-59):
+    a large share of candidate sites carry indel evidence and leave the
+    SNP fast path."""
+    from clair_tpu.io.bai import build_bai
+    from clair_tpu.utils.simulate import simulate_ont_fast, write_fasta
+
+    rs = np.random.RandomState(7)
+    length = genome_kb * 1000
+    fasta_path = os.path.join(tmp, "ont_ref.fa")
+    bam_path = os.path.join(tmp, "ont.bam")
+    reference, _variants = simulate_ont_fast(
+        bam_path, rs, length=length, coverage=coverage
+    )
+    write_fasta(fasta_path, reference)
+    build_bai(bam_path, bam_path + ".bai")
+    return bam_path, fasta_path, length
 
 
 def _synthetic_batch(batch=BATCH):
@@ -127,98 +213,74 @@ def device_throughput(params, config, batch=BATCH) -> float:
     return batch / _best_positive_sample(sample)
 
 
-def decode_throughput(params, config) -> float:
-    """Host decode + VCF emission through the production path (the native
-    C++ fast-path decoder with Python lattice fallback) over the realistic
-    probability mix the biased model produces."""
+def decode_window_throughput(params, config, bam_path, fasta_path,
+                             minimum_af, iters=20):
+    """Host decode + VCF emission through the production path over a REAL
+    window batch: tensors come from the production pileup on a simulated
+    flowcell, probabilities from the given (vendored trained) checkpoint's
+    actual forward output, and the indel sources are the window's
+    event-indexed recovery tables (call_bam's production wiring) — so the
+    sites that need recovery callbacks (het ins+ins, >=16 bp) take their
+    real code path instead of a synthetic fast lane.
+
+    Returns (sites_per_sec, indel_winner_fraction)."""
     import jax
     import jax.numpy as jnp
 
-    from clair_tpu.data.tensor_stream import LazyTensorInfos
+    from clair_tpu.data.tensor_stream import LazyTensorInfos, normalize_channels
     from clair_tpu.io.vcf import VcfWriter
     from clair_tpu.models.clair import forward
+    from clair_tpu.pipeline.batch_decode import category_maxima
+    from clair_tpu.pipeline.call_bam import CallBamConfig, prepare_window
     from clair_tpu.pipeline.call_var import _decode_batch
-    from clair_tpu.pipeline.decode import IndelSources, OutputConfig
+    from clair_tpu.task.gt21 import gt21_code_from_label
+    from clair_tpu.utils.genomics import BASE2ACGT
 
-    fn = jax.jit(lambda p, x: forward(p, x.astype(jnp.float32), config))
-    xs, seq = _synthetic_batch()
-    out = [np.asarray(a) for a in fn(params, jax.device_put(xs.astype(np.int16)))]
-    # the production batch shape (call_bam's window pipeline): single contig,
-    # int64 positions, lazy tuple materialization
-    infos = LazyTensorInfos(
-        "chr1", np.arange(1000, 1000 + BATCH, dtype=np.int64), [seq] * BATCH
-    )
+    work = prepare_window(CallBamConfig(
+        bam_path=bam_path, fasta_path=fasta_path, contig="chr1",
+        minimum_af=minimum_af, minimum_coverage=4,
+    ))
+    n = min(len(work.tensors), BATCH)
+    if n == 0:
+        return 0.0, 0.0
+    x = normalize_channels(work.tensors[:n].copy())
+    infos = LazyTensorInfos("chr1", work.centers[:n], work.sequences[:n])
+
+    fn = jax.jit(lambda p, t: forward(p, t.astype(jnp.float32), config))
+    out = [np.asarray(a) for a in
+           fn(params, jax.device_put(np.clip(x, -32767, 32767).astype(np.int16)))]
+
+    # regime characterization: fraction of sites whose winning category is
+    # an indel (leaves the vectorized SNP/ref fast path)
+    ref_codes = np.array([
+        gt21_code_from_label(BASE2ACGT.get(s[len(s) // 2], "A") * 2)
+        for s in work.sequences[:n]
+    ])
+    winners = category_maxima(out[0], out[1], out[2], out[3], ref_codes).argmax(0)
+    indel_fraction = float((winners > 2).mean())
+
     sink = io.StringIO()
     writer = VcfWriter(sink)
-    output_config = OutputConfig(is_show_reference=True)
-    sources = IndelSources()
-
-    class _Pre:
-        def gather(self, o, n):
-            return o
-
-    pending = (infos, xs, out, BATCH)
-    _decode_batch(pending, _Pre(), output_config, writer, sources, None)  # warmup
-    iters = 30
-    start = time.perf_counter()
-    for _ in range(iters):
-        # production decodes each batch once: charge the per-batch
-        # center-base materialization every iteration
-        infos._center_bases = None
-        _decode_batch(pending, _Pre(), output_config, writer, sources, None)
-    return BATCH * iters / (time.perf_counter() - start)
-
-
-def decode_indel_throughput() -> float:
-    """Host decode on an indel-dominated probability mix (the ONT calling
-    regime: >half of candidate sites decode through the indel path)."""
-    from clair_tpu.data.tensor_stream import LazyTensorInfos
-    from clair_tpu.io.vcf import VcfWriter
-    from clair_tpu.pipeline.call_var import _decode_batch
-    from clair_tpu.pipeline.decode import IndelSources, OutputConfig
-
-    rs = np.random.RandomState(3)
-    xs, seq = _synthetic_batch()
-    # insertion signal after the center so allele recovery has support
-    xs[:, 17, 0, 1] += 25.0
-    xs[:, 18, 1, 1] += 20.0
-
-    def noisy_onehot(n, size, peak, scale=0.8):
-        p = rs.rand(n, size).astype(np.float32) * (1 - scale) / size
-        p[np.arange(n), peak] += scale
-        return p / p.sum(-1, keepdims=True)
-
-    n = BATCH
-    kinds = rs.randint(0, 3, n)
-    gt21_peak = np.where(kinds == 0, 16, np.where(kinds == 1, 10, 15))
-    geno_peak = np.where(kinds == 1, 1, 2)        # dels homo, rest het
-    vl2_peak = np.where(kinds == 1, 14, 18)       # -2 dels / +2 ins
-    vl1_peak = np.where(kinds == 2, 17, 16)       # insins: +1/+2 pair
-    gt21_p = noisy_onehot(n, 21, gt21_peak)
-    geno_p = noisy_onehot(n, 3, geno_peak)
-    vl1_p = noisy_onehot(n, 33, vl1_peak)
-    vl2_p = noisy_onehot(n, 33, vl2_peak)
-
-    infos = LazyTensorInfos(
-        "chr1", np.arange(1000, 1000 + n, dtype=np.int64), [seq] * n
-    )
-    sink = io.StringIO()
-    writer = VcfWriter(sink)
-    output_config = OutputConfig()
-    sources = IndelSources()
 
     class _Pre:
         def gather(self, o, m):
             return o
 
-    pending = (infos, xs, (gt21_p, geno_p, vl1_p, vl2_p), n)
-    _decode_batch(pending, _Pre(), output_config, writer, sources, None)
-    iters = 20
+    pending = (infos, x, out, n)
+    _decode_batch(pending, _Pre(), work.output_config, writer,
+                  work.indel_sources, None)  # warmup
     start = time.perf_counter()
     for _ in range(iters):
+        # production decodes each batch once: charge the per-batch
+        # center-base materialization every iteration
         infos._center_bases = None
-        _decode_batch(pending, _Pre(), output_config, writer, sources, None)
-    return n * iters / (time.perf_counter() - start)
+        _decode_batch(pending, _Pre(), work.output_config, writer,
+                      work.indel_sources, None)
+    elapsed = time.perf_counter() - start
+    fasta = getattr(work, "_fasta_to_close", None)
+    if fasta is not None:
+        fasta.close()
+    return n * iters / elapsed, indel_fraction
 
 
 def train_throughput(config, batch=TRAIN_BATCH) -> float:
@@ -272,66 +334,23 @@ def train_throughput(config, batch=TRAIN_BATCH) -> float:
     return batch / _best_positive_sample(sample)
 
 
-def wgs_throughput(params, config, genome_mb=1.0, coverage=30) -> float:
-    """End-to-end WGS calling throughput in Mbp/min: synthetic 30x BAM ->
-    threaded window runner (pileup + inference + decode + VCF) with the
-    production predictor. Host pileup runs on this machine's cores
-    (nproc=1 in this harness — the number scales with pileup workers).
-
-    Read generation is vectorized (pure-M reads, 0.2% sequencing error,
-    ~1 het SNP per kb — the human heterozygosity regime) so the bench
-    measures the caller, not the simulator.
-    """
-    import tempfile
-
-    from clair_tpu.io.bai import build_bai
-    from clair_tpu.io.bam import BamWriter
+def wgs_throughput(params, config, bam_path, fasta_path, genome_mb,
+                   minimum_af=0.2, out_name="calls.vcf") -> float:
+    """End-to-end WGS calling throughput in Mbp/min over a prebuilt
+    flowcell: threaded window runner (pileup + inference + decode + VCF)
+    with the production predictor. Host pileup runs on this machine's
+    cores (nproc=1 in this harness — the number scales with pileup
+    workers)."""
     from clair_tpu.pipeline.call_bam import CallBamConfig
     from clair_tpu.pipeline.call_bam_parallel import call_bam_windows_threaded
     from clair_tpu.pipeline.call_var import Predictor
-    from clair_tpu.utils.simulate import write_fasta
-
-    rs = np.random.RandomState(0)
-    length = int(genome_mb * 1e6)
-    bases = np.frombuffer(b"ACGT", np.uint8)
-    ref = bases[rs.randint(0, 4, length)]
-    read_len = 150
-    n_reads = length * coverage // read_len
-    starts = np.sort(rs.randint(0, length - read_len, n_reads))
-    reads = ref[starts[:, None] + np.arange(read_len)].copy()
-
-    # sequencing errors at 0.2%
-    err = rs.rand(n_reads, read_len) < 0.002
-    reads[err] = bases[rs.randint(0, 4, int(err.sum()))]
-    # ~1 het SNP per kb: alt base in half the covering reads
-    snp_positions = np.arange(500, length - 500, 1000)
-    for pos in snp_positions:
-        lo = np.searchsorted(starts, pos - read_len + 1, side="left")
-        hi = np.searchsorted(starts, pos, side="right")
-        rows = np.arange(lo, hi)
-        rows = rows[rs.rand(len(rows)) < 0.5]
-        alt = bases[(np.searchsorted(bases, ref[pos]) + 1) % 4]
-        reads[rows, pos - starts[rows]] = alt
-
-    tmp = tempfile.mkdtemp(prefix="clair_tpu_wgs_bench_")
-    fasta_path = os.path.join(tmp, "ref.fa")
-    bam_path = os.path.join(tmp, "s.bam")
-    write_fasta(fasta_path, ref.tobytes().decode("ascii"))
-    cigar = [(read_len, "M")]
-    with BamWriter(bam_path, [("chr1", length)]) as writer:
-        for i in range(n_reads):
-            writer.write(
-                f"r{i}", 0, int(starts[i]), 60, 0, cigar,
-                reads[i].tobytes().decode("ascii"),
-            )
-    build_bai(bam_path, bam_path + ".bai")
 
     predictor = Predictor(params, config)
     base = CallBamConfig(
         bam_path=bam_path, fasta_path=fasta_path,
-        minimum_af=0.2, minimum_coverage=4,
+        minimum_af=minimum_af, minimum_coverage=4,
     )
-    out = os.path.join(tmp, "calls.vcf")
+    out = os.path.join(os.path.dirname(bam_path), out_name)
     workers = max(os.cpu_count() or 1, 1)
     # best-of-2: the remote link's per-batch round trips make a single
     # wall-clock sample noisy on this harness (observed 5-35 Mbp/min for
@@ -398,6 +417,8 @@ def cpu_baseline_throughput() -> float:
 
 
 def main():
+    import tempfile
+
     import jax
 
     from clair_tpu.models.clair import init_params
@@ -408,27 +429,62 @@ def main():
     config = ModelConfig()  # float32 (the parity default)
     config_bf16 = dataclasses.replace(config, compute_dtype="bfloat16")
     params = init_params(jax.random.PRNGKey(0), config)
-    # bias heads toward the trained-model regime (ref/SNP-dominated decode)
-    params["head_genotype"]["b"] = params["head_genotype"]["b"].at[0].add(8.0)
-    params["head_len1"]["b"] = params["head_len1"]["b"].at[16].add(8.0)
-    params["head_len2"]["b"] = params["head_len2"]["b"].at[16].add(8.0)
+    # vendored trained checkpoints drive the decode/WGS stages so the
+    # probability distributions (and therefore the indel/fallback mix) are
+    # the model's real output, not hand-crafted vectors
+    params_ont = _load_vendored("ont")
+    params_ilmn = _load_vendored("ilmn")
+    if params_ont is None or params_ilmn is None:
+        print("[bench] vendored checkpoints missing; falling back to "
+              "biased init params", file=sys.stderr)
+        fallback = init_params(jax.random.PRNGKey(0), config)
+        fallback["head_genotype"]["b"] = fallback["head_genotype"]["b"].at[0].add(8.0)
+        fallback["head_len1"]["b"] = fallback["head_len1"]["b"].at[16].add(8.0)
+        fallback["head_len2"]["b"] = fallback["head_len2"]["b"].at[16].add(8.0)
+        params_ont = params_ont or fallback
+        params_ilmn = params_ilmn or fallback
+
+    tmp = tempfile.mkdtemp(prefix="clair_tpu_bench_")
+    ont_bam, ont_fa, ont_len = _make_ont_bam(tmp)
+    clean_bam, clean_fa, clean_len = _make_clean_bam(tmp)
 
     device_tps = device_throughput(params, config)
     device_bf16_tps = device_throughput(params, config_bf16)
-    decode_tps = decode_throughput(params, config)
-    decode_indel_tps = decode_indel_throughput()
+    # decode over a REAL ONT-regime window (trained ONT checkpoint output +
+    # event-indexed recovery sources): the HEADLINE decode leg — the
+    # reference is an ONT caller first
+    decode_ont_tps, ont_indel_frac = decode_window_throughput(
+        params_ont, config, ont_bam, ont_fa, minimum_af=0.2
+    )
+    decode_clean_tps, clean_indel_frac = decode_window_throughput(
+        params_ilmn, config, clean_bam, clean_fa, minimum_af=0.2
+    )
     train_tps = train_throughput(config)           # f32, the training default
     try:
-        wgs_mbp_min = wgs_throughput(params, config)
+        wgs_ont_mbp_min = wgs_throughput(
+            params_ont, config, ont_bam, ont_fa, ont_len / 1e6,
+            minimum_af=0.2, out_name="ont.vcf",
+        )
     except Exception as exc:
-        print(f"[bench] wgs stage failed ({exc})", file=sys.stderr)
+        print(f"[bench] ONT wgs stage failed ({exc})", file=sys.stderr)
+        wgs_ont_mbp_min = 0.0
+    try:
+        wgs_mbp_min = wgs_throughput(
+            params_ilmn, config, clean_bam, clean_fa, clean_len / 1e6,
+            minimum_af=0.2, out_name="clean.vcf",
+        )
+    except Exception as exc:
+        print(f"[bench] clean wgs stage failed ({exc})", file=sys.stderr)
         wgs_mbp_min = 0.0
-    pipeline_tps = min(device_tps, decode_tps)
+    # steady-state pipeline rate in the headline (ONT) regime
+    pipeline_tps = min(device_tps, decode_ont_tps)
     print(
         f"[bench] device f32 {device_tps:.0f} t/s (bf16 {device_bf16_tps:.0f}), "
-        f"host decode {decode_tps:.0f} t/s (indel mix {decode_indel_tps:.0f}), "
-        f"train {train_tps:.0f} samples/s, "
-        f"wgs e2e {wgs_mbp_min:.1f} Mbp/min/core",
+        f"host decode ONT-real {decode_ont_tps:.0f} t/s "
+        f"({ont_indel_frac:.0%} indel winners; clean {decode_clean_tps:.0f} "
+        f"t/s at {clean_indel_frac:.0%}), train {train_tps:.0f} samples/s, "
+        f"wgs e2e ONT {wgs_ont_mbp_min:.1f} / clean {wgs_mbp_min:.1f} "
+        f"Mbp/min/core",
         file=sys.stderr,
     )
 
@@ -440,16 +496,19 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "call_var pipeline throughput (pileup tensors/sec/chip)",
+                "metric": "call_var pipeline throughput, ONT regime "
+                          "(pileup tensors/sec/chip)",
                 "value": round(pipeline_tps, 1),
                 "unit": "tensors/sec",
                 "vs_baseline": round(pipeline_tps / cpu_tps, 2),
                 "stages": {
                     "device_forward_tps_f32": round(device_tps, 1),
                     "device_forward_tps_bf16": round(device_bf16_tps, 1),
-                    "host_decode_tps": round(decode_tps, 1),
-                    "host_decode_tps_indel_mix": round(decode_indel_tps, 1),
+                    "host_decode_tps_ont_real": round(decode_ont_tps, 1),
+                    "ont_indel_winner_fraction": round(ont_indel_frac, 3),
+                    "host_decode_tps": round(decode_clean_tps, 1),
                     "train_samples_per_sec": round(train_tps, 1),
+                    "wgs_ont_end_to_end_mbp_per_min": round(wgs_ont_mbp_min, 2),
                     "wgs_end_to_end_mbp_per_min": round(wgs_mbp_min, 2),
                     "pileup_workers": os.cpu_count(),
                 },

@@ -41,6 +41,12 @@ from clair_tpu.utils.intervals import BedIntervals
 
 logger = logging.getLogger(__name__)
 
+# batches kept in flight between dispatch and decode (call_window); >1 hides
+# the remote link's per-batch round trip behind host decode of earlier
+# batches, but a deep queue makes uploads crowd out the next needed
+# device->host copy on a single tunnel — measured best at 1-2 on this link
+PIPELINE_DEPTH = 1
+
 _BAI_BUILD_LOCK = __import__("threading").Lock()
 
 
@@ -347,8 +353,10 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
     if own_fasta:
         fasta = FastaReader(config.fasta_path)
     contig_length = fasta.contig_length(config.contig)
-    ctg_start = config.ctg_start or 1
-    ctg_end = config.ctg_end or contig_length
+    ctg_start = max(config.ctg_start or 1, 1)
+    # clamp to the contig: a window spec beyond the end (user-supplied
+    # ranges, round chunk sizes) must not break candidate selection
+    ctg_end = min(config.ctg_end or contig_length, contig_length)
 
     # expanded reference context around the region (ref param.py:5)
     ref_seq_start = max(ctg_start - 1 - EXPAND_REFERENCE_REGION, 0)
@@ -468,7 +476,6 @@ def call_window(work: WindowWork, predictor: Predictor, writer: VcfWriter,
     ensemble = work.output_config.is_output_for_ensemble
     total = 0
     batch = predictor.batch_size
-    pending = None
 
     def flush(pending):
         infos, x, out, n = pending
@@ -487,6 +494,14 @@ def call_window(work: WindowWork, predictor: Predictor, writer: VcfWriter,
                           work.indel_sources, debug_fh)
         return n
 
+    # Keep several batches in flight: on a remote TPU link the round trip
+    # per batch (dispatch + device->host copy) is the dominant cost, and
+    # depth-1 pipelining exposes it once per batch. With the async host
+    # copy started at dispatch (Predictor.predict_async), a deeper queue
+    # lets transfers for batches k+1..k+D proceed while batch k decodes.
+    from collections import deque
+
+    pending = deque()
     for off in range(0, len(work.tensors), batch):
         x = normalize_channels(work.tensors[off:off + batch].copy())
         infos = LazyTensorInfos(
@@ -495,11 +510,11 @@ def call_window(work: WindowWork, predictor: Predictor, writer: VcfWriter,
             work.sequences[off:off + len(x)],
         )
         out, n = predictor.predict_async(x)
-        if pending is not None:
-            total += flush(pending)
-        pending = (infos, x, out, n)
-    if pending is not None:
-        total += flush(pending)
+        pending.append((infos, x, out, n))
+        if len(pending) > PIPELINE_DEPTH:
+            total += flush(pending.popleft())
+    while pending:
+        total += flush(pending.popleft())
     fasta = getattr(work, "_fasta_to_close", None)
     if fasta is not None:
         fasta.close()

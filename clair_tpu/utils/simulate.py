@@ -148,6 +148,146 @@ def random_reference(rs: np.random.RandomState, length: int) -> str:
     return "".join(rs.choice(list("ACGT"), length))
 
 
+def simulate_ont_fast(
+    bam_path: str,
+    rs: np.random.RandomState,
+    length: int = 400_000,
+    coverage: int = 35,
+    variant_spacing: int = 1200,
+    mean_read_length: float = 900.0,
+    contig: str = "chr1",
+):
+    """Vectorized ONT-like flowcell: lognormal read lengths, 5% mismatch,
+    ~5% indel errors with homopolymer-boosted deletions and duplication
+    insertions (the ONT_R94 rates), systematic position-correlated error
+    hotspots (real basecaller miscalls cluster at hard contexts — those
+    pileup columns are what cross candidate AF cutoffs), and planted
+    variants cycling SNP / insertion / deletion. Indel variants are
+    homopolymer-style (insertion duplicates the anchor base, deletion
+    drops the following bases) so the numpy read assembly handles them
+    without per-base Python (simulate_bam's corrupt_read walks each base
+    in Python — ~50x slower at whole-flowcell scale).
+
+    Returns (reference_string, [PlantedVariant]); het variants ride
+    haplotype 1 (odd read indices), hom both.
+    """
+    from clair_tpu.io.bam import BamWriter
+
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    ref_idx = rs.randint(0, 4, length).astype(np.int8)
+
+    new_run = np.concatenate([[True], ref_idx[1:] != ref_idx[:-1]])
+    run_start = np.nonzero(new_run)[0]
+    runs = np.arange(length) - run_start[np.cumsum(new_run) - 1] + 1
+
+    var_positions = np.arange(700, length - 700, variant_spacing)
+    var_rs = np.random.RandomState(rs.randint(1 << 30))
+    var_kind = np.arange(len(var_positions)) % 3        # 0 snp, 1 ins, 2 del
+    var_len = var_rs.randint(1, 4, len(var_positions))
+    var_het = var_rs.rand(len(var_positions)) < 0.5
+    snp_set = np.zeros(length, bool)
+    snp_set[var_positions[var_kind == 0]] = True
+    ins_set = np.zeros(length, np.int8)
+    ins_set[var_positions[var_kind == 1]] = var_len[var_kind == 1]
+    del_set = np.zeros(length, np.int8)
+    del_set[var_positions[var_kind == 2]] = var_len[var_kind == 2]
+    het_set = np.zeros(length, bool)
+    het_set[var_positions[var_het]] = True
+    snp_alt = (ref_idx + 1) % 4
+
+    sys_mis = np.zeros(length, np.float32)
+    sys_mis[var_rs.rand(length) < 0.012] = 0.20
+    sys_del = np.zeros(length, np.float32)
+    sys_del[var_rs.rand(length) < 0.012] = 0.18
+
+    mismatch, p_ins, p_del, hp_boost = 0.05, 0.02, 0.03, 0.02
+    n_reads = int(coverage * length / mean_read_length)
+    lens = np.clip(
+        rs.lognormal(np.log(mean_read_length), 0.4, n_reads), 120,
+        2.5 * mean_read_length,
+    ).astype(np.int64)
+    starts = rs.randint(0, np.maximum(length - lens, 1))
+    order = np.argsort(starts, kind="stable")
+    starts, lens = starts[order], lens[order]
+
+    records = []
+    for r in range(n_reads):
+        s, L = int(starts[r]), int(lens[r])
+        idx = ref_idx[s:s + L].copy()
+        carries = het_set[s:s + L].copy()
+        carries[carries] = bool(r % 2)
+        carries |= ~het_set[s:s + L]
+        snp_local = np.nonzero(snp_set[s:s + L] & carries)[0]
+        idx[snp_local] = snp_alt[s + snp_local]
+        u = rs.rand(L, 2)
+        boost = hp_boost * np.minimum(runs[s:s + L] - 1, 4)
+        pd = p_del + boost + sys_del[s:s + L]
+        pd[0] = pd[-1] = 0.0
+        del_mask = u[:, 0] < pd
+        mis_mask = (~del_mask) & (u[:, 0] < pd + mismatch + sys_mis[s:s + L])
+        idx[mis_mask] = (idx[mis_mask] + rs.randint(1, 4, int(mis_mask.sum()))) % 4
+        ins_len = np.where(
+            (u[:, 1] < p_ins) & ~del_mask, rs.randint(1, 4, L), 0
+        )
+        for dl in np.nonzero((del_set[s:s + L] > 0) & carries)[0].tolist():
+            dlen = int(del_set[s + dl])
+            if 0 < dl and dl + dlen < L - 1:
+                del_mask[dl + 1: dl + 1 + dlen] = True
+                mis_mask[dl + 1: dl + 1 + dlen] = False
+        ins_local = np.nonzero((ins_set[s:s + L] > 0) & carries)[0]
+        ins_local = ins_local[(ins_local > 0) & (ins_local < L - 1)]
+        ins_len[ins_local] = ins_set[s + ins_local]
+        ins_len[del_mask] = 0
+        ins_len[0] = ins_len[-1] = 0
+        counts = (~del_mask).astype(np.int64) + ins_len
+        seq = bases[np.repeat(idx, counts)].tobytes().decode("ascii")
+
+        cigar = []
+
+        def push(n, op):
+            if n <= 0:
+                return
+            if cigar and cigar[-1][1] == op:
+                cigar[-1] = (cigar[-1][0] + n, op)
+            else:
+                cigar.append((n, op))
+
+        prev = 0
+        for sp in np.nonzero(del_mask | (ins_len > 0))[0].tolist():
+            push(sp - prev, "M")
+            if del_mask[sp]:
+                push(1, "D")
+            else:
+                push(1, "M")
+                push(int(ins_len[sp]), "I")
+            prev = sp + 1
+        push(L - prev, "M")
+        flag = 16 if u[0, 0] < 0.5 else 0
+        records.append((f"ont{r}", s, flag, cigar, seq))
+
+    reference = bases[ref_idx].tobytes().decode("ascii")
+    with BamWriter(bam_path, [(contig, length)]) as writer:
+        for name, pos, flag, cigar, seq in records:
+            writer.write(name, 0, pos, 60, flag, cigar, seq)
+
+    variants = []
+    for k, pos0 in enumerate(var_positions):
+        pos0 = int(pos0)
+        anchor = reference[pos0]
+        gt = (0, 1) if var_het[k] else (1, 1)
+        if var_kind[k] == 0:
+            variants.append(PlantedVariant(
+                pos0 + 1, anchor, "ACGT"[int(snp_alt[pos0])], gt))
+        elif var_kind[k] == 1:
+            variants.append(PlantedVariant(
+                pos0 + 1, anchor, anchor * (1 + int(var_len[k])), gt))
+        else:
+            dlen = int(var_len[k])
+            variants.append(PlantedVariant(
+                pos0 + 1, reference[pos0: pos0 + dlen + 1], anchor, gt))
+    return reference, variants
+
+
 def plant_variants(
     rs: np.random.RandomState,
     reference: str,
