@@ -897,7 +897,7 @@ def cmd_index_vcf(argv):
 def cmd_bam2cram(argv):
     parser = argparse.ArgumentParser(
         prog="bam2cram",
-        description="Convert BAM to CRAM 3.0 (the reference relies on "
+        description="Convert BAM to CRAM 3.0/3.1 (the reference relies on "
                     "samtools for this; clair_tpu carries its own stack)",
     )
     parser.add_argument("--bam_fn", required=True)
@@ -906,12 +906,17 @@ def cmd_bam2cram(argv):
     parser.add_argument("--embed_ref", action="store_true",
                         help="store each slice's reference span in the "
                              "CRAM (decodes without the FASTA)")
+    parser.add_argument("--cram_version", default="3.0",
+                        choices=["3.0", "3.1"],
+                        help="3.1 compresses external blocks with rANS "
+                             "Nx16 instead of rANS 4x8")
     args = parser.parse_args(argv)
 
     from clair_tpu.io.cram import bam_to_cram
 
+    version = tuple(int(v) for v in args.cram_version.split("."))
     n = bam_to_cram(args.bam_fn, args.cram_fn, args.ref_fn,
-                    embed_reference=args.embed_ref)
+                    embed_reference=args.embed_ref, version=version)
     print(f"wrote {args.cram_fn} ({n} records)", file=sys.stderr)
 
 

@@ -57,6 +57,16 @@ METHOD_GZIP = 1
 METHOD_BZIP2 = 2
 METHOD_LZMA = 3
 METHOD_RANS = 4
+# CRAM 3.1 additions (hts-specs block methods)
+METHOD_RANS4X16 = 5
+METHOD_ARITH = 6
+METHOD_FQZCOMP = 7
+METHOD_TOK3 = 8
+_METHOD_31_NAMES = {
+    METHOD_ARITH: "arith (adaptive arithmetic)",
+    METHOD_FQZCOMP: "fqzcomp (quality model)",
+    METHOD_TOK3: "tok3 (name tokenizer)",
+}
 
 # block content types
 CT_FILE_HEADER = 0
@@ -292,6 +302,10 @@ def _compress_payload(method: int, data: bytes) -> bytes:
         return lzma.compress(data)
     if method == METHOD_RANS:
         return rans.compress(data, 1 if len(data) >= 4 else 0)
+    if method == METHOD_RANS4X16:
+        from clair_tpu.io import rans4x16
+
+        return rans4x16.compress(data, 1 if len(data) >= 4 else 0)
     raise ValueError(f"unsupported CRAM block method {method}")
 
 
@@ -306,10 +320,17 @@ def _decompress_payload(method: int, data: bytes, raw_size: int) -> bytes:
         return lzma.decompress(data)
     if method == METHOD_RANS:
         return rans.decompress(data)
-    raise ValueError(
-        f"unsupported CRAM block method {method} "
-        "(3.1 codecs such as rans4x16/arith/fqzcomp are not implemented)"
-    )
+    if method == METHOD_RANS4X16:
+        from clair_tpu.io import rans4x16
+
+        return rans4x16.decompress(data)
+    if method in _METHOD_31_NAMES:
+        raise ValueError(
+            f"unsupported CRAM 3.1 block codec: {_METHOD_31_NAMES[method]} "
+            "— re-encode with `samtools view -O cram,version=3.0` or use "
+            "rans4x16/gzip blocks"
+        )
+    raise ValueError(f"unsupported CRAM block method {method}")
 
 
 def write_block(block: Block, method: Optional[int] = None) -> bytes:
@@ -1282,18 +1303,29 @@ class CramWriter:
 
     def __init__(self, path: str, references: List[Tuple[str, int]], fasta,
                  header_text: str = "", records_per_slice: int = 2048,
-                 method: int = METHOD_RANS, embed_reference: bool = False):
+                 method: Optional[int] = None, embed_reference: bool = False,
+                 version: Tuple[int, int] = (3, 0)):
         """embed_reference=True stores each slice's reference span as an
         extra external block (content id 99) and points the slice header's
         embedded-reference id at it — the resulting CRAM decodes without
-        the FASTA at hand (htslib's `samtools view -O cram,embed_ref`)."""
+        the FASTA at hand (htslib's `samtools view -O cram,embed_ref`).
+
+        version=(3, 1) writes a CRAM 3.1 file whose external blocks use
+        the rANS Nx16 codec (io/rans4x16.py) unless ``method`` overrides
+        it; the container structure is unchanged between 3.0 and 3.1."""
+        if version not in ((3, 0), (3, 1)):
+            raise ValueError(f"unsupported CRAM write version {version}")
+        if method is None:
+            method = METHOD_RANS4X16 if version == (3, 1) else METHOD_RANS
         if fasta is not None and isinstance(fasta, str):
             from clair_tpu.io.fasta import FastaReader
 
             fasta = FastaReader(fasta)
         self._fasta = fasta
         self._fh = open(path, "wb")
-        self._fh.write(CRAM_MAGIC + bytes([3, 0]) + b"clair_tpu".ljust(20, b"\x00"))
+        self._fh.write(
+            CRAM_MAGIC + bytes(version) + b"clair_tpu".ljust(20, b"\x00")
+        )
         self.references = references
         self._records_per_slice = records_per_slice
         self._method = method
