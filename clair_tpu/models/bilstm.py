@@ -134,6 +134,14 @@ def _bilstm_fused(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
         h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
         return (h_new, c_new), h_new
 
+    # Remat the step: the training backward is HBM-bound on saved per-step
+    # gate tensors ((2B, 4H) x 66 steps ~ 5 GB at batch 10k f32);
+    # recomputing them from (h, c) trades cheap MXU work for that traffic.
+    # Measured on a v5e at batch 10000: 72.2 -> 58.9 ms/step f32,
+    # 43.2 -> 41.4 ms bf16. Forward-only callers are unaffected (remat is
+    # an identity without a grad).
+    step = jax.checkpoint(step)
+
     n2 = 2 * b
     h0 = jnp.zeros((n2, hidden), x.dtype)
     c0 = jnp.zeros((n2, hidden), x.dtype)

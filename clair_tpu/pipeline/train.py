@@ -85,10 +85,14 @@ class TrainingConfig:
     mesh: Optional[object] = None
     seed: int = 0
     evaluate_at_end: bool = True
-    # training always computes in float32: bf16 gradients cost ~9 recall
-    # points at convergence on the demo-scale run, and with the unrolled
-    # BiLSTM the bf16 step is no faster anyway (55 ms both at batch 10k on
-    # a v5e). Kept as a knob for experiments.
+    # training defaults to float32 for exact-parity posture with converted
+    # reference checkpoints. bf16 compute (f32 master weights, f32 loss
+    # accumulation — losses.py upcasts logits) is a measured 1.67x at
+    # batch 10k on a v5e (72.2 -> 43.2 ms/step; 41.4 with the step remat)
+    # and, after the f32 loss fix, converges within ~1 recall point of
+    # f32 at demo scale (0.983/0.991 vs 0.991/1.000 recall/precision on
+    # the ONT held-out run — the earlier "~9 recall points" measurement
+    # predated the loss upcast). Flip per-run when throughput matters.
     train_compute_dtype: str = "float32"
     # restore the best-validation-loss epoch at the end (the reference's
     # behavior, train.py:364-372). With tiny validation sets the val loss
