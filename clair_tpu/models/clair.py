@@ -112,6 +112,10 @@ def forward_logits(
         from clair_tpu.ops.pallas_bilstm import bilstm_pallas
 
         lstm = bilstm_pallas
+    elif config.use_pallas_train_bilstm and jax.default_backend() != "cpu":
+        from clair_tpu.ops.pallas_bilstm_train import bilstm_train_pallas
+
+        lstm = bilstm_train_pallas
 
     h = lstm(params["lstm1"], h)
     # lstm1 dropout rate is 0.0 by structure; keep the hook for configs

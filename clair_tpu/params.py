@@ -117,6 +117,11 @@ class ModelConfig:
     # use the fused Pallas BiLSTM kernel (TPU backends only; the lax.scan
     # path is used automatically elsewhere)
     use_pallas_bilstm: bool = False
+    # use the fused-VMEM Pallas forward+backward BiLSTM for TRAINING
+    # (ops/pallas_bilstm_train.py): keeps each batch tile's recurrence in
+    # VMEM across all 33 steps instead of streaming per-step gate tensors
+    # through HBM. f32 only; TPU backends only.
+    use_pallas_train_bilstm: bool = False
 
     @property
     def no_of_positions(self) -> int:
