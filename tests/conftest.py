@@ -15,6 +15,18 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# SUBPROCESSES spawned by tests (CLI surface tests run `python -m
+# clair_tpu ...`) inherit the environment, not jax.config — without this
+# they register the remote axon TPU plugin (a sitecustomize hook injected
+# via PYTHONPATH) and, when its link stalls (it does, transiently), hang
+# the whole suite regardless of JAX_PLATFORMS. Scrub the hook's path so
+# child interpreters never register it, and pin them to CPU.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if p and ".axon_site" not in p
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
