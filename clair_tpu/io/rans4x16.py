@@ -608,6 +608,8 @@ def compress(data: bytes, order: int = 0, *, use_rle: bool = False,
     if order not in (0, 1):
         raise ValueError(f"unsupported rANS Nx16 order {order}")
     out = bytearray()
+    if stripe > 1 and len(data) < stripe:
+        stripe = 0  # every sub-stream must be non-empty
     if stripe > 1:
         out.append(F_STRIPE)
         write_uint7(out, len(data))
@@ -693,6 +695,15 @@ def decompress(data: bytes, out_size: int = None) -> bytes:
         raw_size, pos = read_uint7(data, pos)
     if raw_size == 0:
         return b""
+
+    try:  # native decoder (clair_rans4x16.cpp): same grammar, C speed
+        from clair_tpu import native
+
+        out = native.rans4x16_decompress(bytes(data), raw_size)
+        if out is not None:
+            return out
+    except Exception:
+        pass
 
     if flags & F_STRIPE:
         n = data[pos]

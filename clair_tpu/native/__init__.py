@@ -163,6 +163,11 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
     ]
+    lib.clair_rans4x16_decompress.restype = ctypes.c_int
+    lib.clair_rans4x16_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
     _lib = lib
     return lib
 
@@ -252,6 +257,21 @@ def rans_decompress(data: bytes, raw_size: int):
         return None
     out = ctypes.create_string_buffer(raw_size)
     rc = lib.clair_rans_decompress(
+        data, len(data),
+        ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)), raw_size,
+    )
+    return out.raw if rc == 0 else None
+
+
+def rans4x16_decompress(data: bytes, raw_size: int):
+    """Native rANS Nx16 (CRAM 3.1) decode of a full stream. Returns the
+    raw bytes, or None when the library is unavailable or the stream is
+    malformed/unsupported (callers fall back to the Python codec)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(raw_size)
+    rc = lib.clair_rans4x16_decompress(
         data, len(data),
         ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)), raw_size,
     )

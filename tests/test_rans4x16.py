@@ -172,3 +172,50 @@ def test_decompress_rejects_truncated():
     stream = r16.compress(b"hello world, hello world", order=1)
     with pytest.raises(Exception):
         r16.decompress(stream[: len(stream) // 2])
+
+
+# ---------------------------------------------------------------------------
+# native decoder (clair_rans4x16.cpp)
+# ---------------------------------------------------------------------------
+
+def test_native_decoder_matches_python():
+    """Every stream the encoder can produce decodes byte-identically
+    through the native decoder AND the pure-Python reference."""
+    from clair_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rs = np.random.RandomState(7)
+    cases = [
+        bytes(rs.randint(0, 256, n, dtype=np.uint8))
+        for n in (1, 5, 63, 1000, 4097)
+    ]
+    cases.append(bytes(rs.choice([65, 67, 71, 84], 20_000,
+                                 p=[.6, .2, .15, .05]).astype(np.uint8)))
+    cases.append(b"".join(bytes([rs.randint(0, 4)]) * rs.randint(1, 40)
+                          for _ in range(800)))
+    cases.append(rs.randint(0, 5000, 5000).astype("<u4").tobytes())
+    combos = (
+        dict(order=0), dict(order=1), dict(order=0, use_rle=True),
+        dict(order=1, use_pack=True), dict(order=0, stripe=4),
+        dict(order=1, use_rle=True, use_pack=True),
+    )
+    for data in cases:
+        for kw in combos:
+            stream = r16.compress(data, **kw)
+            nat = native.rans4x16_decompress(stream, len(data))
+            assert nat == data, (len(data), kw)
+            # the public decompress (which dispatches to native) agrees
+            assert r16.decompress(stream) == data, (len(data), kw)
+
+
+def test_native_decoder_rejects_corruption():
+    from clair_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    data = bytes(np.random.RandomState(8).randint(0, 256, 4000, dtype=np.uint8))
+    stream = bytearray(r16.compress(data, order=1))
+    # truncations anywhere must fail cleanly (nonzero rc -> None), never crash
+    for cut in (1, 5, len(stream) // 2, len(stream) - 3):
+        assert native.rans4x16_decompress(bytes(stream[:cut]), len(data)) is None
