@@ -69,3 +69,45 @@ def test_trained_checkpoint_calls_unseen_genome(tmp_path, platform):
     assert recall >= 0.9, (recall, precision)
     assert precision >= 0.9, (recall, precision)
     assert exact >= 0.85 * len(truth), exact
+
+
+@pytest.mark.slow
+def test_production_checkpoint_calls_unseen_flowcell(tmp_path):
+    """The PRODUCTION-RECIPE checkpoint (batch 10000 + adaptive decay on
+    the chip, examples/train_production.py — docs/ACCURACY.md) calls a
+    held-out simulate_ont_fast flowcell: every planted variant recovered
+    (measured recall 1.000 / precision 0.880 pre-QUAL at training time;
+    floors are generous regression nets)."""
+    from clair_tpu.io.bai import build_bai
+    from clair_tpu.utils.simulate import simulate_ont_fast
+
+    params, meta = load_checkpoint("examples/ont_production.ckpt")
+    assert meta.get("recipe") == "production-adaptive-b10000"
+
+    rs = np.random.RandomState(626262)
+    bam_path = str(tmp_path / "s.bam")
+    fasta_path = str(tmp_path / "ref.fa")
+    reference, variants = simulate_ont_fast(
+        bam_path, rs, length=40_000, coverage=35, variant_spacing=400,
+    )
+    write_fasta(fasta_path, reference)
+    build_bai(bam_path, bam_path + ".bai")
+    out = str(tmp_path / "calls.vcf")
+    call_bam(
+        CallBamConfig(bam_path=bam_path, fasta_path=fasta_path, contig="chr1",
+                      minimum_af=0.2, minimum_coverage=4),
+        Predictor(params, ModelConfig(), batch_size=256), output_path=out,
+    )
+    truth = {v.position: (v.ref, v.alt) for v in variants}
+    called = {}
+    for row in open(out):
+        if not row.startswith("#"):
+            c = row.split("\t")
+            called[int(c[1])] = (c[3], c[4])
+    tp = len(set(truth) & set(called))
+    exact = sum(1 for p in truth if p in called and called[p] == truth[p])
+    assert tp / len(truth) >= 0.93, (tp, len(truth))
+    assert exact >= 0.9 * len(truth), (exact, len(truth))
+    # precision floor is low by design: the flowcell plants systematic
+    # error hotspots that sit near the candidate AF cutoff
+    assert tp / max(len(called), 1) >= 0.6
