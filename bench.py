@@ -484,8 +484,13 @@ def main():
     ont_bam, ont_fa, ont_len = _make_ont_bam(tmp)
     clean_bam, clean_fa, clean_len = _make_clean_bam(tmp)
 
-    device_tps = device_throughput(params, config)
-    device_bf16_tps = device_throughput(params, config_bf16)
+    if device_ok:
+        device_tps = device_throughput(params, config)
+        device_bf16_tps = device_throughput(params, config_bf16)
+    else:
+        # chip-stage numbers would be meaningless (and the batch-10000
+        # train loop impractically slow) on the 1-core CPU fallback
+        device_tps = device_bf16_tps = 0.0
     # decode over a REAL ONT-regime window (trained ONT checkpoint output +
     # event-indexed recovery sources): the HEADLINE decode leg — the
     # reference is an ONT caller first
@@ -495,7 +500,7 @@ def main():
     decode_clean_tps, clean_indel_frac = decode_window_throughput(
         params_ilmn, config, clean_bam, clean_fa, minimum_af=0.2
     )
-    train_tps = train_throughput(config)           # f32, the training default
+    train_tps = train_throughput(config) if device_ok else 0.0  # f32 default
     try:
         wgs_ont_mbp_min = wgs_throughput(
             params_ont, config, ont_bam, ont_fa, ont_len / 1e6,
@@ -513,7 +518,9 @@ def main():
         print(f"[bench] clean wgs stage failed ({exc})", file=sys.stderr)
         wgs_mbp_min = 0.0
     # steady-state pipeline rate in the headline (ONT) regime
-    pipeline_tps = min(device_tps, decode_ont_tps)
+    pipeline_tps = (
+        min(device_tps, decode_ont_tps) if device_ok else decode_ont_tps
+    )
     print(
         f"[bench] device f32 {device_tps:.0f} t/s (bf16 {device_bf16_tps:.0f}), "
         f"host decode ONT-real {decode_ont_tps:.0f} t/s "
