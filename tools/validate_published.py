@@ -233,7 +233,10 @@ def main(argv=None):
         extract_dir = os.path.join(args.workdir, name)
         os.makedirs(extract_dir, exist_ok=True)
         with tarfile.open(tar_path) as tf:
-            tf.extractall(extract_dir)
+            try:
+                tf.extractall(extract_dir, filter="data")
+            except TypeError:  # Python < 3.12 has no filter argument
+                tf.extractall(extract_dir)
         prefix = find_checkpoint_prefix(extract_dir)
         all_ok &= validate_one(name, prefix, args.workdir,
                                args.reference_probs, args.tolerance)
