@@ -740,9 +740,7 @@ def decompress(data: bytes, out_size: int = None) -> bytes:
             pos += meta_len
         else:
             comp_len, pos = read_uint7(data, pos)
-            rle_meta = _rans_decode_o0(data, pos + _o0_table_offset(data, pos),
-                                       meta_len) if False else _rans_decode_o0(
-                data, pos, meta_len)
+            rle_meta = _rans_decode_o0(data, pos, meta_len)
             pos += comp_len
         entropy_size = lit_len
     else:
@@ -760,7 +758,3 @@ def decompress(data: bytes, out_size: int = None) -> bytes:
     if flags & F_PACK:
         body, _, _ = _pack_decode(data, pack_meta_pos, body, raw_size)
     return body
-
-
-def _o0_table_offset(data, pos):  # pragma: no cover - structural helper
-    return 0
