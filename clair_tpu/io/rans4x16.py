@@ -37,7 +37,8 @@ Format implemented (one stream):
   context, frequencies for every alphabet symbol with zero-run
   shortening (a 0 is followed by a byte counting additional consecutive
   zeros); the whole order-1 table may be stored compressed (leading
-  byte 1 + uint7 raw-size + order-0 Nx16 stream, used when it wins).
+  byte 1 + uint7 raw size + uint7 compressed size + order-0 Nx16
+  stream, used when it wins).
 
   PACK meta: u8 nsym, the nsym byte values, uint7 packed length; 1
   symbol -> zero-length body, 2 -> 1 bit each, <=4 -> 2 bits, <=16 ->
@@ -350,12 +351,14 @@ def _rans_encode_o1(data) -> bytes:
     _write_o1_freqs(raw_table, alphabet, freqs_ctx)
 
     # large order-1 tables may themselves compress well: leading byte 1
-    # + uint7 raw size + order-0 stream, else leading byte 0 + raw table
+    # + uint7 raw size + uint7 COMPRESSED size + order-0 stream (the
+    # htslib/spec layout stores both sizes), else leading byte 0 + raw
     packed = _rans_encode_o0(bytes(raw_table)) if len(raw_table) >= 32 else None
     table = bytearray()
-    if packed is not None and len(packed) + 4 < len(raw_table):
+    if packed is not None and len(packed) + 6 < len(raw_table):
         table.append(1)
         write_uint7(table, len(raw_table))
+        write_uint7(table, len(packed))
         table += packed
     else:
         table.append(0)
@@ -395,11 +398,9 @@ def _rans_decode_o1(data, pos: int, out_size: int) -> bytes:
     pos += 1
     if comp == 1:
         raw_size, pos = read_uint7(data, pos)
-        # the order-0 stream's own size is implied: parse it in place
+        comp_size, pos = read_uint7(data, pos)
         table = _rans_decode_o0(data, pos, raw_size)
-        # advance past the embedded stream by re-locating its end: the
-        # o0 decoder does not report consumed bytes, so re-walk cheaply
-        pos = _skip_o0(data, pos, raw_size)
+        pos += comp_size
         tpos = 0
         src = table
     else:
@@ -447,33 +448,6 @@ def _rans_decode_o1(data, pos: int, out_size: int) -> bytes:
             pos += 2
         ctx = s
     return bytes(out)
-
-
-def _skip_o0(data, pos: int, out_size: int) -> int:
-    """Consume an embedded order-0 stream and return the end offset (the
-    decode core tracks `pos` internally; this repeats only the walk)."""
-    syms, pos = _read_alphabet(data, pos)
-    freqs = [0] * 256
-    for j in syms:
-        freqs[j], pos = read_uint7(data, pos)
-    cum, sym_of = _sym_lookup(freqs, TOT_O0)
-    states = list(struct.unpack_from("<IIII", data, pos))
-    pos += 16
-    mask = TOT_O0 - 1
-    main = out_size & ~3
-    i = 0
-    while i < main:
-        for k in range(4):
-            x = states[k]
-            m = x & mask
-            s = sym_of[m]
-            x = freqs[s] * (x >> TF_SHIFT_O0) + m - cum[s]
-            while x < RANS_L:
-                x = (x << 16) | data[pos] | (data[pos + 1] << 8)
-                pos += 2
-            states[k] = x
-        i += 4
-    return pos
 
 
 # ---------------------------------------------------------------------------
@@ -748,6 +722,11 @@ def decompress(data: bytes, out_size: int = None) -> bytes:
 
     if flags & F_CAT:
         body = data[pos:pos + entropy_size]
+        if len(body) != entropy_size:
+            raise ValueError(
+                f"rANS Nx16 CAT stream truncated: {len(body)} of "
+                f"{entropy_size} bytes present"
+            )
     elif flags & F_ORDER1:
         body = _rans_decode_o1(data, pos, entropy_size)
     else:

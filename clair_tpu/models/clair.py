@@ -113,6 +113,12 @@ def forward_logits(
 
         lstm = bilstm_pallas
     elif config.use_pallas_train_bilstm and jax.default_backend() != "cpu":
+        if compute_dtype != jnp.float32:
+            raise ValueError(
+                "use_pallas_train_bilstm is float32-only (the kernel "
+                "computes and returns f32, which would silently defeat "
+                f"compute_dtype={config.compute_dtype}); unset one of them"
+            )
         from clair_tpu.ops.pallas_bilstm_train import bilstm_train_pallas
 
         lstm = bilstm_train_pallas

@@ -55,6 +55,34 @@ def _build() -> bool:
         return False
 
 
+def _rebuild_aside() -> Optional[ctypes.CDLL]:
+    """Set the current artifact aside, rebuild from source, and load the
+    result; restore the original on build failure (a transient problem
+    must not destroy a valid library)."""
+    aside = _LIB_PATH + ".unloadable"
+    try:
+        os.replace(_LIB_PATH, aside)
+    except OSError:
+        aside = None
+    if not _build():
+        if aside is not None:
+            try:
+                os.replace(aside, _LIB_PATH)
+            except OSError:
+                pass
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    if aside is not None:
+        try:
+            os.unlink(aside)
+        except OSError:
+            pass
+    return lib
+
+
 def load_library() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
     if _lib is not None:
@@ -68,33 +96,31 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         # a vendored .so built for another machine (-march=native) or a
-        # stale/partial artifact: rebuild from source once, else fall back
-        # to the pure-Python engines.  The existing artifact is set aside
-        # rather than deleted so a transient dlopen failure (e.g. ENOMEM,
-        # or a host without a compiler) cannot destroy a valid library.
-        aside = _LIB_PATH + ".unloadable"
-        try:
-            os.replace(_LIB_PATH, aside)
-        except OSError:
-            aside = None
-        if not _build():
-            if aside is not None:
-                try:
-                    os.replace(aside, _LIB_PATH)
-                except OSError:
-                    pass
+        # stale/partial artifact: rebuild from source once, else fall
+        # back to the pure-Python engines
+        lib = _rebuild_aside()
+        if lib is None:
+            _build_failed = True
+            return None
+    try:
+        _bind_symbols(lib)
+    except AttributeError:
+        # loadable but STALE: built from older sources missing a newer
+        # export — rebuild once, same as an unloadable artifact
+        lib = _rebuild_aside()
+        if lib is None:
             _build_failed = True
             return None
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
+            _bind_symbols(lib)
+        except AttributeError:
             _build_failed = True
             return None
-        if aside is not None:
-            try:
-                os.unlink(aside)
-            except OSError:
-                pass
+    _lib = lib
+    return lib
+
+
+def _bind_symbols(lib) -> None:
     lib.clair_bam_events.restype = ctypes.c_int
     lib.clair_bam_events.argtypes = [
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
@@ -168,8 +194,6 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
     ]
-    _lib = lib
-    return lib
 
 
 def decode_fast_native(

@@ -163,13 +163,17 @@ int decode_o1(Reader& r, uint8_t* out, int64_t out_size) {
     Reader tr{nullptr, nullptr};
     if (comp == 1) {
         uint64_t raw_size = r.uint7();
+        uint64_t comp_size = r.uint7();
         if (!r.ok || raw_size > (1u << 26)) return 1;
+        if (r.p + comp_size > r.end) return 1;
         table_buf = (uint8_t*)std::malloc(raw_size);
         if (!table_buf) return 1;
-        if (decode_o0(r, table_buf, (int64_t)raw_size)) {
+        Reader er{r.p, r.p + comp_size};
+        if (decode_o0(er, table_buf, (int64_t)raw_size)) {
             std::free(table_buf);
             return 1;
         }
+        r.p += comp_size;
         tr = Reader{table_buf, table_buf + raw_size};
     } else {
         tr = Reader{r.p, r.end};
@@ -410,7 +414,16 @@ int decode_stream(const uint8_t* data, int64_t data_len, uint8_t* out,
         }
     }
 
-    // PACK unpack
+    // PACK unpack (bounds-checked: a malformed stream can declare a
+    // packed length smaller than raw_size requires — indexing past the
+    // decoded buffer would be a heap overread returning garbage)
+    if (rc == 0 && (flags & F_PACK)) {
+        int64_t needed = 0;
+        if (pack_nsym == 2) needed = (raw_size + 7) / 8;
+        else if (pack_nsym > 2 && pack_nsym <= 4) needed = (raw_size + 3) / 4;
+        else if (pack_nsym > 4) needed = (raw_size + 1) / 2;
+        if (payload_size < needed) rc = 1;
+    }
     if (rc == 0 && (flags & F_PACK)) {
         const uint8_t* packed = expanded;
         if (pack_nsym <= 1) {

@@ -353,10 +353,13 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
     if own_fasta:
         fasta = FastaReader(config.fasta_path)
     contig_length = fasta.contig_length(config.contig)
-    ctg_start = max(config.ctg_start or 1, 1)
-    # clamp to the contig: a window spec beyond the end (user-supplied
-    # ranges, round chunk sizes) must not break candidate selection
-    ctg_end = min(config.ctg_end or contig_length, contig_length)
+    # clamp BOTH ends to the contig: a window spec beyond the end
+    # (user-supplied ranges from a different build, round chunk sizes)
+    # must not break candidate selection — a fully out-of-range window
+    # degrades to a 1 bp window with zero candidates
+    ctg_start = min(max(config.ctg_start or 1, 1), contig_length)
+    ctg_end = min(max(config.ctg_end or contig_length, ctg_start),
+                  contig_length)
 
     # expanded reference context around the region (ref param.py:5)
     ref_seq_start = max(ctg_start - 1 - EXPAND_REFERENCE_REGION, 0)

@@ -235,7 +235,19 @@ def main(argv=None):
         with tarfile.open(tar_path) as tf:
             try:
                 tf.extractall(extract_dir, filter="data")
-            except TypeError:  # Python < 3.12 has no filter argument
+            except TypeError:
+                # Python < 3.12 has no filter argument: enforce the same
+                # guarantees by hand (the tars arrive over plain http)
+                for member in tf.getmembers():
+                    name = member.name
+                    if name.startswith(("/", os.sep)) or ".." in name.split("/"):
+                        raise ValueError(
+                            f"refusing unsafe tar member path: {name!r}"
+                        )
+                    if member.islnk() or member.issym():
+                        raise ValueError(
+                            f"refusing tar link member: {name!r}"
+                        )
                 tf.extractall(extract_dir)
         prefix = find_checkpoint_prefix(extract_dir)
         all_ok &= validate_one(name, prefix, args.workdir,
