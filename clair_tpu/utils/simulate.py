@@ -148,7 +148,24 @@ def random_reference(rs: np.random.RandomState, length: int) -> str:
     return "".join(rs.choice(list("ACGT"), length))
 
 
-def simulate_ont_fast(
+# per-platform parameter sets for the fast vectorized simulator; rates
+# mirror the ErrorProfile constants above, plus the systematic-hotspot
+# terms (real basecallers miscall at hard contexts; those pileup columns
+# are what cross candidate AF cutoffs)
+PLATFORM_FAST_RECIPES = {
+    "ont": dict(mismatch=0.05, p_ins=0.02, p_del=0.03, hp_boost=0.02,
+                sys_rate=0.012, sys_mis_boost=0.20, sys_del_boost=0.18,
+                mean_read_length=900.0, length_sigma=0.4, coverage=35),
+    "ccs": dict(mismatch=0.001, p_ins=0.001, p_del=0.002, hp_boost=0.003,
+                sys_rate=0.004, sys_mis_boost=0.05, sys_del_boost=0.04,
+                mean_read_length=2000.0, length_sigma=0.2, coverage=30),
+    "ilmn": dict(mismatch=0.002, p_ins=0.0001, p_del=0.0001, hp_boost=0.0,
+                 sys_rate=0.004, sys_mis_boost=0.05, sys_del_boost=0.0,
+                 mean_read_length=150.0, length_sigma=0.0, coverage=60),
+}
+
+
+def simulate_platform_fast(
     bam_path: str,
     rs: np.random.RandomState,
     length: int = 400_000,
@@ -156,17 +173,24 @@ def simulate_ont_fast(
     variant_spacing: int = 1200,
     mean_read_length: float = 900.0,
     contig: str = "chr1",
+    mismatch: float = 0.05,
+    p_ins: float = 0.02,
+    p_del: float = 0.03,
+    hp_boost: float = 0.02,
+    sys_rate: float = 0.012,
+    sys_mis_boost: float = 0.20,
+    sys_del_boost: float = 0.18,
+    length_sigma: float = 0.4,
 ):
-    """Vectorized ONT-like flowcell: lognormal read lengths, 5% mismatch,
-    ~5% indel errors with homopolymer-boosted deletions and duplication
-    insertions (the ONT_R94 rates), systematic position-correlated error
-    hotspots (real basecaller miscalls cluster at hard contexts — those
-    pileup columns are what cross candidate AF cutoffs), and planted
-    variants cycling SNP / insertion / deletion. Indel variants are
-    homopolymer-style (insertion duplicates the anchor base, deletion
-    drops the following bases) so the numpy read assembly handles them
-    without per-base Python (simulate_bam's corrupt_read walks each base
-    in Python — ~50x slower at whole-flowcell scale).
+    """Vectorized whole-flowcell simulator: lognormal read lengths,
+    mismatch + indel errors with homopolymer-boosted deletions and
+    duplication insertions, systematic position-correlated error hotspots,
+    and planted variants cycling SNP / insertion / deletion. Indel
+    variants are homopolymer-style (insertion duplicates the anchor base,
+    deletion drops the following bases) so the numpy read assembly handles
+    them without per-base Python (simulate_bam's corrupt_read walks each
+    base in Python — ~50x slower at whole-flowcell scale). Parameter sets
+    per reference platform live in PLATFORM_FAST_RECIPES.
 
     Returns (reference_string, [PlantedVariant]); het variants ride
     haplotype 1 (odd read indices), hom both.
@@ -196,16 +220,18 @@ def simulate_ont_fast(
     snp_alt = (ref_idx + 1) % 4
 
     sys_mis = np.zeros(length, np.float32)
-    sys_mis[var_rs.rand(length) < 0.012] = 0.20
+    sys_mis[var_rs.rand(length) < sys_rate] = sys_mis_boost
     sys_del = np.zeros(length, np.float32)
-    sys_del[var_rs.rand(length) < 0.012] = 0.18
+    sys_del[var_rs.rand(length) < sys_rate] = sys_del_boost
 
-    mismatch, p_ins, p_del, hp_boost = 0.05, 0.02, 0.03, 0.02
     n_reads = int(coverage * length / mean_read_length)
-    lens = np.clip(
-        rs.lognormal(np.log(mean_read_length), 0.4, n_reads), 120,
-        2.5 * mean_read_length,
-    ).astype(np.int64)
+    if length_sigma > 0:
+        lens = np.clip(
+            rs.lognormal(np.log(mean_read_length), length_sigma, n_reads),
+            min(120, mean_read_length), 2.5 * mean_read_length,
+        ).astype(np.int64)
+    else:
+        lens = np.full(n_reads, int(mean_read_length), np.int64)
     starts = rs.randint(0, np.maximum(length - lens, 1))
     order = np.argsort(starts, kind="stable")
     starts, lens = starts[order], lens[order]
@@ -286,6 +312,20 @@ def simulate_ont_fast(
             variants.append(PlantedVariant(
                 pos0 + 1, reference[pos0: pos0 + dlen + 1], anchor, gt))
     return reference, variants
+
+
+def simulate_ont_fast(bam_path, rs, length=400_000, coverage=35,
+                      variant_spacing=1200, mean_read_length=900.0,
+                      contig="chr1"):
+    """ONT parameter set of simulate_platform_fast (kept as the named
+    entry point the bench / production trainer / tests use)."""
+    recipe = dict(PLATFORM_FAST_RECIPES["ont"])
+    recipe["coverage"] = coverage
+    recipe["mean_read_length"] = mean_read_length
+    return simulate_platform_fast(
+        bam_path, rs, length=length, variant_spacing=variant_spacing,
+        contig=contig, **recipe,
+    )
 
 
 def plant_variants(
