@@ -33,7 +33,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_ont_dataset(work_dir, seed, genome_kb, coverage, variant_spacing):
+def build_ont_dataset(work_dir, seed, genome_kb, coverage, variant_spacing,
+                      platform="ont"):
     from clair_tpu.data.bins import build_bin_from_tensors
     from clair_tpu.data.candidates import (
         CandidateConfig,
@@ -45,7 +46,8 @@ def build_ont_dataset(work_dir, seed, genome_kb, coverage, variant_spacing):
     from clair_tpu.data.truth import write_truth
     from clair_tpu.pipeline.call_bam import load_region_events
     from clair_tpu.utils.simulate import (
-        simulate_ont_fast,
+        PLATFORM_FAST_RECIPES,
+        simulate_platform_fast,
         write_fasta,
         write_truth_vcf,
     )
@@ -56,9 +58,12 @@ def build_ont_dataset(work_dir, seed, genome_kb, coverage, variant_spacing):
         "ref.fa", "sample.bam", "truth.vcf", "truth.var",
         "var_tensors.txt", "can_tensors.txt", "paired.txt",
     )}
-    reference, variants = simulate_ont_fast(
-        paths["sample.bam"], rs, length=length, coverage=coverage,
-        variant_spacing=variant_spacing,
+    recipe = dict(PLATFORM_FAST_RECIPES[platform])
+    if coverage:
+        recipe["coverage"] = coverage
+    reference, variants = simulate_platform_fast(
+        paths["sample.bam"], rs, length=length,
+        variant_spacing=variant_spacing, **recipe,
     )
     write_fasta(paths["ref.fa"], reference)
     write_truth_vcf(paths["truth.vcf"], variants)
@@ -98,20 +103,25 @@ def build_ont_dataset(work_dir, seed, genome_kb, coverage, variant_spacing):
 
 
 def evaluate_held_out_ont(params, model_config, seed=515151, genome_kb=60,
-                          coverage=35):
-    """Call a fresh ONT flowcell the model never saw."""
+                          coverage=None, platform="ont"):
+    """Call a fresh flowcell the model never saw."""
     from clair_tpu.io.bai import build_bai
     from clair_tpu.pipeline.call_bam import CallBamConfig, call_bam
     from clair_tpu.pipeline.call_var import Predictor
-    from clair_tpu.utils.simulate import simulate_ont_fast, write_fasta
+    from clair_tpu.utils.simulate import (
+        PLATFORM_FAST_RECIPES, simulate_platform_fast, write_fasta,
+    )
 
     tmp = tempfile.mkdtemp(prefix="clair_tpu_prod_heldout_")
     rs = np.random.RandomState(seed)
     bam_path = os.path.join(tmp, "s.bam")
     fasta_path = os.path.join(tmp, "ref.fa")
-    reference, variants = simulate_ont_fast(
-        bam_path, rs, length=genome_kb * 1000, coverage=coverage,
-        variant_spacing=400,
+    recipe = dict(PLATFORM_FAST_RECIPES[platform])
+    if coverage:
+        recipe["coverage"] = coverage
+    reference, variants = simulate_platform_fast(
+        bam_path, rs, length=genome_kb * 1000,
+        variant_spacing=400, **recipe,
     )
     write_fasta(fasta_path, reference)
     build_bai(bam_path, bam_path + ".bai")
@@ -135,8 +145,11 @@ def evaluate_held_out_ont(params, model_config, seed=515151, genome_kb=60,
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--platform", choices=("ont", "ccs", "ilmn"),
+                        default="ont")
     parser.add_argument("--genome_kb", type=int, default=600)
-    parser.add_argument("--coverage", type=int, default=50)
+    parser.add_argument("--coverage", type=int, default=0,
+                        help="override the platform recipe's coverage")
     parser.add_argument("--variant_spacing", type=int, default=100)
     parser.add_argument("--seed", type=int, default=21)
     parser.add_argument("--hard_max_epochs", type=int, default=200)
@@ -152,7 +165,7 @@ def main():
     t0 = time.perf_counter()
     dataset, variants = build_ont_dataset(
         work_dir, args.seed, args.genome_kb, args.coverage,
-        args.variant_spacing,
+        args.variant_spacing, platform=args.platform,
     )
     print(f"[prod] dataset {dataset.dataset_size} examples "
           f"({len(variants)} truth variants) in {time.perf_counter()-t0:.0f}s",
@@ -180,7 +193,9 @@ def main():
 
     from clair_tpu.models.checkpoint import save_checkpoint
 
-    output = args.output or os.path.join(work_dir, "ont_production.ckpt")
+    output = args.output or os.path.join(
+        work_dir, f"{args.platform}_production.ckpt"
+    )
     save_checkpoint(output, result.params, extra={
         "recipe": "production-adaptive-b10000",
         "epochs": len(result.training_losses),
@@ -189,7 +204,7 @@ def main():
     print(f"[prod] wrote {output}", file=sys.stderr)
 
     recall, precision, exact, n = evaluate_held_out_ont(
-        result.params, model_config
+        result.params, model_config, platform=args.platform
     )
     print(f"[held-out] recall {recall:.3f} precision {precision:.3f} "
           f"exact {exact}/{n} "
