@@ -159,3 +159,23 @@ def test_call_variants_with_sharded_predictor():
     sharded_rows = run(ShardedPredictor(params, config, batch_size=8, mesh=mesh))
     assert len(plain_rows) == 20
     assert sharded_rows == plain_rows
+
+
+def test_main_export_thread_cap(monkeypatch):
+    """The clair-tpu entry point must export OMP_NUM_THREADS from
+    --threads BEFORE heavy imports (numpy/XLA read it at import time)."""
+    import sys as _sys
+
+    from clair_tpu.__main__ import _export_thread_cap
+
+    for argv, expect in (
+        (["prog", "call_var", "--threads", "3"], "3"),
+        (["prog", "call_var", "--threads=5"], "5"),
+        (["prog", "call_var"], None),
+        (["prog", "call_var", "--threads", "bogus"], None),
+    ):
+        monkeypatch.setattr(_sys, "argv", argv)
+        monkeypatch.delenv("OMP_NUM_THREADS", raising=False)
+        _export_thread_cap()
+        import os as _os
+        assert _os.environ.get("OMP_NUM_THREADS") == expect, argv
