@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import shutil
 import subprocess
 from typing import Optional
 
@@ -58,7 +59,14 @@ def _build() -> bool:
 def _rebuild_aside() -> Optional[ctypes.CDLL]:
     """Set the current artifact aside, rebuild from source, and load the
     result; restore the original on build failure (a transient problem
-    must not destroy a valid library)."""
+    must not destroy a valid library).
+
+    The rebuilt library is dlopened through a UNIQUE temp path: when the
+    stale original was already loaded in this process (the
+    missing-symbol case), glibc matches a repeat dlopen of the same
+    pathname to the existing link map and would hand back the stale
+    mapping — a fresh pathname forces a fresh mapping. The temp file is
+    unlinked right after loading (the mapping survives on Linux)."""
     aside = _LIB_PATH + ".unloadable"
     try:
         os.replace(_LIB_PATH, aside)
@@ -71,10 +79,21 @@ def _rebuild_aside() -> Optional[ctypes.CDLL]:
             except OSError:
                 pass
         return None
+    load_path = f"{_LIB_PATH}.live.{os.getpid()}"
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        shutil.copy2(_LIB_PATH, load_path)
+    except OSError:
+        load_path = _LIB_PATH
+    try:
+        lib = ctypes.CDLL(load_path)
     except OSError:
         return None
+    finally:
+        if load_path != _LIB_PATH:
+            try:
+                os.unlink(load_path)
+            except OSError:
+                pass
     if aside is not None:
         try:
             os.unlink(aside)

@@ -165,7 +165,7 @@ int decode_o1(Reader& r, uint8_t* out, int64_t out_size) {
         uint64_t raw_size = r.uint7();
         uint64_t comp_size = r.uint7();
         if (!r.ok || raw_size > (1u << 26)) return 1;
-        if (r.p + comp_size > r.end) return 1;
+        if (comp_size > (uint64_t)(r.end - r.p)) return 1;
         table_buf = (uint8_t*)std::malloc(raw_size);
         if (!table_buf) return 1;
         Reader er{r.p, r.p + comp_size};
@@ -297,8 +297,9 @@ int decode_stream(const uint8_t* data, int64_t data_len, uint8_t* out,
         if (!r.ok || n <= 0) return 1;
         int64_t lens[256];
         for (int j = 0; j < n; j++) {
-            lens[j] = (int64_t)r.uint7();
-            if (!r.ok) return 1;
+            uint64_t lj = r.uint7();
+            if (!r.ok || lj > (uint64_t)(r.end - r.p)) return 1;
+            lens[j] = (int64_t)lj;
         }
         int64_t max_sub = (raw_size + n - 1) / n;
         uint8_t* sub = (uint8_t*)std::malloc(max_sub ? max_sub : 1);
@@ -306,7 +307,7 @@ int decode_stream(const uint8_t* data, int64_t data_len, uint8_t* out,
         int rc = 0;
         for (int j = 0; j < n && rc == 0; j++) {
             int64_t sub_size = (raw_size - j + n - 1) / n;
-            if (r.p + lens[j] > r.end) { rc = 1; break; }
+            if ((uint64_t)lens[j] > (uint64_t)(r.end - r.p)) { rc = 1; break; }
             rc = decode_stream(r.p, lens[j], sub, sub_size);
             if (rc == 0) {
                 for (int64_t i = 0; i < sub_size; i++)
@@ -328,8 +329,9 @@ int decode_stream(const uint8_t* data, int64_t data_len, uint8_t* out,
         pack_vals = r.p;
         r.p += pack_nsym;
         if (r.p > r.end) return 1;
-        payload_size = (int64_t)r.uint7();
-        if (!r.ok) return 1;
+        uint64_t packed_raw = r.uint7();
+        if (!r.ok || packed_raw > (uint64_t)(1) << 40) return 1;
+        payload_size = (int64_t)packed_raw;
     }
 
     // RLE meta
@@ -339,16 +341,18 @@ int decode_stream(const uint8_t* data, int64_t data_len, uint8_t* out,
     int64_t entropy_size = payload_size;
     if (flags & F_RLE) {
         uint64_t meta_word = r.uint7();
-        int64_t lit_len = (int64_t)r.uint7();
-        if (!r.ok) return 1;
+        uint64_t lit_raw = r.uint7();
+        if (!r.ok || lit_raw > (uint64_t)(1) << 40) return 1;
+        int64_t lit_len = (int64_t)lit_raw;
+        if ((meta_word >> 1) > (uint64_t)(1) << 30) return 1;
         rle_meta_len = (int64_t)(meta_word >> 1);
         if (meta_word & 1) {
-            if (r.p + rle_meta_len > r.end) return 1;
+            if ((uint64_t)rle_meta_len > (uint64_t)(r.end - r.p)) return 1;
             rle_meta = (uint8_t*)r.p;
             r.p += rle_meta_len;
         } else {
             int64_t comp_len = (int64_t)r.uint7();
-            if (!r.ok || r.p + comp_len > r.end) return 1;
+            if (!r.ok || (uint64_t)comp_len > (uint64_t)(r.end - r.p)) return 1;
             rle_meta = (uint8_t*)std::malloc(rle_meta_len ? rle_meta_len : 1);
             if (!rle_meta) return 1;
             rle_meta_owned = true;
@@ -373,7 +377,7 @@ int decode_stream(const uint8_t* data, int64_t data_len, uint8_t* out,
     }
     int rc;
     if (flags & F_CAT) {
-        rc = (r.p + entropy_size <= r.end) ? 0 : 1;
+        rc = ((uint64_t)entropy_size <= (uint64_t)(r.end - r.p)) ? 0 : 1;
         if (rc == 0) std::memcpy(body, r.p, entropy_size);
     } else if (flags & F_ORDER1) {
         rc = decode_o1(r, body, entropy_size);

@@ -165,6 +165,15 @@ PLATFORM_FAST_RECIPES = {
 }
 
 
+def platform_fast_kwargs(platform: str, coverage: Optional[int] = None) -> dict:
+    """Copy of a PLATFORM_FAST_RECIPES entry with an optional coverage
+    override — the one place the override semantics live."""
+    recipe = dict(PLATFORM_FAST_RECIPES[platform])
+    if coverage:
+        recipe["coverage"] = coverage
+    return recipe
+
+
 def simulate_platform_fast(
     bam_path: str,
     rs: np.random.RandomState,
@@ -319,8 +328,7 @@ def simulate_ont_fast(bam_path, rs, length=400_000, coverage=35,
                       contig="chr1"):
     """ONT parameter set of simulate_platform_fast (kept as the named
     entry point the bench / production trainer / tests use)."""
-    recipe = dict(PLATFORM_FAST_RECIPES["ont"])
-    recipe["coverage"] = coverage
+    recipe = platform_fast_kwargs("ont", coverage)
     recipe["mean_read_length"] = mean_read_length
     return simulate_platform_fast(
         bam_path, rs, length=length, variant_spacing=variant_spacing,

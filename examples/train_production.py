@@ -46,7 +46,7 @@ def build_ont_dataset(work_dir, seed, genome_kb, coverage, variant_spacing,
     from clair_tpu.data.truth import write_truth
     from clair_tpu.pipeline.call_bam import load_region_events
     from clair_tpu.utils.simulate import (
-        PLATFORM_FAST_RECIPES,
+        platform_fast_kwargs,
         simulate_platform_fast,
         write_fasta,
         write_truth_vcf,
@@ -58,12 +58,10 @@ def build_ont_dataset(work_dir, seed, genome_kb, coverage, variant_spacing,
         "ref.fa", "sample.bam", "truth.vcf", "truth.var",
         "var_tensors.txt", "can_tensors.txt", "paired.txt",
     )}
-    recipe = dict(PLATFORM_FAST_RECIPES[platform])
-    if coverage:
-        recipe["coverage"] = coverage
     reference, variants = simulate_platform_fast(
         paths["sample.bam"], rs, length=length,
-        variant_spacing=variant_spacing, **recipe,
+        variant_spacing=variant_spacing,
+        **platform_fast_kwargs(platform, coverage),
     )
     write_fasta(paths["ref.fa"], reference)
     write_truth_vcf(paths["truth.vcf"], variants)
@@ -109,19 +107,16 @@ def evaluate_held_out_ont(params, model_config, seed=515151, genome_kb=60,
     from clair_tpu.pipeline.call_bam import CallBamConfig, call_bam
     from clair_tpu.pipeline.call_var import Predictor
     from clair_tpu.utils.simulate import (
-        PLATFORM_FAST_RECIPES, simulate_platform_fast, write_fasta,
+        platform_fast_kwargs, simulate_platform_fast, write_fasta,
     )
 
     tmp = tempfile.mkdtemp(prefix="clair_tpu_prod_heldout_")
     rs = np.random.RandomState(seed)
     bam_path = os.path.join(tmp, "s.bam")
     fasta_path = os.path.join(tmp, "ref.fa")
-    recipe = dict(PLATFORM_FAST_RECIPES[platform])
-    if coverage:
-        recipe["coverage"] = coverage
     reference, variants = simulate_platform_fast(
         bam_path, rs, length=genome_kb * 1000,
-        variant_spacing=400, **recipe,
+        variant_spacing=400, **platform_fast_kwargs(platform, coverage),
     )
     write_fasta(fasta_path, reference)
     build_bai(bam_path, bam_path + ".bai")

@@ -236,18 +236,22 @@ def main(argv=None):
             try:
                 tf.extractall(extract_dir, filter="data")
             except TypeError:
-                # Python < 3.12 has no filter argument: enforce the same
-                # guarantees by hand (the tars arrive over plain http)
+                # Python < 3.12 has no filter argument: enforce the
+                # equivalent guarantees by hand (the tars arrive over
+                # plain http) — regular files/dirs only, sane paths
                 for member in tf.getmembers():
-                    name = member.name
-                    if name.startswith(("/", os.sep)) or ".." in name.split("/"):
+                    member_path = member.name
+                    if (member_path.startswith(("/", os.sep))
+                            or ".." in member_path.split("/")):
                         raise ValueError(
-                            f"refusing unsafe tar member path: {name!r}"
+                            f"refusing unsafe tar member path: {member_path!r}"
                         )
-                    if member.islnk() or member.issym():
+                    if not (member.isfile() or member.isdir()):
                         raise ValueError(
-                            f"refusing tar link member: {name!r}"
+                            "refusing non-regular tar member "
+                            f"(link/device/fifo): {member_path!r}"
                         )
+                    member.mode &= 0o755  # drop setuid/sticky/world-write
                 tf.extractall(extract_dir)
         prefix = find_checkpoint_prefix(extract_dir)
         all_ok &= validate_one(name, prefix, args.workdir,
