@@ -1113,6 +1113,166 @@ def _read_bases_into(codec, streams: SliceStreams, seq: bytearray, n: int) -> No
 
 
 # ---------------------------------------------------------------------------
+# Native record decode (clair_cram.cpp). The Python decode_slice_records
+# above stays the reference implementation and the fallback for anything
+# the native path does not cover (multi-ref slices, exotic codecs).
+# ---------------------------------------------------------------------------
+
+USE_NATIVE_RECORDS = True
+
+# fixed series order shared with native/clair_cram.cpp (enum Series)
+_NATIVE_SERIES_ORDER = (
+    "BF CF RI RL AP RG RN MF NS NP TS NF TL FN FC FP BS BA QS IN "
+    "SC BB QQ DL RS HC PD MQ"
+).split()
+
+
+def _native_codec_spec(codec) -> bytes:
+    """Serialize one built codec into the clair_cram.cpp spec grammar."""
+    if codec is None:
+        return b"\x00"
+    if isinstance(codec, ExternalCodec):
+        return b"\x01" + struct.pack("<i", codec.cid)
+    if isinstance(codec, HuffmanCodec):
+        out = bytearray(b"\x02" + struct.pack("<i", len(codec.codes)))
+        for (length, code, symbol) in codec.codes:
+            if not 0 <= length <= 255:
+                raise _NativeUnsupported
+            out += struct.pack("<qBq", symbol, length, code)
+        return bytes(out)
+    if isinstance(codec, BetaCodec):
+        return b"\x03" + struct.pack("<ii", codec.offset, codec.nbits)
+    if isinstance(codec, GammaCodec):
+        return b"\x04" + struct.pack("<i", codec.offset)
+    if isinstance(codec, SubexpCodec):
+        return b"\x05" + struct.pack("<ii", codec.offset, codec.k)
+    if isinstance(codec, ByteArrayLenCodec):
+        return (
+            b"\x06"
+            + _native_codec_spec(codec.len_codec)
+            + _native_codec_spec(codec.val_codec)
+        )
+    if isinstance(codec, ByteArrayStopCodec):
+        return b"\x07" + bytes([codec.stop]) + struct.pack("<i", codec.cid)
+    raise _NativeUnsupported
+
+
+class _NativeUnsupported(Exception):
+    pass
+
+
+def _native_header_blob(h: CompressionHeader) -> bytes:
+    """Substitution table + series codecs + tag-line specs (the
+    per-compression-header, slice-invariant part of the native spec).
+    Cached on the header; b"" means the header is not natively decodable."""
+    cached = getattr(h, "_native_blob", None)
+    if cached is not None:
+        return cached
+    try:
+        out = bytearray()
+        n_row = h.substitution_matrix.decode_table[ord("N")]
+        for b in range(256):
+            row = h.substitution_matrix.decode_table.get(b, n_row)
+            out += bytes(row)
+        out.append(len(_NATIVE_SERIES_ORDER))
+        for key in _NATIVE_SERIES_ORDER:
+            out += _native_codec_spec(h.codecs.get(key))
+        out += struct.pack("<i", len(h.tag_lines))
+        for line in h.tag_lines:
+            out += struct.pack("<i", len(line))
+            for (tag, typ) in line:
+                key = (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(typ)
+                codec = h.tag_codecs.get(key)
+                if codec is None:
+                    raise _NativeUnsupported
+                out.append(ord(typ))
+                out += _native_codec_spec(codec)
+        blob = bytes(out)
+    except (_NativeUnsupported, KeyError, IndexError, struct.error):
+        blob = b""
+    h._native_blob = blob
+    return blob
+
+
+def _native_decode_arrays(
+    header: CompressionHeader,
+    slice_header: SliceHeader,
+    core: bytes,
+    external: Dict[int, bytes],
+    ref_buf: bytes,
+    ref_buf_start: int,
+    ref_pad_mode: bool,
+    contig_len: int,
+):
+    """One native decode attempt. Returns (rc, payload) as
+    native.cram_decode_slice does, or (-1, None) when not applicable."""
+    if slice_header.ref_seq_id == -2:
+        return -1, None  # per-record reference windows: Python path
+    blob = _native_header_blob(header)
+    if not blob:
+        return -1, None
+    from clair_tpu import native as _native
+
+    head = struct.pack(
+        "<IBiqqqqq",
+        0x43524D31,
+        (1 if header.ap_delta else 0)
+        | (2 if header.read_names_included else 0)
+        | (4 if ref_pad_mode else 0),
+        slice_header.ref_seq_id,
+        slice_header.start,
+        slice_header.n_records,
+        ref_buf_start,
+        len(ref_buf),
+        contig_len,
+    )
+    return _native.cram_decode_slice(
+        head + blob, core, list(external.items()), ref_buf
+    )
+
+
+def _records_from_arrays(
+    arrays, slice_header: SliceHeader, name_prefix: str
+) -> List[BamRecord]:
+    n = int(arrays["pos"].shape[0])
+    pos = arrays["pos"]
+    mapq = arrays["mapq"]
+    flag = arrays["flag"]
+    refid = arrays["refid"]
+    seq = arrays["seq"]
+    seq_off = arrays["seq_off"]
+    cig_ops = arrays["cig_ops"]
+    cig_lens = arrays["cig_lens"]
+    cig_off = arrays["cig_off"]
+    names = arrays["names"]
+    name_off = arrays["name_off"]
+    counter = slice_header.record_counter
+    records = []
+    for i in range(n):
+        n0, n1 = int(name_off[i]), int(name_off[i + 1])
+        name = (
+            names[n0:n1].decode("ascii")
+            if n1 > n0
+            else f"{name_prefix}.{counter + i}"
+        )
+        s0, s1 = int(seq_off[i]), int(seq_off[i + 1])
+        c0, c1 = int(cig_off[i]), int(cig_off[i + 1])
+        records.append(
+            BamRecord(
+                ref_id=int(refid[i]),
+                pos=int(pos[i]),
+                mapq=int(mapq[i]),
+                flag=int(flag[i]),
+                read_name=name,
+                cigar_ops=cig_ops[c0:c1],
+                cigar_lens=cig_lens[c0:c1],
+                seq=seq[s0:s1],
+            )
+        )
+    return records
+
+
+# ---------------------------------------------------------------------------
 # Reader
 # ---------------------------------------------------------------------------
 
@@ -1122,9 +1282,13 @@ class CramReader:
     ``fasta`` (a FastaReader or path) is required for reference-based
     sequence reconstruction unless slices embed their reference."""
 
-    def __init__(self, path: str, fasta=None, verify_crc: bool = True):
+    def __init__(self, path: str, fasta=None, verify_crc: bool = True,
+                 use_native: Optional[bool] = None):
         self.path = path
         self.verify_crc = verify_crc
+        self._use_native = (
+            USE_NATIVE_RECORDS if use_native is None else use_native
+        )
         self._fh = open(path, "rb")
         magic = self._fh.read(4)
         if magic != CRAM_MAGIC:
@@ -1207,6 +1371,66 @@ class CramReader:
                 continue
             yield header, self._fh.read(header.length)
 
+    def _native_slice(self, comp, sh, core, external):
+        """Try the native record decoder for one slice. Returns the
+        record list, or None to fall back to the Python decoder (which
+        either handles the case or raises the precise error)."""
+        if sh.ref_seq_id == -2:
+            return None  # multi-ref: per-record reference windows
+        if sh.embedded_ref_id >= 0:
+            ref_buf = external.get(sh.embedded_ref_id, b"")
+            rc, payload = _native_decode_arrays(
+                comp, sh, core, external, ref_buf, sh.start - 1, True, -1
+            )
+        elif comp.reference_required:
+            if self._fasta is None:
+                return None  # Python path raises the missing-fasta error
+            buf_start = max(sh.start - 1, 0)
+            contig_len = -1
+            if 0 <= sh.ref_seq_id < len(self.references):
+                contig_len = self.references[sh.ref_seq_id][1]
+            buf = b""
+            if sh.ref_seq_id >= 0 and sh.span > 0:
+                buf = (
+                    self._fasta_fetch(sh.ref_seq_id, buf_start, sh.span + 1024)
+                    or b""
+                )
+            rc, payload = 2, None
+            for _ in range(4):
+                rc, payload = _native_decode_arrays(
+                    comp, sh, core, external, buf, buf_start, False, contig_len
+                )
+                if rc != 2:
+                    break
+                # the slice needs reference bases outside the prefetch:
+                # grow the window to cover both spans and retry
+                need_lo, need_hi = payload
+                if need_lo < 0:
+                    return None
+                new_start = min(buf_start, need_lo)
+                new_end = max(need_hi + 1024, buf_start + len(buf))
+                if contig_len >= 0:
+                    new_end = min(new_end, contig_len)
+                if new_end <= new_start:
+                    return None
+                fetched = self._fasta_fetch(
+                    sh.ref_seq_id, new_start, new_end - new_start
+                )
+                if fetched is None or (
+                    new_start == buf_start and len(fetched) <= len(buf)
+                ):
+                    return None  # no progress: Python fallback
+                buf, buf_start = fetched, new_start
+            if rc == 2:
+                return None
+        else:
+            rc, payload = _native_decode_arrays(
+                comp, sh, core, external, b"", 0, True, -1
+            )
+        if rc != 0:
+            return None
+        return _records_from_arrays(payload, sh, "cram")
+
     def _slice_records(self, header: ContainerHeader, body: bytes):
         cursor = ByteCursor(body)
         comp = parse_compression_header(read_block(cursor, self.verify_crc).data)
@@ -1222,6 +1446,11 @@ class CramReader:
                     core = block.data
                 else:
                     external[block.content_id] = block.data
+            if self._use_native:
+                records = self._native_slice(comp, sh, core, external)
+                if records is not None:
+                    yield from records
+                    continue
             if sh.embedded_ref_id >= 0:
                 embedded = external.get(sh.embedded_ref_id, b"")
                 ref_start = sh.start - 1

@@ -45,6 +45,26 @@ class _EventBuffers(ctypes.Structure):
     ]
 
 
+class _CramSliceOut(ctypes.Structure):
+    _fields_ = [
+        ("n_records", ctypes.c_int64),
+        ("pos", ctypes.POINTER(ctypes.c_int64)),
+        ("mapq", ctypes.POINTER(ctypes.c_int32)),
+        ("flag", ctypes.POINTER(ctypes.c_int32)),
+        ("refid", ctypes.POINTER(ctypes.c_int32)),
+        ("seq", ctypes.POINTER(ctypes.c_uint8)),
+        ("seq_off", ctypes.POINTER(ctypes.c_int64)),
+        ("cig_ops", ctypes.POINTER(ctypes.c_uint8)),
+        ("cig_lens", ctypes.POINTER(ctypes.c_int32)),
+        ("cig_off", ctypes.POINTER(ctypes.c_int64)),
+        ("names", ctypes.POINTER(ctypes.c_char)),
+        ("name_off", ctypes.POINTER(ctypes.c_int64)),
+        ("need_lo", ctypes.c_int64),
+        ("need_hi", ctypes.c_int64),
+        ("holder", ctypes.c_void_p),
+    ]
+
+
 def _build() -> bool:
     try:
         subprocess.run(
@@ -213,6 +233,16 @@ def _bind_symbols(lib) -> None:
         ctypes.c_char_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
     ]
+    lib.clair_cram_decode_slice.restype = ctypes.c_int
+    lib.clair_cram_decode_slice.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_char_p,
+        ctypes.POINTER(_CramSliceOut),
+    ]
+    lib.clair_cram_free_slice.argtypes = [ctypes.POINTER(_CramSliceOut)]
 
 
 def decode_fast_native(
@@ -319,6 +349,72 @@ def rans4x16_decompress(data: bytes, raw_size: int):
         ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)), raw_size,
     )
     return out.raw if rc == 0 else None
+
+
+def cram_decode_slice(spec: bytes, core: bytes, externals, ref_buf: bytes):
+    """Native CRAM slice record decode (clair_cram.cpp). ``externals`` is a
+    list of (content_id, bytes). Returns:
+
+    - ``(0, arrays)`` on success — arrays is a dict of numpy copies
+      (pos/mapq/flag/refid, seq blob + offsets, cigar blobs + offsets,
+      names blob + offsets);
+    - ``(2, (need_lo, need_hi))`` when the decode needs reference bases
+      outside the provided window (caller re-prefetches and retries);
+    - ``(rc, None)`` on any other failure / unavailable library
+      (callers fall back to the Python decoder in io/cram.py).
+    """
+    lib = load_library()
+    if lib is None:
+        return -1, None
+    import struct as _struct
+
+    meta = bytearray()
+    blobs = []
+    for cid, data in externals:
+        meta += _struct.pack("<iq", cid, len(data))
+        blobs.append(data)
+    ext_data = b"".join(blobs)
+
+    out = _CramSliceOut()
+    rc = lib.clair_cram_decode_slice(
+        spec, len(spec), core, len(core),
+        bytes(meta), len(externals), ext_data, len(ext_data),
+        ref_buf, ctypes.byref(out),
+    )
+    if rc == 2:
+        return 2, (out.need_lo, out.need_hi)
+    if rc != 0:
+        return rc, None
+    try:
+        n = out.n_records
+
+        def arr(pointer, count, dtype):
+            if count == 0:
+                return np.empty(0, dtype=dtype)
+            return np.ctypeslib.as_array(pointer, shape=(count,)).astype(
+                dtype, copy=True
+            )
+
+        seq_off = arr(out.seq_off, n + 1, np.int64)
+        cig_off = arr(out.cig_off, n + 1, np.int64)
+        name_off = arr(out.name_off, n + 1, np.int64)
+        arrays = {
+            "pos": arr(out.pos, n, np.int64),
+            "mapq": arr(out.mapq, n, np.int32),
+            "flag": arr(out.flag, n, np.int32),
+            "refid": arr(out.refid, n, np.int32),
+            "seq": arr(out.seq, int(seq_off[-1]) if n else 0, np.uint8),
+            "seq_off": seq_off,
+            "cig_ops": arr(out.cig_ops, int(cig_off[-1]) if n else 0, np.uint8),
+            "cig_lens": arr(out.cig_lens, int(cig_off[-1]) if n else 0, np.int32),
+            "cig_off": cig_off,
+            "names": ctypes.string_at(out.names, int(name_off[-1]))
+            if n and int(name_off[-1]) else b"",
+            "name_off": name_off,
+        }
+    finally:
+        lib.clair_cram_free_slice(ctypes.byref(out))
+    return 0, arrays
 
 
 def build_bai_native(bam_path: str, bai_path: str) -> bool:

@@ -1,0 +1,191 @@
+"""Native CRAM record decoder (native/clair_cram.cpp) vs the Python
+reference decoder (io/cram.py decode_slice_records).
+
+The rest of the CRAM suite runs with the native path enabled by default,
+so its BAM-parity assertions already cover it end-to-end; these tests pin
+the direct native-vs-Python equivalence, prove the native path is
+actually taken (not a silent fallback), and exercise the
+reference-window retry protocol (rc == 2)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from clair_tpu import native
+from clair_tpu.io import cram as cram_mod
+from clair_tpu.io.bam import BamReader, BamWriter
+from clair_tpu.io.cram import CramReader, bam_to_cram
+from clair_tpu.utils.simulate import write_fasta
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+rs = np.random.RandomState(42)
+REF = "".join(rs.choice(list("ACGT"), size=4000))
+
+
+def _mutate(seq, pos, base):
+    return seq[:pos] + base + seq[pos + 1:]
+
+
+def _mixed_records():
+    return [
+        ("snp", 100, 0, [(60, "M")],
+         _mutate(REF[100:160], 30, "A" if REF[130] != "A" else "G"), 60),
+        ("ins", 200, 16, [(30, "M"), (5, "I"), (30, "M")],
+         REF[200:230] + "TTTTT" + REF[230:260], 50),
+        ("del", 300, 0, [(25, "M"), (7, "D"), (25, "M")],
+         REF[300:325] + REF[332:357], 40),
+        ("clip", 400, 0, [(8, "S"), (40, "M"), (6, "S")],
+         "ACGTACGT" + REF[400:440] + "GGGGGG", 30),
+        ("hard", 500, 0, [(5, "H"), (20, "M"), (9, "N"), (20, "M")],
+         REF[500:520] + REF[529:549], 20),
+        ("nbase", 600, 0, [(40, "M")], _mutate(REF[600:640], 10, "N"), 60),
+        ("unmapped", 700, 4, [], "ACGTACGTACGTACGT", 0),
+        ("mate_rev", 50, 1 | 0x20, [(30, "M")], REF[50:80], 60),
+        ("mate_unm", 90, 1 | 0x8, [(30, "M")], REF[90:120], 60),
+        # read running to the contig end (ref window N-padding path)
+        ("tail", len(REF) - 30, 0, [(25, "M"), (10, "S")],
+         REF[-30:-5] + "ACGTACGTAC", 60),
+    ]
+
+
+def _build_cram(tmp_path, records, **writer_kwargs):
+    fasta_path = os.path.join(str(tmp_path), "ref.fa")
+    write_fasta(fasta_path, REF, contig="chr1")
+    bam_path = os.path.join(str(tmp_path), "in.bam")
+    with BamWriter(bam_path, [("chr1", len(REF))]) as writer:
+        for (name, pos, flag, cigar, seq, mapq) in records:
+            writer.write(name, 0, pos, mapq, flag, cigar, seq)
+    cram_path = os.path.join(str(tmp_path), "out.cram")
+    bam_to_cram(bam_path, cram_path, fasta_path, **writer_kwargs)
+    return cram_path, fasta_path, bam_path
+
+
+def _assert_identical(a, b):
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra.read_name == rb.read_name
+        assert ra.ref_id == rb.ref_id
+        assert ra.pos == rb.pos
+        assert ra.flag == rb.flag
+        assert ra.mapq == rb.mapq
+        assert np.array_equal(ra.cigar_ops, rb.cigar_ops)
+        assert np.array_equal(ra.cigar_lens, rb.cigar_lens)
+        assert np.array_equal(ra.seq, rb.seq)
+
+
+def test_native_matches_python_decoder(tmp_path, monkeypatch):
+    cram_path, fasta_path, _ = _build_cram(tmp_path, _mixed_records())
+
+    native_slices = []
+    orig = cram_mod._records_from_arrays
+    monkeypatch.setattr(
+        cram_mod, "_records_from_arrays",
+        lambda *a, **k: native_slices.append(1) or orig(*a, **k),
+    )
+    with CramReader(cram_path, fasta=fasta_path, use_native=True) as r:
+        via_native = list(r)
+    assert native_slices, "native decoder was never reached"
+    with CramReader(cram_path, fasta=fasta_path, use_native=False) as r:
+        via_python = list(r)
+    _assert_identical(via_native, via_python)
+
+
+def test_native_matches_python_embedded_ref(tmp_path, monkeypatch):
+    cram_path, fasta_path, _ = _build_cram(
+        tmp_path, _mixed_records(), embed_reference=True
+    )
+    native_slices = []
+    orig = cram_mod._records_from_arrays
+    monkeypatch.setattr(
+        cram_mod, "_records_from_arrays",
+        lambda *a, **k: native_slices.append(1) or orig(*a, **k),
+    )
+    # embedded reference: decodes without any FASTA on both paths
+    with CramReader(cram_path, use_native=True) as r:
+        via_native = list(r)
+    assert native_slices, "native decoder was never reached"
+    with CramReader(cram_path, use_native=False) as r:
+        via_python = list(r)
+    _assert_identical(via_native, via_python)
+
+
+def test_native_matches_bam_source(tmp_path):
+    cram_path, fasta_path, bam_path = _build_cram(tmp_path, _mixed_records())
+    with BamReader(bam_path) as r:
+        originals = list(r)
+    with CramReader(cram_path, fasta=fasta_path, use_native=True) as r:
+        decoded = list(r)
+    _assert_identical(originals, decoded)
+
+
+def test_ref_window_retry_protocol(tmp_path, monkeypatch):
+    """A slice whose prefetch window is too small must signal rc == 2 and
+    succeed after the reader re-prefetches (the retry loop in
+    CramReader._native_slice)."""
+    cram_path, fasta_path, _ = _build_cram(tmp_path, _mixed_records())
+    reader = CramReader(cram_path, fasta=fasta_path, use_native=True)
+
+    captured = {}
+    orig_native = cram_mod._native_decode_arrays
+
+    def capture(comp, sh, core, external, *rest):
+        captured.setdefault("args", (comp, sh, core, external))
+        return orig_native(comp, sh, core, external, *rest)
+
+    monkeypatch.setattr(cram_mod, "_native_decode_arrays", capture)
+    baseline = list(reader)
+    comp, sh, core, external = captured["args"]
+    monkeypatch.setattr(cram_mod, "_native_decode_arrays", orig_native)
+
+    # direct call with an empty window: must ask for bases, not fabricate
+    rc, payload = cram_mod._native_decode_arrays(
+        comp, sh, core, external, b"", max(sh.start - 1, 0), False, len(REF)
+    )
+    assert rc == 2
+    need_lo, need_hi = payload
+    assert need_hi > need_lo >= 0
+
+    # full reader path with a span-starved slice header: retry loop
+    # re-prefetches and the records still come out exactly
+    fetches = []
+    orig_fetch = reader._fasta_fetch
+
+    def counting_fetch(ref_id, start0, length):
+        fetches.append((start0, length))
+        return orig_fetch(ref_id, start0, length)
+
+    reader._fasta_fetch = counting_fetch
+    starved = dataclasses.replace(sh, span=1)
+    records = reader._native_slice(comp, starved, core, external)
+    assert records is not None, "retry loop fell back unexpectedly"
+    n = starved.n_records
+    _assert_identical(records, baseline[:n])
+    assert len(fetches) >= 2, "expected an initial prefetch plus a retry"
+
+
+def test_python_fallback_on_multi_ref_slice(tmp_path):
+    """ref_seq_id == -2 slices (per-record reference windows) stay on the
+    Python decoder."""
+    cram_path, fasta_path, _ = _build_cram(tmp_path, _mixed_records())
+    reader = CramReader(cram_path, fasta=fasta_path, use_native=True)
+    header, body = next(reader._containers(None, None, None))
+    from clair_tpu.io.cram import ByteCursor, parse_compression_header, \
+        parse_slice_header, read_block, CT_CORE
+
+    cursor = ByteCursor(body)
+    comp = parse_compression_header(read_block(cursor).data)
+    sh = parse_slice_header(read_block(cursor).data)
+    core, external = b"", {}
+    for _ in range(sh.n_blocks):
+        block = read_block(cursor)
+        if block.content_type == CT_CORE:
+            core = block.data
+        else:
+            external[block.content_id] = block.data
+    multi = dataclasses.replace(sh, ref_seq_id=-2)
+    assert reader._native_slice(comp, multi, core, external) is None
