@@ -910,10 +910,17 @@ def cmd_bam2cram(argv):
                         choices=["3.0", "3.1"],
                         help="3.1 compresses external blocks with rANS "
                              "Nx16 instead of rANS 4x8")
+    parser.add_argument("--rans_x32", action="store_true",
+                        help="3.1 only: write rANS Nx16 blocks with the "
+                             "32-way interleaved entropy stage (htslib's "
+                             "SIMD layout; reading X32 always works)")
     args = parser.parse_args(argv)
 
+    from clair_tpu.io import cram as cram_mod
     from clair_tpu.io.cram import bam_to_cram
 
+    if args.rans_x32:
+        cram_mod.RANS4X16_X32 = True
     version = tuple(int(v) for v in args.cram_version.split("."))
     n = bam_to_cram(args.bam_fn, args.cram_fn, args.ref_fn,
                     embed_reference=args.embed_ref, version=version)

@@ -62,6 +62,11 @@ METHOD_RANS4X16 = 5
 METHOD_ARITH = 6
 METHOD_FQZCOMP = 7
 METHOD_TOK3 = 8
+
+# Write rANS Nx16 blocks with the 32-way interleaved entropy stage
+# (htslib's SIMD layout). Off by default: the 4-way stream is smaller
+# for typical block sizes; reading X32 input always works.
+RANS4X16_X32 = False
 _METHOD_31_NAMES = {
     METHOD_ARITH: "arith (adaptive arithmetic)",
     METHOD_FQZCOMP: "fqzcomp (quality model)",
@@ -305,7 +310,9 @@ def _compress_payload(method: int, data: bytes) -> bytes:
     if method == METHOD_RANS4X16:
         from clair_tpu.io import rans4x16
 
-        return rans4x16.compress(data, 1 if len(data) >= 4 else 0)
+        return rans4x16.compress(
+            data, 1 if len(data) >= 4 else 0, x32=RANS4X16_X32
+        )
     raise ValueError(f"unsupported CRAM block method {method}")
 
 

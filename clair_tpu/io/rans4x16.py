@@ -13,9 +13,9 @@ Format implemented (one stream):
   | flags u8 | [raw size uint7, unless NOSZ] | transform metas | body |
 
   flags: 0x01 ORDER1   order-1 (context = previous byte) entropy stage
-         0x04 X32      32-way interleave (not produced here; decode
-                       raises a named error — htslib emits it only for
-                       SIMD-friendly big blocks)
+         0x04 X32      32-way interleave: the entropy stage runs 32
+                       rANS states instead of 4 (htslib emits this for
+                       SIMD-friendly big blocks; both directions here)
          0x08 STRIPE   de-multiplex into N byte-interleaved sub-streams,
                        each itself a full rANS Nx16 stream
          0x10 NOSZ     raw size omitted (stripe sub-streams)
@@ -23,12 +23,14 @@ Format implemented (one stream):
          0x40 RLE      run-length transform before entropy coding
          0x80 PACK     bit-packing transform (<=16 distinct symbols)
 
-  Entropy stage: 32-bit rANS states, 4-way interleaved, renormalising
-  16 bits at a time (little-endian u16), lower bound 1<<15. Frequencies
-  normalise to 4096 (shift 12) for order-0 and 1024 (shift 10) for
-  order-1. Order-0 states round-robin positions i%4; order-1 splits the
-  output into four quarters (one state each, the last absorbing the
-  remainder, first byte of each quarter coded with context 0).
+  Entropy stage: 32-bit rANS states, N-way interleaved (N = 4, or 32
+  with the X32 flag), renormalising 16 bits at a time (little-endian
+  u16), lower bound 1<<15. Frequencies normalise to 4096 (shift 12) for
+  order-0 and 1024 (shift 10) for order-1. Order-0 states round-robin
+  positions i%N; order-1 splits the output into N segments (one state
+  each, the last absorbing the remainder, first byte of each segment
+  coded with context 0). Nested streams (compressed order-1 tables,
+  compressed RLE metadata) always use the 4-way stage.
 
   Tables: alphabet as ascending symbols with the consecutive-run scheme
   (after writing symbol j whose predecessor j-1 is present, one byte
@@ -212,7 +214,7 @@ def _enc_flush(x: int, rev: bytearray) -> None:
     rev.append(x & 0xFF)
 
 
-def _rans_encode_o0(data) -> bytes:
+def _rans_encode_o0(data, nx: int = 4) -> bytes:
     counts = [0] * 256
     for b in data:
         counts[b] += 1
@@ -227,35 +229,35 @@ def _rans_encode_o0(data) -> bytes:
 
     n = len(data)
     rev = bytearray()
-    states = [RANS_L] * 4
-    tail = n & 3
+    states = [RANS_L] * nx
+    tail = n % nx
     for k in range(tail - 1, -1, -1):
         c = data[n - tail + k]
         states[k] = _enc_put(states[k], rev, freqs[c], cum[c], TF_SHIFT_O0)
     for i in range(n - tail - 1, -1, -1):
         c = data[i]
-        k = i & 3
+        k = i % nx
         states[k] = _enc_put(states[k], rev, freqs[c], cum[c], TF_SHIFT_O0)
-    for k in (3, 2, 1, 0):
+    for k in range(nx - 1, -1, -1):
         _enc_flush(states[k], rev)
     rev.reverse()
     return bytes(table) + bytes(rev)
 
 
-def _rans_decode_o0(data, pos: int, out_size: int) -> bytes:
+def _rans_decode_o0(data, pos: int, out_size: int, nx: int = 4) -> bytes:
     syms, pos = _read_alphabet(data, pos)
     freqs = [0] * 256
     for j in syms:
         freqs[j], pos = read_uint7(data, pos)
     cum, sym_of = _sym_lookup(freqs, TOT_O0)
-    states = list(struct.unpack_from("<IIII", data, pos))
-    pos += 16
+    states = list(struct.unpack_from("<%dI" % nx, data, pos))
+    pos += 4 * nx
     out = bytearray(out_size)
     mask = TOT_O0 - 1
-    main = out_size & ~3
+    main = out_size - out_size % nx
     i = 0
     while i < main:
-        for k in range(4):
+        for k in range(nx):
             x = states[k]
             m = x & mask
             s = sym_of[m]
@@ -265,8 +267,8 @@ def _rans_decode_o0(data, pos: int, out_size: int) -> bytes:
                 x = (x << 16) | data[pos] | (data[pos + 1] << 8)
                 pos += 2
             states[k] = x
-        i += 4
-    for k in range(out_size & 3):
+        i += nx
+    for k in range(out_size % nx):
         out[main + k] = sym_of[states[k] & mask]
     return bytes(out)
 
@@ -311,9 +313,9 @@ def _read_o1_freqs(data, pos: int, alphabet):
     return freqs_ctx, pos
 
 
-def _rans_encode_o1(data) -> bytes:
+def _rans_encode_o1(data, nx: int = 4) -> bytes:
     n = len(data)
-    q = n >> 2
+    q = n // nx
     counts = [None] * 256
 
     def bump(ctx, sym):
@@ -322,9 +324,9 @@ def _rans_encode_o1(data) -> bytes:
             row = counts[ctx] = [0] * 256
         row[sym] += 1
 
-    starts = (0, q, 2 * q, 3 * q)
-    ends = (q, 2 * q, 3 * q, n)
-    for k in range(4):
+    starts = tuple(k * q for k in range(nx))
+    ends = tuple((k + 1) * q for k in range(nx - 1)) + (n,)
+    for k in range(nx):
         bump(0, data[starts[k]])
         for i in range(starts[k] + 1, ends[k]):
             bump(data[i - 1], data[i])
@@ -365,35 +367,36 @@ def _rans_encode_o1(data) -> bytes:
         table += raw_table
 
     rev = bytearray()
-    states = [RANS_L] * 4
-    last3 = data[n - 1]
-    for i in range(n - 2, 4 * q - 2, -1):
+    states = [RANS_L] * nx
+    last_tail = data[n - 1]
+    for i in range(n - 2, nx * q - 2, -1):
         ctx = data[i]
-        states[3] = _enc_put(
-            states[3], rev, freqs_ctx[ctx][last3], cums_ctx[ctx][last3], TF_SHIFT_O1
+        states[nx - 1] = _enc_put(
+            states[nx - 1], rev, freqs_ctx[ctx][last_tail],
+            cums_ctx[ctx][last_tail], TF_SHIFT_O1
         )
-        last3 = ctx
-    lasts = [data[q - 1], data[2 * q - 1], data[3 * q - 1], last3]
+        last_tail = ctx
+    lasts = [data[(k + 1) * q - 1] for k in range(nx - 1)] + [last_tail]
     for i in range(q - 2, -1, -1):
-        for k in (3, 2, 1, 0):
+        for k in range(nx - 1, -1, -1):
             ctx = data[starts[k] + i]
             sym = lasts[k]
             states[k] = _enc_put(
                 states[k], rev, freqs_ctx[ctx][sym], cums_ctx[ctx][sym], TF_SHIFT_O1
             )
             lasts[k] = ctx
-    for k in (3, 2, 1, 0):
+    for k in range(nx - 1, -1, -1):
         sym = lasts[k]
         states[k] = _enc_put(
             states[k], rev, freqs_ctx[0][sym], cums_ctx[0][sym], TF_SHIFT_O1
         )
-    for k in (3, 2, 1, 0):
+    for k in range(nx - 1, -1, -1):
         _enc_flush(states[k], rev)
     rev.reverse()
     return bytes(table) + bytes(rev)
 
 
-def _rans_decode_o1(data, pos: int, out_size: int) -> bytes:
+def _rans_decode_o1(data, pos: int, out_size: int, nx: int = 4) -> bytes:
     comp = data[pos]
     pos += 1
     if comp == 1:
@@ -416,15 +419,15 @@ def _rans_decode_o1(data, pos: int, out_size: int) -> bytes:
         if freqs_ctx[ctx] is not None:
             cums_ctx[ctx], syms_ctx[ctx] = _sym_lookup(freqs_ctx[ctx], TOT_O1)
 
-    states = list(struct.unpack_from("<IIII", data, pos))
-    pos += 16
+    states = list(struct.unpack_from("<%dI" % nx, data, pos))
+    pos += 4 * nx
     out = bytearray(out_size)
-    q = out_size >> 2
-    offs = (0, q, 2 * q, 3 * q)
-    ctxs = [0, 0, 0, 0]
+    q = out_size // nx
+    offs = tuple(k * q for k in range(nx))
+    ctxs = [0] * nx
     mask = TOT_O1 - 1
     for i in range(q):
-        for k in range(4):
+        for k in range(nx):
             ctx = ctxs[k]
             x = states[k]
             m = x & mask
@@ -436,9 +439,9 @@ def _rans_decode_o1(data, pos: int, out_size: int) -> bytes:
                 pos += 2
             states[k] = x
             ctxs[k] = s
-    ctx = ctxs[3]
-    x = states[3]
-    for i in range(4 * q, out_size):
+    ctx = ctxs[nx - 1]
+    x = states[nx - 1]
+    for i in range(nx * q, out_size):
         m = x & mask
         s = syms_ctx[ctx][m]
         out[i] = s
@@ -574,9 +577,12 @@ def _rle_decode(meta, lits, out_size):
 # ---------------------------------------------------------------------------
 
 def compress(data: bytes, order: int = 0, *, use_rle: bool = False,
-             use_pack: bool = False, stripe: int = 0) -> bytes:
+             use_pack: bool = False, stripe: int = 0,
+             x32: bool = False) -> bytes:
     """rANS Nx16 stream. ``stripe`` > 0 splits into that many
-    byte-interleaved sub-streams (good for fixed-width integer series)."""
+    byte-interleaved sub-streams (good for fixed-width integer series);
+    ``x32`` runs the entropy stage with 32 interleaved states (htslib's
+    SIMD layout — bigger state header, useful for large blocks)."""
     if len(data) == 0:
         raise ValueError("rANS Nx16 cannot encode an empty stream")
     if order not in (0, 1):
@@ -590,7 +596,7 @@ def compress(data: bytes, order: int = 0, *, use_rle: bool = False,
         out.append(stripe)
         subs = [
             compress(data[j::stripe], order, use_rle=use_rle,
-                     use_pack=use_pack)
+                     use_pack=use_pack, x32=x32)
             for j in range(stripe)
         ]
         # sub-streams drop their redundant size (NOSZ)
@@ -617,6 +623,12 @@ def compress(data: bytes, order: int = 0, *, use_rle: bool = False,
     if len(payload) < 4:
         flags = (flags & ~F_ORDER1) | F_CAT
 
+    # 32-way entropy stage: worth its 128-byte state header only on
+    # payloads comfortably larger than it; nested meta streams stay 4-way
+    nx = 32 if (x32 and not (flags & F_CAT) and len(payload) >= 32) else 4
+    if nx == 32:
+        flags |= F_X32
+
     out.append(flags)
     write_uint7(out, len(data))
     if flags & F_PACK:
@@ -635,9 +647,9 @@ def compress(data: bytes, order: int = 0, *, use_rle: bool = False,
     if flags & F_CAT:
         out += payload
     elif flags & F_ORDER1:
-        out += _rans_encode_o1(payload)
+        out += _rans_encode_o1(payload, nx)
     else:
-        out += _rans_encode_o0(payload)
+        out += _rans_encode_o0(payload, nx)
     return bytes(out)
 
 
@@ -657,10 +669,7 @@ def decompress(data: bytes, out_size: int = None) -> bytes:
         raise ValueError("empty rANS Nx16 stream")
     flags = data[0]
     pos = 1
-    if flags & F_X32:
-        raise ValueError(
-            "rANS Nx16 32-way interleave (X32) streams are not supported yet"
-        )
+    nx = 32 if flags & F_X32 else 4
     if flags & F_NOSZ:
         if out_size is None:
             raise ValueError("NOSZ rANS Nx16 stream needs an explicit size")
@@ -728,9 +737,9 @@ def decompress(data: bytes, out_size: int = None) -> bytes:
                 f"{entropy_size} bytes present"
             )
     elif flags & F_ORDER1:
-        body = _rans_decode_o1(data, pos, entropy_size)
+        body = _rans_decode_o1(data, pos, entropy_size, nx)
     else:
-        body = _rans_decode_o0(data, pos, entropy_size)
+        body = _rans_decode_o0(data, pos, entropy_size, nx)
 
     if flags & F_RLE:
         body = _rle_decode(rle_meta, body, payload_size)

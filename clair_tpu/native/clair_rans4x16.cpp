@@ -4,11 +4,10 @@
 // encoder, and fallback (cross-checked in tests/test_rans4x16.py).
 //
 // Handles the full stream grammar: order-0/1 entropy (32-bit states,
-// 16-bit renormalisation, 4-way interleave, 12/10-bit tables), the
-// PACK / RLE / STRIPE / CAT transforms (STRIPE recurses into NOSZ
-// sub-streams), and compressed order-1 frequency tables. X32 streams
-// return nonzero (callers fall back to Python, which raises the named
-// error).
+// 16-bit renormalisation, 4- or 32-way interleave per the X32 flag,
+// 12/10-bit tables), the PACK / RLE / STRIPE / CAT transforms (STRIPE
+// recurses into NOSZ sub-streams), and compressed order-1 frequency
+// tables (nested streams are always 4-way, matching the encoder).
 
 #include <cstdint>
 #include <cstring>
@@ -106,8 +105,8 @@ inline bool renorm16(uint32_t& x, const uint8_t*& p, const uint8_t* end) {
 }
 
 // Decode an order-0 stream in place; advances r.p past the consumed
-// bytes (table + 4 states + renorm stream).
-int decode_o0(Reader& r, uint8_t* out, int64_t out_size) {
+// bytes (table + NX states + renorm stream).
+int decode_o0(Reader& r, uint8_t* out, int64_t out_size, int NX = 4) {
     Table t;
     std::memset(t.freq, 0, sizeof(t.freq));
     uint8_t sym_buf[1 << SHIFT_O0];
@@ -128,18 +127,18 @@ int decode_o0(Reader& r, uint8_t* out, int64_t out_size) {
         if (!r.ok) return 1;
     }
     if (!finish_table(t, SHIFT_O0)) return 1;
-    if (r.end - r.p < 16) return 1;
-    uint32_t states[4];
-    for (int k = 0; k < 4; k++) {
+    if (r.end - r.p < 4 * NX) return 1;
+    uint32_t states[32];
+    for (int k = 0; k < NX; k++) {
         std::memcpy(&states[k], r.p, 4);
         r.p += 4;
     }
     const uint8_t* p = r.p;
     const uint8_t* end = r.end;
     const uint32_t mask = (1u << SHIFT_O0) - 1;
-    int64_t main = out_size & ~int64_t(3);
-    for (int64_t i = 0; i < main; i += 4) {
-        for (int k = 0; k < 4; k++) {
+    int64_t main = out_size - out_size % NX;
+    for (int64_t i = 0; i < main; i += NX) {
+        for (int k = 0; k < NX; k++) {
             uint32_t x = states[k];
             uint32_t m = x & mask;
             uint8_t s = t.sym_of[m];
@@ -149,13 +148,13 @@ int decode_o0(Reader& r, uint8_t* out, int64_t out_size) {
             states[k] = x;
         }
     }
-    for (int k = 0; k < (int)(out_size & 3); k++)
+    for (int k = 0; k < (int)(out_size % NX); k++)
         out[main + k] = t.sym_of[states[k] & mask];
     r.p = p;
     return 0;
 }
 
-int decode_o1(Reader& r, uint8_t* out, int64_t out_size) {
+int decode_o1(Reader& r, uint8_t* out, int64_t out_size, int NX = 4) {
     uint8_t comp = r.byte();
     if (!r.ok) return 1;
 
@@ -221,21 +220,25 @@ int decode_o1(Reader& r, uint8_t* out, int64_t out_size) {
 
     if (tables_ok) {
         if (comp != 1) r.p = tr.p;
-        if (r.end - r.p >= 16) {
-            uint32_t states[4];
-            for (int k = 0; k < 4; k++) {
+        if (r.end - r.p >= 4 * NX) {
+            uint32_t states[32];
+            for (int k = 0; k < NX; k++) {
                 std::memcpy(&states[k], r.p, 4);
                 r.p += 4;
             }
             const uint8_t* p = r.p;
             const uint8_t* end = r.end;
             const uint32_t mask = (1u << SHIFT_O1) - 1;
-            int64_t q = out_size >> 2;
-            int64_t offs[4] = {0, q, 2 * q, 3 * q};
-            uint8_t ctxs[4] = {0, 0, 0, 0};
+            int64_t q = out_size / NX;
+            int64_t offs[32];
+            uint8_t ctxs[32];
+            for (int k = 0; k < NX; k++) {
+                offs[k] = k * q;
+                ctxs[k] = 0;
+            }
             rc = 0;
             for (int64_t i = 0; i < q && rc == 0; i++) {
-                for (int k = 0; k < 4; k++) {
+                for (int k = 0; k < NX; k++) {
                     Table* t = tables[ctxs[k]];
                     if (!t) { rc = 1; break; }
                     uint32_t x = states[k];
@@ -249,9 +252,9 @@ int decode_o1(Reader& r, uint8_t* out, int64_t out_size) {
                 }
             }
             if (rc == 0) {
-                uint8_t ctx = ctxs[3];
-                uint32_t x = states[3];
-                for (int64_t i = 4 * q; i < out_size; i++) {
+                uint8_t ctx = ctxs[NX - 1];
+                uint32_t x = states[NX - 1];
+                for (int64_t i = NX * q; i < out_size; i++) {
                     Table* t = tables[ctx];
                     if (!t) { rc = 1; break; }
                     uint32_t m = x & mask;
@@ -283,7 +286,7 @@ int decode_stream(const uint8_t* data, int64_t data_len, uint8_t* out,
     Reader r{data, data + data_len};
     uint8_t flags = r.byte();
     if (!r.ok) return 1;
-    if (flags & F_X32) return 1;  // not supported: Python raises the named error
+    const int NX = (flags & F_X32) ? 32 : 4;
 
     int64_t raw_size = out_size;
     if (!(flags & F_NOSZ)) {
@@ -380,9 +383,9 @@ int decode_stream(const uint8_t* data, int64_t data_len, uint8_t* out,
         rc = ((uint64_t)entropy_size <= (uint64_t)(r.end - r.p)) ? 0 : 1;
         if (rc == 0) std::memcpy(body, r.p, entropy_size);
     } else if (flags & F_ORDER1) {
-        rc = decode_o1(r, body, entropy_size);
+        rc = decode_o1(r, body, entropy_size, NX);
     } else {
-        rc = decode_o0(r, body, entropy_size);
+        rc = decode_o0(r, body, entropy_size, NX);
     }
 
     // RLE expand

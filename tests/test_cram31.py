@@ -67,6 +67,38 @@ def test_cram31_round_trip(tmp_path):
     _roundtrip_31(tmp_path)
 
 
+def test_cram31_x32_blocks_round_trip(tmp_path, monkeypatch):
+    """A 3.1 file whose rANS Nx16 blocks use the 32-way interleaved
+    entropy stage (X32 flag — htslib's SIMD layout) reads back exactly."""
+    from clair_tpu.io import cram as cram_mod
+
+    monkeypatch.setattr(cram_mod, "RANS4X16_X32", True)
+    cram_path = _roundtrip_31(tmp_path)
+    # at least one block in the file actually carries the X32 flag
+    from clair_tpu.io.rans4x16 import F_X32
+
+    with open(cram_path, "rb") as fh:
+        payload = fh.read()
+    monkeypatch.setattr(cram_mod, "RANS4X16_X32", False)
+    data = b"ACGTACGTAAAACCCCGGGG" * 100
+    monkeypatch.setattr(cram_mod, "RANS4X16_X32", True)
+    raw = write_block(
+        Block(method=METHOD_RANS4X16, content_type=4, content_id=1,
+              data=data),
+    )
+    block_stream_start = raw.index(bytes([METHOD_RANS4X16])) + 0
+    # method byte, content type, id, sizes (itf8) then the rANS stream;
+    # simplest robust check: decode it back and inspect the flags byte
+    # of the embedded stream via the known layout helper
+    block = read_block(ByteCursor(raw), verify_crc=True)
+    assert block.data == data
+    # the compressed payload's first byte is the rANS flags byte
+    from clair_tpu.io.cram import _compress_payload
+
+    stream = _compress_payload(METHOD_RANS4X16, data)
+    assert stream[0] & F_X32
+
+
 def test_cram31_embed_ref_round_trip(tmp_path):
     cram_path = _roundtrip_31(tmp_path, embed_reference=True)
     # decodes without the FASTA at hand

@@ -82,9 +82,52 @@ def test_flags_byte_golden():
     assert s[0] == r16.F_STRIPE
 
 
-def test_x32_rejected_with_named_error():
-    with pytest.raises(ValueError, match="X32"):
-        r16.decompress(bytes([r16.F_X32, 10]) + b"\0" * 32)
+def test_x32_round_trip():
+    """32-way interleave (X32 flag): both orders, transform combos, odd
+    tails, and the <32-byte demotion back to the 4-way stage."""
+    rs = np.random.RandomState(5)
+    datasets = [
+        bytes(rs.randint(0, 32, 10_000).astype(np.uint8)),
+        bytes(((rs.randint(0, 4, 4097) + np.arange(4097) % 5)).astype(np.uint8)),
+        b"".join(bytes([rs.randint(0, 6)]) * rs.randint(1, 40) for _ in range(200)),
+        bytes(rs.randint(0, 4, 33).astype(np.uint8)),  # 1-byte tail
+    ]
+    for data in datasets:
+        for order in (0, 1):
+            for kw in ({}, {"use_pack": True}, {"use_rle": True},
+                       {"stripe": 4}):
+                enc = r16.compress(data, order, x32=True, **kw)
+                # PACK/RLE can shrink a tiny payload below the 32-byte
+                # demotion threshold; the flag is only guaranteed big
+                if not kw.get("stripe") and len(data) >= 1024:
+                    assert enc[0] & r16.F_X32
+                assert r16.decompress(enc) == data
+    small = r16.compress(b"abcabcabcabc", 1, x32=True)
+    assert not small[0] & r16.F_X32  # <32 bytes: 4-way keeps the header small
+    assert r16.decompress(small) == b"abcabcabcabc"
+
+
+def test_x32_python_decoder_matches():
+    """Force the pure-Python decode path (native bypassed) on X32."""
+    rs = np.random.RandomState(6)
+    data = bytes(((rs.randint(0, 8, 5000) + np.arange(5000) % 7)).astype(np.uint8))
+    from clair_tpu import native
+
+    for order in (0, 1):
+        enc = r16.compress(data, order, x32=True)
+        native_out = native.rans4x16_decompress(enc, len(data))
+        python_out = r16._rans_decode_o1(enc, _skip_header(enc), len(data), 32) \
+            if order else r16._rans_decode_o0(enc, _skip_header(enc), len(data), 32)
+        assert python_out == data
+        if native_out is not None:
+            assert native_out == data
+
+
+def _skip_header(stream):
+    pos = 1
+    while stream[pos] & 0x80:
+        pos += 1
+    return pos + 1
 
 
 # ---------------------------------------------------------------------------
