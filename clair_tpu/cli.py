@@ -12,6 +12,7 @@ as aliases of the snake_case names.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 
@@ -857,21 +858,33 @@ def cmd_convert_tf1(argv):
     parser.add_argument("--audit_only", action="store_true",
                         help="print the audit report and exit (nonzero on "
                              "failure) without writing a checkpoint")
+    parser.add_argument("--lstm1_num_units", type=int, default=None,
+                        help="override the expected LSTM1 width (convert "
+                             "a resized model; default: reference size)")
+    parser.add_argument("--lstm2_num_units", type=int, default=None,
+                        help="override the expected LSTM2 width")
     args = parser.parse_args(argv)
 
     from clair_tpu.models.audit import audit_tf1_vars
     from clair_tpu.models.convert_tf1 import (
         convert_tf1_checkpoint, load_tf1_variables,
     )
+    from clair_tpu.params import ModelConfig
+
+    config = ModelConfig()
+    if args.lstm1_num_units:
+        config = dataclasses.replace(config, lstm1_num_units=args.lstm1_num_units)
+    if args.lstm2_num_units:
+        config = dataclasses.replace(config, lstm2_num_units=args.lstm2_num_units)
 
     if args.audit_only:
-        report = audit_tf1_vars(load_tf1_variables(args.chkpnt_fn))
+        report = audit_tf1_vars(load_tf1_variables(args.chkpnt_fn), config)
         print(report.render())
         return 0 if report.ok else 1
     if not args.output_fn:
         parser.error("--output_fn is required unless --audit_only")
     report = convert_tf1_checkpoint(
-        args.chkpnt_fn, args.output_fn, strict=not args.no_strict
+        args.chkpnt_fn, args.output_fn, config, strict=not args.no_strict
     )
     print(report.render(), file=sys.stderr)
     print(f"wrote {args.output_fn}", file=sys.stderr)

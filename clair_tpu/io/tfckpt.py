@@ -92,8 +92,10 @@ def _crc32c(data: bytes) -> int:
 
 
 def _masked_crc32c(data: bytes) -> int:
+    # leveldb crc32c::Mask: rotate right 15 then ADD kMaskDelta — the
+    # addend was missing until TF's own reader rejected our blocks
     crc = _crc32c(data)
-    return ((crc >> 15) | (crc << 17)) & 0xFFFFFFFF
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
 
 
 # ---------------------------------------------------------------------------

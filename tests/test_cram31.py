@@ -73,27 +73,19 @@ def test_cram31_x32_blocks_round_trip(tmp_path, monkeypatch):
     from clair_tpu.io import cram as cram_mod
 
     monkeypatch.setattr(cram_mod, "RANS4X16_X32", True)
-    cram_path = _roundtrip_31(tmp_path)
-    # at least one block in the file actually carries the X32 flag
-    from clair_tpu.io.rans4x16 import F_X32
+    _roundtrip_31(tmp_path)
 
-    with open(cram_path, "rb") as fh:
-        payload = fh.read()
-    monkeypatch.setattr(cram_mod, "RANS4X16_X32", False)
     data = b"ACGTACGTAAAACCCCGGGG" * 100
-    monkeypatch.setattr(cram_mod, "RANS4X16_X32", True)
     raw = write_block(
         Block(method=METHOD_RANS4X16, content_type=4, content_id=1,
               data=data),
     )
-    block_stream_start = raw.index(bytes([METHOD_RANS4X16])) + 0
-    # method byte, content type, id, sizes (itf8) then the rANS stream;
-    # simplest robust check: decode it back and inspect the flags byte
-    # of the embedded stream via the known layout helper
     block = read_block(ByteCursor(raw), verify_crc=True)
     assert block.data == data
-    # the compressed payload's first byte is the rANS flags byte
+    # the compressed payload's first byte is the rANS flags byte: the
+    # writer really emitted the 32-way stage for this block size
     from clair_tpu.io.cram import _compress_payload
+    from clair_tpu.io.rans4x16 import F_X32
 
     stream = _compress_payload(METHOD_RANS4X16, data)
     assert stream[0] & F_X32

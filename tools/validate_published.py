@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
 """Turnkey validation of the PUBLISHED reference checkpoints.
 
-The one untested link in the parity chain is first contact with bytes
-actually written by TensorFlow 1.x (this build environment has no
-network, so every conversion fixture is self-generated).  On any machine
-WITH network access, this script closes that link in one command:
+The format link of the parity chain is validated against real TensorFlow
+(tests/test_tf_real_fixture.py round-trips the full production variable
+set through tf.compat.v1.train.Saver both directions, bit-exact); what no
+test here can see is the content of the PUBLISHED files themselves (this
+build environment has no network).  On any machine WITH network access,
+this script closes that last link in one command:
 
     python tools/validate_published.py --workdir /tmp/clair_models
 
