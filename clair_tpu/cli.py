@@ -927,6 +927,11 @@ def cmd_bam2cram(argv):
                         help="3.1 only: write rANS Nx16 blocks with the "
                              "32-way interleaved entropy stage (htslib's "
                              "SIMD layout; reading X32 always works)")
+    parser.add_argument("--codec", default=None,
+                        choices=["rans4x16", "arith"],
+                        help="3.1 only: external-block codec (default "
+                             "rans4x16; arith is the adaptive-arithmetic "
+                             "archive-profile coder)")
     args = parser.parse_args(argv)
 
     from clair_tpu.io import cram as cram_mod
@@ -935,8 +940,17 @@ def cmd_bam2cram(argv):
     if args.rans_x32:
         cram_mod.RANS4X16_X32 = True
     version = tuple(int(v) for v in args.cram_version.split("."))
+    writer_kwargs = {}
+    if args.codec is not None:
+        if version != (3, 1):
+            parser.error("--codec requires --cram_version 3.1")
+        writer_kwargs["method"] = (
+            cram_mod.METHOD_ARITH if args.codec == "arith"
+            else cram_mod.METHOD_RANS4X16
+        )
     n = bam_to_cram(args.bam_fn, args.cram_fn, args.ref_fn,
-                    embed_reference=args.embed_ref, version=version)
+                    embed_reference=args.embed_ref, version=version,
+                    **writer_kwargs)
     print(f"wrote {args.cram_fn} ({n} records)", file=sys.stderr)
 
 

@@ -68,7 +68,6 @@ METHOD_TOK3 = 8
 # for typical block sizes; reading X32 input always works.
 RANS4X16_X32 = False
 _METHOD_31_NAMES = {
-    METHOD_ARITH: "arith (adaptive arithmetic)",
     METHOD_FQZCOMP: "fqzcomp (quality model)",
     METHOD_TOK3: "tok3 (name tokenizer)",
 }
@@ -313,6 +312,10 @@ def _compress_payload(method: int, data: bytes) -> bytes:
         return rans4x16.compress(
             data, 1 if len(data) >= 4 else 0, x32=RANS4X16_X32
         )
+    if method == METHOD_ARITH:
+        from clair_tpu.io import arith
+
+        return arith.compress(data, 1 if len(data) >= 4 else 0)
     raise ValueError(f"unsupported CRAM block method {method}")
 
 
@@ -331,6 +334,10 @@ def _decompress_payload(method: int, data: bytes, raw_size: int) -> bytes:
         from clair_tpu.io import rans4x16
 
         return rans4x16.decompress(data)
+    if method == METHOD_ARITH:
+        from clair_tpu.io import arith
+
+        return arith.decompress(data)
     if method in _METHOD_31_NAMES:
         raise ValueError(
             f"unsupported CRAM 3.1 block codec: {_METHOD_31_NAMES[method]} "
