@@ -69,7 +69,6 @@ METHOD_TOK3 = 8
 RANS4X16_X32 = False
 _METHOD_31_NAMES = {
     METHOD_FQZCOMP: "fqzcomp (quality model)",
-    METHOD_TOK3: "tok3 (name tokenizer)",
 }
 
 # block content types
@@ -316,6 +315,10 @@ def _compress_payload(method: int, data: bytes) -> bytes:
         from clair_tpu.io import arith
 
         return arith.compress(data, 1 if len(data) >= 4 else 0)
+    if method == METHOD_TOK3:
+        from clair_tpu.io import tok3
+
+        return tok3.encode_names(data)
     raise ValueError(f"unsupported CRAM block method {method}")
 
 
@@ -338,6 +341,10 @@ def _decompress_payload(method: int, data: bytes, raw_size: int) -> bytes:
         from clair_tpu.io import arith
 
         return arith.decompress(data)
+    if method == METHOD_TOK3:
+        from clair_tpu.io import tok3
+
+        return tok3.decode_names(data)
     if method in _METHOD_31_NAMES:
         raise ValueError(
             f"unsupported CRAM 3.1 block codec: {_METHOD_31_NAMES[method]} "
@@ -1656,6 +1663,7 @@ class CramWriter:
         self.references = references
         self._records_per_slice = records_per_slice
         self._method = method
+        self._version = version
         self._embed_reference = embed_reference
         self._counter = 0
         self._pending: List[BamRecord] = []
@@ -1824,6 +1832,11 @@ class CramWriter:
                 continue
             content_ids.append(cid)
             method = self._method if len(data) >= 32 else METHOD_RAW
+            if (method != METHOD_RAW and self._version >= (3, 1)
+                    and cid == _W_IDS["RN"]):
+                # htslib's 3.1 default: read names go through the name
+                # tokenizer (write_block falls back to RAW if it loses)
+                method = METHOD_TOK3
             data_blocks.append(write_block(Block(method, CT_EXTERNAL, cid, data)))
 
         embedded_ref_id = -1
