@@ -932,6 +932,9 @@ def cmd_bam2cram(argv):
                         help="3.1 only: external-block codec (default "
                              "rans4x16; arith is the adaptive-arithmetic "
                              "archive-profile coder)")
+    parser.add_argument("--fqzcomp_quals", action="store_true",
+                        help="3.1 only: compress the quality series with "
+                             "the fqzcomp context model (archive profile)")
     args = parser.parse_args(argv)
 
     from clair_tpu.io import cram as cram_mod
@@ -948,6 +951,10 @@ def cmd_bam2cram(argv):
             cram_mod.METHOD_ARITH if args.codec == "arith"
             else cram_mod.METHOD_RANS4X16
         )
+    if args.fqzcomp_quals:
+        if version != (3, 1):
+            parser.error("--fqzcomp_quals requires --cram_version 3.1")
+        writer_kwargs["fqzcomp_quals"] = True
     n = bam_to_cram(args.bam_fn, args.cram_fn, args.ref_fn,
                     embed_reference=args.embed_ref, version=version,
                     **writer_kwargs)

@@ -1,4 +1,4 @@
-"""CRAM 3.0 reading/writing from scratch.
+"""CRAM 3.0/3.1 reading/writing from scratch.
 
 The reference handles CRAM implicitly: every alignment path shells out to
 `samtools view`, which accepts BAM and CRAM alike (e.g.
@@ -10,7 +10,10 @@ This framework's own IO stack was BAM-only; this module closes the gap so
 Implemented surface (hts-specs CRAM 3.0):
 
 - itf8/ltf8 varints, containers (+CRC32), blocks (+CRC32) with the raw /
-  gzip / bzip2 / lzma / rans4x8 compression methods,
+  gzip / bzip2 / lzma / rans4x8 compression methods, plus the full CRAM
+  3.1 codec set: rANS Nx16 (io/rans4x16.py), adaptive arithmetic
+  (io/arith.py), the tok3 name tokenizer (io/tok3.py) and the fqzcomp
+  quality model (io/fqzcomp.py),
 - compression-header preservation map (RN, AP, RR, SM, TD), data-series
   and tag encoding maps,
 - codecs: EXTERNAL, HUFFMAN (canonical, incl. the 0-bit constant form),
@@ -67,9 +70,6 @@ METHOD_TOK3 = 8
 # (htslib's SIMD layout). Off by default: the 4-way stream is smaller
 # for typical block sizes; reading X32 input always works.
 RANS4X16_X32 = False
-_METHOD_31_NAMES = {
-    METHOD_FQZCOMP: "fqzcomp (quality model)",
-}
 
 # block content types
 CT_FILE_HEADER = 0
@@ -294,7 +294,8 @@ class Block:
     data: bytes  # uncompressed
 
 
-def _compress_payload(method: int, data: bytes) -> bytes:
+def _compress_payload(method: int, data: bytes,
+                      fqz_lengths: Optional[List[int]] = None) -> bytes:
     if method == METHOD_RAW:
         return data
     if method == METHOD_GZIP:
@@ -319,6 +320,10 @@ def _compress_payload(method: int, data: bytes) -> bytes:
         from clair_tpu.io import tok3
 
         return tok3.encode_names(data)
+    if method == METHOD_FQZCOMP:
+        from clair_tpu.io import fqzcomp
+
+        return fqzcomp.compress(data, fqz_lengths)
     raise ValueError(f"unsupported CRAM block method {method}")
 
 
@@ -345,20 +350,19 @@ def _decompress_payload(method: int, data: bytes, raw_size: int) -> bytes:
         from clair_tpu.io import tok3
 
         return tok3.decode_names(data)
-    if method in _METHOD_31_NAMES:
-        raise ValueError(
-            f"unsupported CRAM 3.1 block codec: {_METHOD_31_NAMES[method]} "
-            "— re-encode with `samtools view -O cram,version=3.0` or use "
-            "rans4x16/gzip blocks"
-        )
+    if method == METHOD_FQZCOMP:
+        from clair_tpu.io import fqzcomp
+
+        return fqzcomp.decompress(data, raw_size)
     raise ValueError(f"unsupported CRAM block method {method}")
 
 
-def write_block(block: Block, method: Optional[int] = None) -> bytes:
+def write_block(block: Block, method: Optional[int] = None,
+                fqz_lengths: Optional[List[int]] = None) -> bytes:
     method = block.method if method is None else method
     if len(block.data) == 0:
         method = METHOD_RAW
-    comp = _compress_payload(method, block.data)
+    comp = _compress_payload(method, block.data, fqz_lengths)
     if method != METHOD_RAW and len(comp) >= len(block.data):
         method, comp = METHOD_RAW, block.data
     out = bytearray()
@@ -1638,7 +1642,8 @@ class CramWriter:
     def __init__(self, path: str, references: List[Tuple[str, int]], fasta,
                  header_text: str = "", records_per_slice: int = 2048,
                  method: Optional[int] = None, embed_reference: bool = False,
-                 version: Tuple[int, int] = (3, 0)):
+                 version: Tuple[int, int] = (3, 0),
+                 fqzcomp_quals: bool = False):
         """embed_reference=True stores each slice's reference span as an
         extra external block (content id 99) and points the slice header's
         embedded-reference id at it — the resulting CRAM decodes without
@@ -1646,7 +1651,11 @@ class CramWriter:
 
         version=(3, 1) writes a CRAM 3.1 file whose external blocks use
         the rANS Nx16 codec (io/rans4x16.py) unless ``method`` overrides
-        it; the container structure is unchanged between 3.0 and 3.1."""
+        it, with read names through the tok3 tokenizer (io/tok3.py,
+        htslib's default) and — when ``fqzcomp_quals`` is set, the
+        archive profile — qualities through the fqzcomp context model
+        (io/fqzcomp.py); the container structure is unchanged between
+        3.0 and 3.1."""
         if version not in ((3, 0), (3, 1)):
             raise ValueError(f"unsupported CRAM write version {version}")
         if method is None:
@@ -1665,6 +1674,7 @@ class CramWriter:
         self._method = method
         self._version = version
         self._embed_reference = embed_reference
+        self._fqzcomp_quals = fqzcomp_quals
         self._counter = 0
         self._pending: List[BamRecord] = []
         self._sub = SubstitutionMatrix()
@@ -1814,8 +1824,12 @@ class CramWriter:
         span = max(end - start + 1, 1)
         streams = _EncStreams()
         prev_ap = start
+        qs_lengths = []
+        qs_buf = streams.ext[_W_IDS["QS"]]
         for rec in records:
+            qs_before = len(qs_buf)
             prev_ap = self._encode_record(rec, streams, prev_ap)
+            qs_lengths.append(len(qs_buf) - qs_before)
 
         comp_payload = _serialize_compression_block()
         comp_block = write_block(
@@ -1837,7 +1851,17 @@ class CramWriter:
                 # htslib's 3.1 default: read names go through the name
                 # tokenizer (write_block falls back to RAW if it loses)
                 method = METHOD_TOK3
-            data_blocks.append(write_block(Block(method, CT_EXTERNAL, cid, data)))
+            fqz_lengths = None
+            if (method != METHOD_RAW and self._fqzcomp_quals
+                    and self._version >= (3, 1) and cid == _W_IDS["QS"]):
+                # archive profile: qualities through the fqzcomp model
+                # with the true per-record lengths coded in-stream
+                method = METHOD_FQZCOMP
+                fqz_lengths = qs_lengths
+            data_blocks.append(write_block(
+                Block(method, CT_EXTERNAL, cid, data),
+                fqz_lengths=fqz_lengths,
+            ))
 
         embedded_ref_id = -1
         if self._embed_reference and ref_id >= 0:
