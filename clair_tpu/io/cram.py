@@ -376,7 +376,12 @@ def write_block(block: Block, method: Optional[int] = None,
     return bytes(out)
 
 
-def read_block(cursor: ByteCursor, verify_crc: bool = True) -> Block:
+def read_block(cursor: ByteCursor, verify_crc: bool = True,
+               skip_ids=None) -> Block:
+    """``skip_ids``: external content ids whose payloads the caller will
+    never read — their blocks are parsed (and CRC-checked) but NOT
+    decompressed, returned with empty data. The caller is responsible
+    for making the matching series reads no-ops."""
     start = cursor.pos
     method = cursor.read_byte()
     content_type = cursor.read_byte()
@@ -389,6 +394,9 @@ def read_block(cursor: ByteCursor, verify_crc: bool = True) -> Block:
         actual = zlib.crc32(cursor.data[start: cursor.pos - 4])
         if actual != crc:
             raise ValueError("CRAM block CRC32 mismatch")
+    if (skip_ids and content_type == CT_EXTERNAL
+            and content_id in skip_ids):
+        return Block(method, content_type, content_id, b"")
     data = _decompress_payload(method, payload, raw_size)
     if len(data) != raw_size:
         raise ValueError("CRAM block raw size mismatch")
@@ -636,6 +644,75 @@ def _encode_byte_array_len(len_enc: bytes, val_enc: bytes) -> bytes:
     return itf8_encode(C_BYTE_ARRAY_LEN) + itf8_encode(len(params)) + params
 
 
+def _codec_external_ids(codec) -> frozenset:
+    """External content ids a codec reads from (recursively)."""
+    if codec is None:
+        return frozenset()
+    if isinstance(codec, (ExternalCodec, ByteArrayStopCodec)):
+        return frozenset((codec.cid,))
+    if isinstance(codec, ByteArrayLenCodec):
+        return _codec_external_ids(codec.len_codec) | _codec_external_ids(
+            codec.val_codec
+        )
+    return frozenset()
+
+
+def _codec_core_free(codec) -> bool:
+    """True when reading through the codec consumes no core-block bits
+    (skipping its reads cannot desync any other series)."""
+    if codec is None:
+        return True
+    if isinstance(codec, (ExternalCodec, ByteArrayStopCodec)):
+        return True
+    if isinstance(codec, HuffmanCodec):
+        return codec.constant is not None
+    if isinstance(codec, ByteArrayLenCodec):
+        return _codec_core_free(codec.len_codec) and _codec_core_free(
+            codec.val_codec
+        )
+    return False
+
+
+def qual_skip_info(h: "CompressionHeader"):
+    """-> (skippable_block_ids, qs_noop, qq_noop).
+
+    Quality values never surface from this stack (``BamRecord`` carries
+    no quals — the pileup tensor is count-based, matching the reference
+    model's input, /root/reference/dataPrepScripts/CreateTensor.py:29-65
+    which ignores base qualities entirely). A quality series is
+    skippable when its codec touches no core bits and its external
+    blocks are shared with no other series or tag, so the reader can
+    leave those blocks compressed — the big win on real-world 3.1
+    archives whose QS blocks are fqzcomp/arith-coded."""
+    cached = getattr(h, "_qual_skip", None)
+    if cached is not None:
+        return cached
+    ids_of = {key: _codec_external_ids(c) for key, c in h.codecs.items()}
+    other_ids = frozenset().union(
+        *(ids for key, ids in ids_of.items() if key not in ("QS", "QQ")),
+        *(_codec_external_ids(c) for c in h.tag_codecs.values()),
+    ) if (h.codecs or h.tag_codecs) else frozenset()
+
+    skip_ids = set()
+    noop = {}
+    for key in ("QS", "QQ"):
+        codec = h.codecs.get(key)
+        own = ids_of.get(key, frozenset())
+        foreign = other_ids | frozenset().union(
+            *(ids_of.get(k, frozenset()) for k in ("QS", "QQ") if k != key)
+        )
+        ok = (codec is not None and _codec_core_free(codec)
+              and not (own & foreign))
+        noop[key] = ok
+        if ok:
+            skip_ids |= own
+    # a series can only be skipped if BOTH qual series tolerate losing a
+    # shared block; the per-key foreign check above already enforces it
+    result = (frozenset(skip_ids), noop["QS"], noop["QQ"])
+    h._qual_skip = result
+    return result
+
+
 # ---------------------------------------------------------------------------
 # Substitution matrix
 # ---------------------------------------------------------------------------
@@ -851,9 +928,13 @@ def decode_slice_records(
     streams: SliceStreams,
     ref_fetch,
     name_prefix: str = "cram",
+    skip_quals: bool = False,
 ) -> List[BamRecord]:
     """Decode one slice's records. ``ref_fetch(ref_id, start0, length)``
-    returns uppercase reference bytes (or None when RR=false)."""
+    returns uppercase reference bytes (or None when RR=false).
+    ``skip_quals``: quality reads become no-ops for series
+    qual_skip_info() proved exclusive, so their blocks may arrive
+    undecompressed (empty)."""
     codecs = header.codecs
     sub = header.substitution_matrix
     multi_ref = slice_header.ref_seq_id == -2
@@ -894,6 +975,13 @@ def decode_slice_records(
     read_sc = _codec_method("SC", "read_bytes")
     read_bb = _codec_method("BB", "read_bytes")
     read_qq = _codec_method("QQ", "read_bytes")
+    qs_noop = qq_noop = False
+    if skip_quals:
+        _, qs_noop, qq_noop = qual_skip_info(header)
+        if qs_noop:
+            read_qs = lambda _s: _DEFAULT_QUAL  # noqa: E731
+        if qq_noop:
+            read_qq = lambda _s, _n=None: b""  # noqa: E731
     read_dl = _codec_method("DL", "read_int")
     read_rs = _codec_method("RS", "read_int")
     read_hc = _codec_method("HC", "read_int")
@@ -1085,14 +1173,14 @@ def decode_slice_records(
                     raise ValueError(f"unknown CRAM feature code {chr(fc)!r}")
             fill_to(rl + 1)
             mapq = read_mq(streams)
-            if cf & CF_QS_ARRAY:
+            if cf & CF_QS_ARRAY and not qs_noop:
                 _read_byte_run(codecs["QS"], streams, rl)
         else:
             # CF_NO_SEQ records carry no base bytes at all (htslib writes
             # nothing for SEQ '*' reads); reading BA would desync the stream
             if not (cf & CF_NO_SEQ):
                 _read_bases_into(codecs["BA"], streams, seq, rl)
-            if cf & CF_QS_ARRAY:
+            if cf & CF_QS_ARRAY and not qs_noop:
                 _read_byte_run(codecs["QS"], streams, rl)
         if cf & CF_NO_SEQ:
             seq = bytearray(b"N" * rl)
@@ -1186,13 +1274,20 @@ class _NativeUnsupported(Exception):
     pass
 
 
-def _native_header_blob(h: CompressionHeader) -> bytes:
+def _native_header_blob(h: CompressionHeader,
+                        skip_quals: bool = False) -> bytes:
     """Substitution table + series codecs + tag-line specs (the
     per-compression-header, slice-invariant part of the native spec).
-    Cached on the header; b"" means the header is not natively decodable."""
+    Cached on the header; b"" means the header is not natively decodable.
+    ``skip_quals`` swaps the provably-exclusive quality series for the
+    native NOOP codec (their blocks arrive undecompressed)."""
+    qs_noop = qq_noop = False
+    if skip_quals:
+        _, qs_noop, qq_noop = qual_skip_info(h)
+    cache_key = (qs_noop, qq_noop)
     cached = getattr(h, "_native_blob", None)
-    if cached is not None:
-        return cached
+    if cached is not None and cache_key in cached:
+        return cached[cache_key]
     try:
         out = bytearray()
         n_row = h.substitution_matrix.decode_table[ord("N")]
@@ -1201,7 +1296,10 @@ def _native_header_blob(h: CompressionHeader) -> bytes:
             out += bytes(row)
         out.append(len(_NATIVE_SERIES_ORDER))
         for key in _NATIVE_SERIES_ORDER:
-            out += _native_codec_spec(h.codecs.get(key))
+            if (key == "QS" and qs_noop) or (key == "QQ" and qq_noop):
+                out += b"\x08"  # CK_NOOP
+            else:
+                out += _native_codec_spec(h.codecs.get(key))
         out += struct.pack("<i", len(h.tag_lines))
         for line in h.tag_lines:
             out += struct.pack("<i", len(line))
@@ -1215,7 +1313,10 @@ def _native_header_blob(h: CompressionHeader) -> bytes:
         blob = bytes(out)
     except (_NativeUnsupported, KeyError, IndexError, struct.error):
         blob = b""
-    h._native_blob = blob
+    if cached is None:
+        cached = {}
+        h._native_blob = cached
+    cached[cache_key] = blob
     return blob
 
 
@@ -1228,12 +1329,13 @@ def _native_decode_arrays(
     ref_buf_start: int,
     ref_pad_mode: bool,
     contig_len: int,
+    skip_quals: bool = False,
 ):
     """One native decode attempt. Returns (rc, payload) as
     native.cram_decode_slice does, or (-1, None) when not applicable."""
     if slice_header.ref_seq_id == -2:
         return -1, None  # per-record reference windows: Python path
-    blob = _native_header_blob(header)
+    blob = _native_header_blob(header, skip_quals)
     if not blob:
         return -1, None
     from clair_tpu import native as _native
@@ -1308,9 +1410,17 @@ class CramReader:
     sequence reconstruction unless slices embed their reference."""
 
     def __init__(self, path: str, fasta=None, verify_crc: bool = True,
-                 use_native: Optional[bool] = None):
+                 use_native: Optional[bool] = None,
+                 skip_quals: bool = True):
+        """``skip_quals`` (default on): quality blocks whose series are
+        provably exclusive (qual_skip_info) are never decompressed —
+        ``BamRecord`` carries no qualities, and on real-world 3.1
+        archives the QS blocks (fqzcomp/arith-coded, the largest series)
+        dominate decode time. Pass False to force full decoding (e.g.
+        integrity sweeps that want every CRC AND every codec exercised)."""
         self.path = path
         self.verify_crc = verify_crc
+        self._skip_quals = skip_quals
         self._use_native = (
             USE_NATIVE_RECORDS if use_native is None else use_native
         )
@@ -1396,16 +1506,26 @@ class CramReader:
                 continue
             yield header, self._fh.read(header.length)
 
-    def _native_slice(self, comp, sh, core, external):
+    def _native_slice(self, comp, sh, core, external, skip_quals=None):
         """Try the native record decoder for one slice. Returns the
         record list, or None to fall back to the Python decoder (which
-        either handles the case or raises the precise error)."""
+        either handles the case or raises the precise error).
+        ``skip_quals=None`` derives the flag from reader state (matching
+        what _slice_records would have skipped for this slice)."""
         if sh.ref_seq_id == -2:
             return None  # multi-ref: per-record reference windows
+        if skip_quals is None:
+            skip_quals = False
+            if self._skip_quals:
+                skip_ids, _, _ = qual_skip_info(comp)
+                if sh.embedded_ref_id >= 0:
+                    skip_ids = skip_ids - {sh.embedded_ref_id}
+                skip_quals = bool(skip_ids)
         if sh.embedded_ref_id >= 0:
             ref_buf = external.get(sh.embedded_ref_id, b"")
             rc, payload = _native_decode_arrays(
-                comp, sh, core, external, ref_buf, sh.start - 1, True, -1
+                comp, sh, core, external, ref_buf, sh.start - 1, True, -1,
+                skip_quals,
             )
         elif comp.reference_required:
             if self._fasta is None:
@@ -1423,7 +1543,8 @@ class CramReader:
             rc, payload = 2, None
             for _ in range(4):
                 rc, payload = _native_decode_arrays(
-                    comp, sh, core, external, buf, buf_start, False, contig_len
+                    comp, sh, core, external, buf, buf_start, False,
+                    contig_len, skip_quals,
                 )
                 if rc != 2:
                     break
@@ -1450,7 +1571,7 @@ class CramReader:
                 return None
         else:
             rc, payload = _native_decode_arrays(
-                comp, sh, core, external, b"", 0, True, -1
+                comp, sh, core, external, b"", 0, True, -1, skip_quals
             )
         if rc != 0:
             return None
@@ -1459,20 +1580,30 @@ class CramReader:
     def _slice_records(self, header: ContainerHeader, body: bytes):
         cursor = ByteCursor(body)
         comp = parse_compression_header(read_block(cursor, self.verify_crc).data)
+        skip_ids = frozenset()
+        if self._skip_quals:
+            skip_ids, _, _ = qual_skip_info(comp)
         for _ in range(max(len(header.landmarks), 1)):
             if cursor.eof():
                 break
             sh = parse_slice_header(read_block(cursor, self.verify_crc).data)
+            slice_skip = skip_ids
+            if sh.embedded_ref_id >= 0 and sh.embedded_ref_id in slice_skip:
+                # pathological id aliasing: keep the embedded reference
+                slice_skip = slice_skip - {sh.embedded_ref_id}
+            skipping = bool(slice_skip)
             core = b""
             external: Dict[int, bytes] = {}
             for _ in range(sh.n_blocks):
-                block = read_block(cursor, self.verify_crc)
+                block = read_block(cursor, self.verify_crc,
+                                   skip_ids=slice_skip or None)
                 if block.content_type == CT_CORE:
                     core = block.data
-                else:
+                elif not (skipping and block.content_id in slice_skip):
                     external[block.content_id] = block.data
             if self._use_native:
-                records = self._native_slice(comp, sh, core, external)
+                records = self._native_slice(comp, sh, core, external,
+                                             skipping)
                 if records is not None:
                     yield from records
                     continue
@@ -1518,7 +1649,8 @@ class CramReader:
                     return None
 
             yield from decode_slice_records(
-                comp, sh, SliceStreams(core, external), ref_fetch
+                comp, sh, SliceStreams(core, external), ref_fetch,
+                skip_quals=skipping,
             )
 
     def __iter__(self) -> Iterator[BamRecord]:

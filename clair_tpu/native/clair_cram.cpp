@@ -137,6 +137,9 @@ enum CodecType : uint8_t {
     CK_SUBEXP = 5,
     CK_BYTE_ARRAY_LEN = 6,
     CK_BYTE_ARRAY_STOP = 7,
+    // quality series whose block was left undecompressed (skip_quals):
+    // every read is a no-op returning the default qual / empty bytes
+    CK_NOOP = 8,
 };
 
 struct HuffCode {
@@ -189,6 +192,7 @@ static void parse_codec(SpecCursor& s, Codec& c) {
     c.type = s.u8();
     switch (c.type) {
         case CK_MISSING:
+        case CK_NOOP:
             break;
         case CK_EXTERNAL:
             c.cid = s.i32();
@@ -292,6 +296,8 @@ static int64_t read_int(const Codec& c, Streams& s) {
             }
             return v - c.offset;
         }
+        case CK_NOOP:
+            return 30;  // skipped qual series: default qual
         case CK_MISSING:
             throw Malformed{};  // series referenced but absent (KeyError)
         default:
@@ -308,6 +314,8 @@ static int read_byte(const Codec& c, Streams& s) {
         case CK_HUFFMAN:
         case CK_BETA:
             return (int)read_int(c, s);
+        case CK_NOOP:
+            return 30;
         case CK_MISSING:
             throw Malformed{};
         default:
@@ -339,6 +347,8 @@ static int64_t read_bytes(const Codec& c, Streams& s, std::vector<uint8_t>& out)
             out.insert(out.end(), src, src + n);
             return n;
         }
+        case CK_NOOP:
+            return 0;
         case CK_MISSING:
             throw Malformed{};
         default:
@@ -349,6 +359,7 @@ static int64_t read_bytes(const Codec& c, Streams& s, std::vector<uint8_t>& out)
 
 // _read_byte_run: n bytes via raw external read or repeated read_byte
 static void skip_byte_run(const Codec& c, Streams& s, int64_t n) {
+    if (c.type == CK_NOOP) return;
     if (c.type == CK_EXTERNAL) {
         s.external(c.cid).read(n);
     } else {
