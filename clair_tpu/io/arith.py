@@ -413,6 +413,15 @@ def decompress(data: bytes, out_size: int = None) -> bytes:
     if raw_size == 0:
         return b""
 
+    try:  # native decoder (clair_arith.cpp): same grammar, C speed
+        from clair_tpu import native
+
+        out = native.arith_decompress(bytes(data), raw_size)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+
     if flags & F_STRIPE:
         n = data[pos]
         pos += 1

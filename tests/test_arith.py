@@ -197,6 +197,71 @@ def test_header_layout_golden():
     assert stream[3] == 0
 
 
+# ---------------------------------------------------------------------------
+# native decoder (clair_arith.cpp)
+# ---------------------------------------------------------------------------
+
+def test_native_decoder_matches_python():
+    """Every stream the encoder can produce decodes byte-identically
+    through the native decoder AND the pure-Python reference (model
+    update rules must mirror exactly)."""
+    from clair_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rs = np.random.RandomState(9)
+    cases = [
+        bytes(rs.randint(0, 256, n, dtype=np.uint8))
+        for n in (1, 5, 63, 1000, 4097)
+    ]
+    cases.append(bytes(rs.choice([65, 67, 71, 84], 20_000,
+                                 p=[.6, .2, .15, .05]).astype(np.uint8)))
+    cases.append(b"".join(bytes([rs.randint(0, 4)]) * rs.randint(1, 40)
+                          for _ in range(800)))
+    cases.append(rs.randint(0, 5000, 5000).astype("<u4").tobytes())
+    cases.append(bytes([7]) * 70_000)  # rescale + carry stress
+    combos = (
+        dict(order=0), dict(order=1), dict(order=0, use_rle=True),
+        dict(order=1, use_rle=True), dict(order=1, use_pack=True),
+        dict(order=0, stripe=4), dict(order=1, use_rle=True, use_pack=True),
+    )
+    for data in cases:
+        for kw in combos:
+            stream = arith.compress(data, **kw)
+            nat = native.arith_decompress(stream, len(data))
+            assert nat == data, (len(data), kw)
+            assert arith.decompress(stream) == data, (len(data), kw)
+
+
+def test_native_decoder_ext_falls_back():
+    """EXT (bzip2) bodies are Python-owned: native returns None, the
+    public decompress still succeeds."""
+    from clair_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    data = b"the quick brown fox " * 200
+    stream = arith.compress(data, use_ext=True)
+    assert native.arith_decompress(stream, len(data)) is None
+    assert arith.decompress(stream) == data
+
+
+def test_native_decoder_rejects_corruption():
+    from clair_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    data = bytes(np.random.RandomState(10).randint(0, 256, 4000,
+                                                   dtype=np.uint8))
+    stream = bytearray(arith.compress(data, order=1))
+    for cut in (1, 5, len(stream) // 2):
+        got = native.arith_decompress(bytes(stream[:cut]), len(data))
+        # truncation may still "decode" (the coder pads zero bytes) but
+        # must never crash; a wrong size header must fail cleanly
+        assert got is None or len(got) == len(data)
+    assert native.arith_decompress(bytes(stream), len(data) + 7) is None
+
+
 def test_decompress_rejects_bad_sizes():
     stream = arith.compress(b"hello world, hello world", order=1)
     with pytest.raises(Exception):
