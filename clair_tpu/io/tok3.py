@@ -286,6 +286,16 @@ def decode_names(stream: bytes) -> bytes:
     if len(stream) < 9:
         raise ValueError("truncated tok3 stream")
     ulen, nnames = struct.unpack_from("<II", stream, 0)
+
+    try:  # native decoder (clair_tok3.cpp): same grammar, C speed
+        from clair_tpu import native
+
+        out = native.tok3_decode(bytes(stream), ulen)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+
     flags = stream[8]
     use_arith = bool(flags & F_ARITH)
     sep = b"\n" if flags & F_NEWLINE else b"\x00"

@@ -139,6 +139,57 @@ def test_decode_rejects_garbage():
 
 
 # ---------------------------------------------------------------------------
+# native decoder (clair_tok3.cpp)
+# ---------------------------------------------------------------------------
+
+def test_native_decoder_matches_python():
+    """Every stream the encoder can produce decodes byte-identically
+    through the native decoder AND the pure-Python reference, for both
+    entropy backends."""
+    from clair_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rs = np.random.RandomState(3)
+    hexd = "0123456789abcdef"
+    name_sets = [
+        [f"A00111:159:HWWVJDSXX:1:{1101 + i // 50}:{(i * 37) % 9000}"
+         for i in range(300)],
+        [f"SRR1238539.{i} {i} length=150" for i in range(1, 200)],
+        ["read1"] * 50,
+        [f"tile{i:06d}end" for i in range(90, 120)],
+        ["a/b/c", "", "a/b/d", "::x::", "", "a/b/d"],
+        ["q123456789012345678901", "q123456789012345678902"],
+        ["-".join("".join(hexd[rs.randint(16)] for _ in range(k))
+                  for k in (8, 4, 4, 4, 12)) for _ in range(40)],
+    ]
+    variants = [(b"\x00", True), (b"\n", True), (b"\x00", False)]
+    for names in name_sets:
+        for sep, final in variants:
+            data = _blob(names, sep=sep, final=final)
+            for use_arith in (False, True):
+                stream = tok3.encode_names(data, use_arith=use_arith)
+                nat = native.tok3_decode(stream, len(data))
+                assert nat == data, (names[0], sep, final, use_arith)
+                # the public decode (which dispatches to native) agrees
+                assert tok3.decode_names(stream) == data
+
+
+def test_native_decoder_rejects_corruption():
+    from clair_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    data = _blob([f"r{i}" for i in range(500)])
+    stream = bytearray(tok3.encode_names(data))
+    for cut in (1, 8, 12, len(stream) // 2, len(stream) - 2):
+        assert native.tok3_decode(bytes(stream[:cut]), len(data)) is None
+    bad = bytearray(stream)
+    bad[0] ^= 0xFF  # ulen mismatch
+    assert native.tok3_decode(bytes(bad), len(data)) is None
+
+
+# ---------------------------------------------------------------------------
 # container wiring
 # ---------------------------------------------------------------------------
 
