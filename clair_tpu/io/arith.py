@@ -62,6 +62,7 @@ from clair_tpu.io.rans4x16 import (
     write_uint7,
     _pack_decode,
     _pack_encode,
+    _strip_size,
 )
 
 F_ORDER1 = 0x01
@@ -387,14 +388,6 @@ def compress(data: bytes, order: int = 0, *, use_rle: bool = False,
     else:
         out += _encode_o0(payload)
     return bytes(out)
-
-
-def _strip_size(stream: bytes) -> bytes:
-    pos = 1
-    while stream[pos] & 0x80:
-        pos += 1
-    pos += 1
-    return stream[pos:]
 
 
 def decompress(data: bytes, out_size: int = None) -> bytes:

@@ -30,7 +30,12 @@ Serialized layout:
 
   | u8 version (5) | u8 gflags (0: single parameter set) |
   | u8 max_sym | u8 qbits | u8 qshift | u8 pbits | u8 dbits |
-  | uint7 n_records | body (one range-coded stream) |
+  | uint7 n_records | u8 nsym-1 | nsym alphabet bytes | body |
+
+  ``qshift`` is reserved (always equal to qbits; the decoder rejects
+  anything else loudly rather than silently ignoring it). The alphabet
+  length byte stores nsym-1 so a block touching all 256 byte values
+  still encodes.
 
   Body coding order, mirrored exactly by the decoder:
     per record: 4 length bytes (LE u32) through 4 dedicated models,
@@ -138,7 +143,7 @@ def compress(data: bytes, lengths: List[int] = None) -> bytes:
         "<BBBBBBB", _VERSION, 0, max(data), qbits, qshift, pbits, dbits
     )
     write_uint7(out, len(lengths))
-    out.append(len(alphabet))
+    out.append(len(alphabet) - 1)  # nsym-1: a full 256-value alphabet fits
     out += bytes(alphabet)
 
     rc = RangeEncoder()
@@ -177,9 +182,14 @@ def decompress(data: bytes, out_size: int = None) -> bytes:
             f"unsupported fqzcomp gflags {gflags:#x} (multi-parameter "
             "streams not implemented)"
         )
+    if qshift != qbits:
+        raise ValueError(
+            f"unsupported fqzcomp qshift {qshift} (reserved field, must "
+            f"equal qbits {qbits})"
+        )
     pos = 7
     n_records, pos = read_uint7(data, pos)
-    nsym = data[pos]
+    nsym = data[pos] + 1
     pos += 1
     alphabet = list(data[pos:pos + nsym])
     if len(alphabet) != nsym:
@@ -195,6 +205,12 @@ def decompress(data: bytes, out_size: int = None) -> bytes:
         rec_len = 0
         for k in range(4):
             rec_len |= len_models[k].decode(rc) << (8 * k)
+        if out_size is not None and len(out) + rec_len > out_size:
+            # bail before decoding a hostile multi-GB length, not after
+            raise ValueError(
+                f"fqzcomp record length {rec_len} overruns the block's "
+                f"promised {out_size} bytes"
+            )
         ctx.reset()
         for i in range(rec_len):
             c = ctx.value(i)

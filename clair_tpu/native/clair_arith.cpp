@@ -228,7 +228,9 @@ static bool decode_stream(const uint8_t* data, int64_t len, uint8_t* out,
         if (r.end - r.p < pack_nsym) return false;
         r.p += pack_nsym;
         payload_size = (int64_t)r.uint7();
-        if (!r.ok) return false;
+        // packing only shrinks; an attacker-controlled huge length must
+        // not reach packed.resize() (bad_alloc would cross the ABI)
+        if (!r.ok || payload_size > raw_size) return false;
     }
 
     // decode the entropy body into `target` (out directly when no PACK)
@@ -292,7 +294,14 @@ extern "C" {
 int clair_arith_decompress(const uint8_t* data, int64_t data_len,
                            uint8_t* out, int64_t out_size) {
     if (!data || !out) return 1;
-    return arith_codec::decode_stream(data, data_len, out, out_size) ? 0 : 1;
+    try {
+        return arith_codec::decode_stream(data, data_len, out, out_size)
+                   ? 0
+                   : 1;
+    } catch (...) {
+        // vector/bad_alloc etc. must not cross the ctypes boundary
+        return 1;
+    }
 }
 
 }  // extern "C"

@@ -125,11 +125,17 @@ static bool decode(const uint8_t* data, int64_t len, uint8_t* out,
         int typ = desc & 0x3F;
         if (typ >= N_TYPES) return false;
         if (desc & D_NEW_POS) token_pos++;
+        // the first stream must open position 0 (else keys[i].pos = -1
+        // would index before the dense table below)
+        if (token_pos < 0) return false;
         streams.emplace_back();
         StreamBuf& sb = streams.back();
         if (desc & D_DUP) {
             uint64_t idx = read_uint7(top);
-            if (!top.ok || idx + 1 >= streams.size()) return false;
+            // current stream is at size()-1; a duplicate may only point
+            // at a strictly earlier one (no +1 arithmetic: idx is
+            // attacker-controlled and may be UINT64_MAX)
+            if (!top.ok || idx >= streams.size() - 1) return false;
             sb.data = streams[idx].data;  // copy: independent cursor
         } else {
             uint64_t clen = read_uint7(top);

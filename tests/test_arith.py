@@ -262,6 +262,26 @@ def test_native_decoder_rejects_corruption():
     assert native.arith_decompress(bytes(stream), len(data) + 7) is None
 
 
+def test_native_decoder_rejects_pack_length_bomb():
+    """A PACK header claiming a gigantic packed length must fail cleanly
+    (regression: packed.resize threw bad_alloc across the ctypes
+    boundary and aborted the process)."""
+    from clair_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    from clair_tpu.io.rans4x16 import write_uint7
+
+    bomb = bytearray([arith.F_PACK])
+    write_uint7(bomb, 100)          # raw size
+    bomb += bytes([2, 0, 1])        # nsym=2, values {0,1}
+    write_uint7(bomb, 1 << 62)      # packed length: absurd
+    bomb += b"\x00" * 32
+    assert native.arith_decompress(bytes(bomb), 100) is None
+    with pytest.raises(Exception):
+        arith.decompress(bytes(bomb))
+
+
 def test_decompress_rejects_bad_sizes():
     stream = arith.compress(b"hello world, hello world", order=1)
     with pytest.raises(Exception):

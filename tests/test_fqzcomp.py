@@ -47,7 +47,7 @@ def test_binned_illumina_quals_use_dense_alphabet():
     data = bytes(rs.choice([2, 12, 23, 37], sum(lengths),
                            p=[.05, .1, .15, .7]).astype(np.uint8))
     stream = _rt(data, lengths)
-    assert stream[8] == 4  # alphabet size: the 4 binned values only
+    assert stream[8] == 3  # nsym-1: the 4 binned values only
     assert len(stream) < len(data) // 3
 
 
@@ -91,7 +91,7 @@ def test_header_layout_golden():
     assert stream[1] == 0       # gflags: single parameter set
     assert stream[2] == 23      # max symbol
     assert stream[7] == 10      # uint7 record count
-    assert stream[8] == 4       # alphabet size
+    assert stream[8] == 3       # alphabet size minus one
 
 
 def test_bad_version_and_gflags_rejected():
@@ -121,6 +121,30 @@ def test_size_mismatch_rejected():
 def test_truncated_rejected():
     with pytest.raises(Exception):
         fqzcomp.decompress(b"\x05\x00")
+
+
+def test_full_256_symbol_alphabet_round_trips():
+    """The nsym-1 header byte must carry a block touching every byte
+    value (regression: u8 overflow crashed the writer)."""
+    data = bytes(range(256)) * 4
+    _rt(data, [256] * 4)
+
+
+def test_reserved_qshift_rejected_loudly():
+    stream = bytearray(fqzcomp.compress(b"\x1e" * 100, [50, 50]))
+    stream[4] ^= 0x7F  # qshift != qbits
+    with pytest.raises(ValueError, match="qshift"):
+        fqzcomp.decompress(bytes(stream))
+
+
+def test_overrunning_record_length_bails_early():
+    """A record length exceeding the block's promised size must raise
+    before decoding it (regression: a hostile 2^32-ish length spun for
+    minutes building a multi-GB buffer first)."""
+    data = bytes([30]) * 1000
+    stream = fqzcomp.compress(data, [1000])
+    with pytest.raises(ValueError, match="overruns"):
+        fqzcomp.decompress(stream, 10)
 
 
 # ---------------------------------------------------------------------------

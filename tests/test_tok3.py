@@ -189,6 +189,25 @@ def test_native_decoder_rejects_corruption():
     assert native.tok3_decode(bytes(bad), len(data)) is None
 
 
+def test_native_decoder_rejects_malformed_descriptors():
+    """Regression pair: a first descriptor without the new-position bit
+    indexed the dense table at position -1 (heap underflow write), and a
+    UINT64_MAX duplicate index wrapped the bounds check."""
+    from clair_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    data = _blob([f"r{i}" for i in range(50)])
+    stream = bytearray(tok3.encode_names(data))
+    no_newpos = bytearray(stream)
+    no_newpos[9] &= 0x7F  # clear D_NEW_POS on the first descriptor
+    assert native.tok3_decode(bytes(no_newpos), len(data)) is None
+    # dup index with all-continuation uint7 bytes -> huge value
+    forged = bytes(stream[:9]) + bytes([0x80 | 0x40 | tok3.T_TYPE]) \
+        + b"\xff" * 9 + b"\x7f"
+    assert native.tok3_decode(forged, len(data)) is None
+
+
 # ---------------------------------------------------------------------------
 # container wiring
 # ---------------------------------------------------------------------------
