@@ -174,6 +174,8 @@ def load_region_counts(
 
 
 _QCOL_TO_BASE = "ACGT??N"
+# vectorized form of the same map: index = 6 ('N') for negative or >6 codes
+_QCOL_BASE_LUT = np.frombuffer(b"ACGT??N", dtype=np.uint8)
 
 
 class EventsIndelSources(IndelSources):
@@ -196,41 +198,60 @@ class EventsIndelSources(IndelSources):
         self._fasta = fasta
         self._contig = contig
         self._events = events
-        self._ins_index = None
-        self._del_index = None
+        self._ins_sorted_pos = None
+        self._del_sorted_pos = None
 
     def _build(self):
+        # Index WITHOUT materializing a base string per insertion op: an ONT
+        # window carries ~10^5 (mostly 1 bp, error) insertion ops, while
+        # decode queries only the handful of sites that win as insertions.
+        # One vectorized code->base blob + a position sort replaces what was
+        # ~4 s/window of per-op str.join (profile, 400 kb 35x ONT); strings
+        # are cut from the blob per QUERIED position only.
         events = self._events
-        ins_index: dict = {}
-        offsets = np.concatenate([[0], np.cumsum(events.ins_op_len)]).astype(np.int64)
-        codes = events.ins_qcol
-        for i in range(len(events.ins_op_pos)):
-            lo, hi = offsets[i], offsets[i + 1]
-            bases = "".join(
-                _QCOL_TO_BASE[min(int(c), 6)] if c >= 0 else "N"
-                for c in codes[lo:hi]
-            )
-            ins_index.setdefault(int(events.ins_op_pos[i]), []).append(bases)
-        del_index: dict = {}
-        for position, length in zip(events.del_op_pos, events.del_op_len):
-            del_index.setdefault(int(position), []).append(int(length))
-        self._ins_index, self._del_index = ins_index, del_index
+        self._ins_offsets = np.concatenate(
+            [[0], np.cumsum(events.ins_op_len)]
+        ).astype(np.int64)
+        codes = np.asarray(events.ins_qcol, dtype=np.int64)
+        idx = np.where(codes < 0, 6, np.minimum(codes, 6))
+        self._ins_blob = _QCOL_BASE_LUT[idx].tobytes()
+        pos = np.asarray(events.ins_op_pos, dtype=np.int64)
+        # stable: ops at one position keep event order, so the first-max
+        # vote tie-break matches the old dict-insertion order exactly
+        self._ins_order = np.argsort(pos, kind="stable")
+        self._ins_sorted_pos = pos[self._ins_order]
+        dpos = np.asarray(events.del_op_pos, dtype=np.int64)
+        dorder = np.argsort(dpos, kind="stable")
+        self._del_sorted_pos = dpos[dorder]
+        self._del_sorted_len = np.asarray(
+            events.del_op_len, dtype=np.int64
+        )[dorder]
 
     def _insertion_bases(self, contig, position, minimum_length, maximum_length,
                          bases_to_ignore=""):
-        if self._ins_index is None:
+        if self._ins_sorted_pos is None:
             self._build()
+        p = int(position)
+        i0 = np.searchsorted(self._ins_sorted_pos, p, "left")
+        i1 = np.searchsorted(self._ins_sorted_pos, p, "right")
         votes = {}
-        for bases in self._ins_index.get(int(position), []):
+        for j in self._ins_order[i0:i1]:
+            bases = self._ins_blob[
+                self._ins_offsets[j]:self._ins_offsets[j + 1]
+            ].decode("ascii")
             if minimum_length <= len(bases) <= maximum_length and bases != bases_to_ignore:
                 votes[bases] = votes.get(bases, 0) + 1
         return max(votes, key=votes.get) if votes else ""
 
     def _deletion_bases(self, contig, position, minimum_length, maximum_length):
-        if self._del_index is None:
+        if self._del_sorted_pos is None:
             self._build()
+        p = int(position)
+        i0 = np.searchsorted(self._del_sorted_pos, p, "left")
+        i1 = np.searchsorted(self._del_sorted_pos, p, "right")
         votes = {}
-        for length in self._del_index.get(int(position), []):
+        for length in self._del_sorted_len[i0:i1]:
+            length = int(length)
             if minimum_length <= length <= maximum_length:
                 bases = self._fasta.fetch(contig, position, position + length)
                 votes[bases] = votes.get(bases, 0) + 1
