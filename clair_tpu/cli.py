@@ -17,14 +17,28 @@ import json
 import sys
 
 
-def _predictor_from(checkpoint_path, batch_size=None, dtype=None):
+def _predictor_from(checkpoint_path, batch_size=None, dtype=None,
+                    num_devices=None):
+    """num_devices > 1: shard the inference batch over the 'data' axis of
+    a device mesh (ShardedPredictor; SURVEY §5.8) — params replicate,
+    batch rows split, no collectives. This is the v5e-slice calling
+    topology; the reference scales inference with GNU parallel over
+    share-nothing CPU processes instead (callVarBamParallel.py:90-119)."""
     from clair_tpu.models.checkpoint import load_checkpoint
     from clair_tpu.params import PREDICT_BATCH_SIZE, ModelConfig
     from clair_tpu.pipeline.call_var import Predictor
 
     params, _ = load_checkpoint(checkpoint_path)
     config = ModelConfig(compute_dtype=dtype) if dtype else ModelConfig()
-    return Predictor(params, config, batch_size or PREDICT_BATCH_SIZE)
+    batch = batch_size or PREDICT_BATCH_SIZE
+    if num_devices and num_devices > 1:
+        from clair_tpu.parallel.mesh import make_mesh
+        from clair_tpu.pipeline.call_var import ShardedPredictor
+
+        batch = -(-batch // num_devices) * num_devices  # round up to divide
+        return ShardedPredictor(params, config, batch,
+                                mesh=make_mesh(num_devices))
+    return Predictor(params, config, batch)
 
 
 # ---------------------------------------------------------------------------
@@ -74,6 +88,10 @@ def cmd_call_var(argv):
     parser.add_argument("--dtype", choices=("float32", "bfloat16"), default=None,
                         help="inference compute dtype (default float32; bf16 "
                              "is decision-identical on confident outputs)")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="shard the inference batch over this many "
+                             "devices of the attached slice (data-parallel "
+                             "mesh; default: single device)")
     parser.add_argument("--activation_only", action="store_true",
                         help="dump layer activations instead of calling")
     parser.add_argument("--log_path", default=None)
@@ -123,11 +141,13 @@ def cmd_call_var(argv):
         writer.write_header()
         call_variants_from_probabilities(sys.stdin, output_config, writer, indel_sources)
     elif args.output_for_ensemble:
-        predictor = _predictor_from(args.chkpnt_fn, dtype=args.dtype)
+        predictor = _predictor_from(args.chkpnt_fn, dtype=args.dtype,
+                                    num_devices=args.num_devices)
         call_variants_for_ensemble(args.tensor_fn, predictor, output_fh)
     else:
         writer.write_header()
-        predictor = _predictor_from(args.chkpnt_fn, dtype=args.dtype)
+        predictor = _predictor_from(args.chkpnt_fn, dtype=args.dtype,
+                                    num_devices=args.num_devices)
         call_variants(
             args.tensor_fn, predictor, output_config, writer, indel_sources,
             debug_fh=output_fh if args.debug else None,
@@ -162,6 +182,10 @@ def cmd_call_bam(argv):
                         action="store_true", dest="bam_for_all_indel_bases")
     parser.add_argument("--dtype", choices=("float32", "bfloat16"), default=None,
                         help="inference compute dtype (default float32)")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="shard the inference batch over this many "
+                             "devices of the attached slice (data-parallel "
+                             "mesh; default: single device)")
     parser.add_argument("--debug", action="store_true",
                         help="print per-site probability vectors instead of rows")
     parser.add_argument("--output_for_ensemble", action="store_true",
@@ -204,7 +228,8 @@ def cmd_call_bam(argv):
         output_for_ensemble=args.output_for_ensemble,
     )
     total = call_bam(
-        config, _predictor_from(args.chkpnt_fn, dtype=args.dtype),
+        config, _predictor_from(args.chkpnt_fn, dtype=args.dtype,
+                                num_devices=args.num_devices),
         output_path=args.call_fn,
     )
     print(f"[INFO] {total} candidate sites processed", file=sys.stderr)
@@ -236,6 +261,12 @@ def cmd_call_bam_parallel(argv):
     parser.add_argument("--bam_for_all_indel_bases", "--pysam_for_all_indel_bases",
                         action="store_true", dest="bam_for_all_indel_bases")
     parser.add_argument("--stop_consider_left_edge", action="store_true")
+    parser.add_argument("--dtype", choices=("float32", "bfloat16"), default=None,
+                        help="inference compute dtype (default float32)")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="shard the inference batch over this many "
+                             "devices of the attached slice (single-process "
+                             "runners only; data-parallel mesh)")
     parser.add_argument("--log_path", default=None)
     # compat no-ops (reference per-job process plumbing)
     parser.add_argument("--tensorflowThreads", type=int, default=None,
@@ -345,7 +376,8 @@ def cmd_call_bam_parallel(argv):
             print(json.dumps(state), file=sys.stderr)
             return
         total = run_worker(
-            queue, base, _predictor_from(args.chkpnt_fn),
+            queue, base, _predictor_from(args.chkpnt_fn, dtype=args.dtype,
+                                         num_devices=args.num_devices),
             reclaim_stale_s=args.reclaim_stale,
             wait_for_stragglers=args.wait,
         )
@@ -358,8 +390,13 @@ def cmd_call_bam_parallel(argv):
                      contigs=contigs, qual=args.qual)
         return
     if args.process_pool:
+        if args.num_devices and args.num_devices > 1:
+            parser.error("--num_devices shards one predictor's batch over "
+                         "the slice; with --process_pool each worker process "
+                         "owns its own device instead — drop one of the two")
         paths = call_bam_parallel(
-            base, lambda: _predictor_from(args.chkpnt_fn), args.output_prefix,
+            base, lambda: _predictor_from(args.chkpnt_fn, dtype=args.dtype),
+            args.output_prefix,
             chunk_size=args.refChunkSize,
             include_all_contigs=args.includingAllContigs,
             max_workers=args.workers,
@@ -372,7 +409,9 @@ def cmd_call_bam_parallel(argv):
         merge_vcfs(paths, args.output_prefix + ".vcf")
     else:
         call_bam_windows_threaded(
-            base, _predictor_from(args.chkpnt_fn), args.output_prefix + ".vcf",
+            base, _predictor_from(args.chkpnt_fn, dtype=args.dtype,
+                                  num_devices=args.num_devices),
+            args.output_prefix + ".vcf",
             chunk_size=args.refChunkSize,
             include_all_contigs=args.includingAllContigs,
             pileup_workers=args.workers,
