@@ -367,6 +367,53 @@ def wgs_throughput(params, config, bam_path, fasta_path, genome_mb,
     return genome_mb / (elapsed / 60.0)
 
 
+def wgs_host_ceiling(params, config, bam_path, fasta_path, genome_mb,
+                     minimum_af=0.2) -> float:
+    """WGS Mbp/min through the full host pipeline (native region scan,
+    candidate selection, window tensors, decode, VCF) with the device leg
+    stubbed out: each batch reuses ONE real forward of the vendored
+    checkpoint, so decode still sees realistic probability rows but pays
+    zero device/link time. This is the number the chip-side stages are
+    hidden behind at steady state, and — unlike the e2e stage — it is
+    immune to remote-link stalls, so it stays comparable across rounds."""
+    import jax
+
+    from clair_tpu.pipeline.call_bam import CallBamConfig
+    from clair_tpu.pipeline.call_bam_parallel import call_bam_windows_threaded
+    from clair_tpu.pipeline.call_var import Predictor
+    from clair_tpu.task.labels import split_label_vector
+
+    real = Predictor(params, config, batch_size=BATCH)
+    x = np.random.RandomState(0).rand(BATCH, 33, 8, 4).astype(np.float32) * 20
+    out, _ = real.predict_async(x)
+    rows = np.asarray(out)
+
+    class _Stub:
+        batch_size = BATCH
+
+        def predict_async(self, t):
+            return rows, t.shape[0]
+
+        def gather(self, o, m):
+            return split_label_vector(o[:m])
+
+    base = CallBamConfig(
+        bam_path=bam_path, fasta_path=fasta_path,
+        minimum_af=minimum_af, minimum_coverage=4,
+    )
+    out_path = os.path.join(os.path.dirname(bam_path), "ceiling.vcf")
+    stub = _Stub()
+    elapsed = float("inf")
+    for _ in range(2):  # best-of-2 vs transient host load
+        start = time.perf_counter()
+        call_bam_windows_threaded(
+            base, stub, out_path,
+            chunk_size=250_000, include_all_contigs=True, pileup_workers=1,
+        )
+        elapsed = min(elapsed, time.perf_counter() - start)
+    return genome_mb / (elapsed / 60.0)
+
+
 def cpu_baseline_throughput() -> float:
     """Reference-equivalent network in torch on 4 CPU threads."""
     os.environ.setdefault("OMP_NUM_THREADS", "4")
@@ -502,6 +549,14 @@ def main():
     )
     train_tps = train_throughput(config) if device_ok else 0.0  # f32 default
     try:
+        wgs_ceiling_mbp_min = wgs_host_ceiling(
+            params_ont, config, ont_bam, ont_fa, ont_len / 1e6,
+            minimum_af=0.2,
+        )
+    except Exception as exc:
+        print(f"[bench] host-ceiling stage failed ({exc})", file=sys.stderr)
+        wgs_ceiling_mbp_min = 0.0
+    try:
         wgs_ont_mbp_min = wgs_throughput(
             params_ont, config, ont_bam, ont_fa, ont_len / 1e6,
             minimum_af=0.2, out_name="ont.vcf",
@@ -526,7 +581,8 @@ def main():
         f"host decode ONT-real {decode_ont_tps:.0f} t/s "
         f"({ont_indel_frac:.0%} indel winners; clean {decode_clean_tps:.0f} "
         f"t/s at {clean_indel_frac:.0%}), train {train_tps:.0f} samples/s, "
-        f"wgs e2e ONT {wgs_ont_mbp_min:.1f} / clean {wgs_mbp_min:.1f} "
+        f"wgs e2e ONT {wgs_ont_mbp_min:.1f} (host ceiling "
+        f"{wgs_ceiling_mbp_min:.1f}) / clean {wgs_mbp_min:.1f} "
         f"Mbp/min/core",
         file=sys.stderr,
     )
@@ -552,6 +608,7 @@ def main():
                     "host_decode_tps": round(decode_clean_tps, 1),
                     "train_samples_per_sec": round(train_tps, 1),
                     "wgs_ont_end_to_end_mbp_per_min": round(wgs_ont_mbp_min, 2),
+                    "wgs_ont_host_ceiling_mbp_per_min": round(wgs_ceiling_mbp_min, 2),
                     "wgs_end_to_end_mbp_per_min": round(wgs_mbp_min, 2),
                     "pileup_workers": os.cpu_count(),
                     "device_unreachable_cpu_fallback": not device_ok,
