@@ -940,21 +940,29 @@ int clair_region_tensors(void* h, int32_t dcov, const int64_t* centers,
   const int64_t kFlank = 16, kT = 33;
   int64_t mask_lo = centers[0] - kFlank - 1;
   int64_t mask_len = centers[n_centers - 1] + kFlank - mask_lo;
-  std::vector<uint8_t> near(mask_len, 0);
-  for (int64_t c = 0; c < n_centers; c++) {
-    int64_t lo = centers[c] - kFlank - 1 - mask_lo;
-    int64_t hi = centers[c] + kFlank - mask_lo;
-    for (int64_t p = lo; p < hi; p++) near[p] = 1;
+  // Per-position center ranges, precomputed in one two-pointer sweep:
+  // the tensor pass visits every aligned base of every read (35M+ for an
+  // ONT window), and two binary searches per near-center base were the
+  // hottest host-side loop after nativization. win_lo/win_hi[p - mask_lo]
+  // = the centers c with p in c's 33-wide window, i.e. c in [p-15, p+17]
+  // (1-based centers; hi exclusive). hi <= lo encodes "not near".
+  std::vector<int32_t> win_lo(mask_len), win_hi(mask_len);
+  {
+    int64_t lo = 0, hi = 0;
+    for (int64_t idx = 0; idx < mask_len; idx++) {
+      int64_t p = mask_lo + idx;
+      while (lo < n_centers && centers[lo] < p - kFlank + 1) lo++;
+      while (hi < n_centers && centers[hi] <= p + kFlank + 1) hi++;
+      win_lo[idx] = (int32_t)lo;
+      win_hi[idx] = (int32_t)hi;
+    }
   }
 
   auto windows = [&](int64_t p, int64_t* lo_out, int64_t* hi_out) -> bool {
     int64_t idx = p - mask_lo;
-    if (idx < 0 || idx >= mask_len || !near[idx]) return false;
-    // c in [p - 15, p + 17] (1-based centers)
-    const int64_t* lo = std::lower_bound(centers, centers + n_centers, p - kFlank + 1);
-    const int64_t* hi = std::upper_bound(centers, centers + n_centers, p + kFlank + 1);
-    *lo_out = lo - centers;
-    *hi_out = hi - centers;
+    if (idx < 0 || idx >= mask_len) return false;
+    *lo_out = win_lo[idx];
+    *hi_out = win_hi[idx];
     return *hi_out > *lo_out;
   };
 
@@ -991,10 +999,16 @@ int clair_region_tensors(void* h, int32_t dcov, const int64_t* centers,
       int64_t len = cv >> 4;
       switch (op) {
         case 0: case 7: case 8: {
-          for (int64_t k = 0; k < len; k++) {
+          // clamp to the positions that can touch a window AND have a
+          // known reference base: long ONT reads mostly hang outside both
+          int64_t k_lo = std::max<int64_t>(
+              0, std::max(ref_lo, mask_lo) - refp);
+          int64_t k_hi = std::min(
+              len, std::min(ref_hi, mask_lo + mask_len) - refp);
+          for (int64_t k = k_lo; k < k_hi; k++) {
             int64_t p = refp + k;
             int64_t w_lo, w_hi;
-            if (p < ref_lo || p >= ref_hi || !windows(p, &w_lo, &w_hi)) continue;
+            if (!windows(p, &w_lo, &w_hi)) continue;
             int64_t q = qp + k;
             uint8_t code = seq_p[q >> 1];
             code = (q & 1) ? (code & 0xF) : (code >> 4);
