@@ -295,9 +295,14 @@ def select_candidates(
     ]
     ref_column = CANDIDATE_COL_LUT[ref_raw].astype(np.int64)
 
-    order = np.argsort(-counts, axis=1, kind="stable")
-    top_column = order[:, 0]
-    second_count = np.take_along_axis(counts, order[:, 1:2], axis=1)[:, 0]
+    # top-2 via two argmax passes (argmax keeps the first max, matching the
+    # stable descending sort's A,C,G,T,I,D,N tie order at ~1/4 the cost of
+    # a full 7-column argsort on a 250 kb window)
+    rows = np.arange(len(counts))
+    top_column = counts.argmax(axis=1)
+    remaining = counts.copy()
+    remaining[rows, top_column] = -1
+    second_count = counts[rows, remaining.argmax(axis=1)]
 
     denominator = np.where(depth > 0, depth, 1)
     passes = (depth >= minimum_coverage) & (
