@@ -26,6 +26,9 @@
 #include <utility>
 #include <vector>
 #include <zlib.h>
+#ifdef CLAIR_HAVE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
 
 namespace {
 
@@ -63,12 +66,38 @@ size_t bgzf_block_size(const uint8_t* raw, size_t size, size_t offset) {
   return 0;
 }
 
+#ifdef CLAIR_HAVE_LIBDEFLATE
+// One decompressor per worker thread, freed at thread exit (the BGZF pump
+// spawns fresh threads per chunk, so a bare thread_local pointer would
+// leak one allocation per spawned thread).
+struct DeflateTL {
+  libdeflate_decompressor* d;
+  DeflateTL() : d(libdeflate_alloc_decompressor()) {}
+  ~DeflateTL() {
+    if (d) libdeflate_free_decompressor(d);
+  }
+};
+#endif
+
 bool inflate_one_block(const uint8_t* src, size_t src_size,
                        std::vector<uint8_t>& dst) {
   uint32_t isize;  // ISIZE (mod 2^32): last 4 bytes of the member
   memcpy(&isize, src + src_size - 4, 4);
   dst.resize(isize);
   if (isize == 0) return true;
+#ifdef CLAIR_HAVE_LIBDEFLATE
+  // ~2x zlib on BGZF-sized members; enabled by the Makefile only when
+  // both header and library link on the build machine (zlib otherwise)
+  static thread_local DeflateTL tl;
+  if (tl.d) {
+    size_t actual = 0;
+    if (libdeflate_gzip_decompress(tl.d, src, src_size, dst.data(), isize,
+                                   &actual) == LIBDEFLATE_SUCCESS &&
+        actual == isize)
+      return true;
+    // any failure falls through to the zlib path below
+  }
+#endif
   z_stream zs;
   memset(&zs, 0, sizeof(zs));
   if (inflateInit2(&zs, 15 + 16) != Z_OK) return false;
