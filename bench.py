@@ -227,7 +227,7 @@ def decode_window_throughput(params, config, bam_path, fasta_path,
     import jax
     import jax.numpy as jnp
 
-    from clair_tpu.data.tensor_stream import LazyTensorInfos, normalize_channels
+    from clair_tpu.data.tensor_stream import LazyTensorInfos
     from clair_tpu.io.vcf import VcfWriter
     from clair_tpu.models.clair import forward
     from clair_tpu.pipeline.batch_decode import category_maxima
@@ -243,7 +243,7 @@ def decode_window_throughput(params, config, bam_path, fasta_path,
     n = min(len(work.tensors), BATCH)
     if n == 0:
         return 0.0, 0.0
-    x = normalize_channels(work.tensors[:n].copy())
+    x = work.tensors[:n]  # prepare_window pre-normalizes channels
     infos = LazyTensorInfos("chr1", work.centers[:n], work.sequences[:n])
 
     fn = jax.jit(lambda p, t: forward(p, t.astype(jnp.float32), config))

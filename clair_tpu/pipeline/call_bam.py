@@ -352,7 +352,13 @@ class CallBamConfig:
 
 @dataclass
 class WindowWork:
-    """Host-side pileup result for one region, ready for device inference."""
+    """Host-side pileup result for one region, ready for device inference.
+
+    ``tensors`` are channel-NORMALIZED (ch1..3 -= ch0), done once for the
+    whole window at prepare time — batches slice it read-only, so the
+    per-batch copy+normalize pass disappears from the hot loop. The
+    text-tensor CLI (create_tensor) keeps raw counts: it goes through
+    data/pileup.create_tensors directly, not through prepare_window."""
 
     config: CallBamConfig
     tensors: np.ndarray
@@ -462,6 +468,7 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
             consider_left_edge=not config.stop_consider_left_edge,
         )
 
+    normalize_channels(tensors)
     work = WindowWork(
         config=config,
         tensors=tensors,
@@ -527,7 +534,7 @@ def call_window(work: WindowWork, predictor: Predictor, writer: VcfWriter,
 
     pending = deque()
     for off in range(0, len(work.tensors), batch):
-        x = normalize_channels(work.tensors[off:off + batch].copy())
+        x = work.tensors[off:off + batch]  # pre-normalized; read-only use
         infos = LazyTensorInfos(
             config.contig,
             work.centers[off:off + len(x)],
