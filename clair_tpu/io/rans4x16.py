@@ -56,8 +56,9 @@ CAVEAT: built to the spec from documentation, validated by round-trip
 and hand-computed golden streams (tests/test_rans4x16.py) — not yet
 against htslib-written bytes (this environment has no network; the same
 situation as the TF checkpoint converter, whose first-contact kit is
-tools/validate_published.py). Unsupported 3.1 codecs (arith, fqzcomp,
-tok3) raise named errors at the block layer (io/cram.py).
+tools/validate_published.py, and the CRAM analogue is
+tools/validate_cram31.py). The other 3.1 codecs live in io/arith.py,
+io/fqzcomp.py, and io/tok3.py with the same caveat.
 """
 
 from __future__ import annotations
