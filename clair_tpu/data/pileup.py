@@ -287,9 +287,26 @@ def select_candidates(
     sort), like the reference's dict-item sort.
     """
     region_length = len(counts)
+    offset = region_start - ref_seq_start
+
+    from clair_tpu import native as _native
+
+    native_sel = _native.select_candidates_native(
+        counts,
+        reference_sequence[offset: offset + region_length].encode("ascii"),
+        position_mask, minimum_af, minimum_coverage,
+    )
+    if native_sel is not None:
+        idx, depths, collapsed = native_sel
+        return CandidateSites(
+            positions=idx + region_start,
+            depths=depths.astype(np.int64),
+            counts=counts[idx],
+            reference_bases=list(collapsed.decode("ascii")),
+        )
+
     depth = counts[:, [COL_A, COL_C, COL_G, COL_T, COL_N]].sum(axis=1)
 
-    offset = region_start - ref_seq_start
     ref_raw = np.frombuffer(reference_sequence.encode("ascii"), dtype=np.uint8)[
         offset: offset + region_length
     ]

@@ -223,6 +223,22 @@ def _bind_symbols(lib) -> None:
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(_EventBuffers),
     ]
+    lib.clair_select_candidates.restype = ctypes.c_int64
+    lib.clair_select_candidates.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.clair_finalize_windows.restype = ctypes.c_int64
+    lib.clair_finalize_windows.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.clair_rans_decompress.restype = ctypes.c_int
     lib.clair_rans_decompress.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
@@ -596,6 +612,73 @@ def scan_window_native(
     if rc != 0:
         raise RuntimeError(f"clair_bam_scan_window failed with code {rc} on {bam_path}")
     return counts, _events_from_buffers(lib, tensor)
+
+
+def select_candidates_native(counts, ref_bytes, position_mask,
+                             minimum_af, minimum_coverage):
+    """One C pass of the candidate filter (clair_select_candidates — same
+    depth/top-column/AF semantics as data/pileup.py select_candidates,
+    ref EVC.py:319-378). Returns (idx, depth, collapsed_base_bytes), or
+    None when the library is unavailable so the caller keeps the numpy
+    path. ref_bytes must hold the region's reference bytes starting at
+    region_start (length >= len(counts))."""
+    lib = load_library()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    n = len(counts)
+    if len(ref_bytes) < n:
+        return None
+    idx = np.empty(n, dtype=np.int64)
+    depth = np.empty(n, dtype=np.int32)
+    base = np.empty(n, dtype=np.uint8)
+    if position_mask is not None:
+        mask = np.ascontiguousarray(position_mask, dtype=np.uint8)
+        mask_ptr = mask.ctypes.data_as(ctypes.c_void_p)
+    else:
+        mask_ptr = None
+    m = int(lib.clair_select_candidates(
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+        ref_bytes, mask_ptr,
+        float(minimum_af), float(minimum_coverage),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        depth.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        base.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    ))
+    return idx[:m].copy(), depth[:m].copy(), base[:m].tobytes()
+
+
+def finalize_windows_native(tensor_ints, centers, ref_bytes, ref_seq_start,
+                            minimum_coverage=0):
+    """Fused window finalize (clair_finalize_windows): keep filter +
+    float32 conversion + channel normalization + 33-mer extraction in one
+    C pass, matching finalize_window_tensors + normalize_channels.
+    Returns (tensors float32, kept centers, sequences) or None when the
+    library is unavailable. ref_bytes holds the reference bytes starting
+    at ref_seq_start."""
+    lib = load_library()
+    if lib is None:
+        return None
+    tensor_ints = np.ascontiguousarray(tensor_ints, dtype=np.int32)
+    centers = np.ascontiguousarray(centers, dtype=np.int64)
+    n = len(tensor_ints)
+    out = np.empty((n, 33, 8, 4), dtype=np.float32)
+    kept = np.empty(n, dtype=np.int64)
+    seqs = np.empty(n * 33, dtype=np.uint8)
+    m = int(lib.clair_finalize_windows(
+        tensor_ints.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+        centers.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ref_bytes, len(ref_bytes), ref_seq_start,
+        float(minimum_coverage),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        kept.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        seqs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    ))
+    blob = seqs[:m * 33].tobytes().decode("ascii")
+    sequences = [blob[i * 33:(i + 1) * 33] for i in range(m)]
+    # out[:m] stays a view: m is n minus a handful of dropped edge sites,
+    # so slicing avoids a second full-buffer copy at negligible overhang
+    return out[:m], centers[kept[:m]], sequences
 
 
 class RegionScan:

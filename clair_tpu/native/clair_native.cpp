@@ -1114,6 +1114,113 @@ int clair_region_tensors(void* h, int32_t dcov, const int64_t* centers,
   return 0;
 }
 
+// Single-pass candidate filter over a (region_length, 7) counts matrix.
+// Mirrors data/pileup.py select_candidates exactly (ref EVC.py:319-378):
+// depth over the A,C,G,T,N columns, first-argmax top column in the stable
+// A,C,G,T,I,D,N tie order, second-largest value over the remaining
+// columns, and the same collapsed reference-base map (uppercase IUPAC
+// collapses to its ACGT representative, N and anything else pass through).
+// ref points at the region's reference bytes (already offset to
+// region_start); mask may be null. Returns the number of selected sites;
+// idx_out/depth_out/base_out must each have room for region_length
+// entries.
+int64_t clair_select_candidates(const int32_t* counts, int64_t region_length,
+                                const char* ref, const uint8_t* mask,
+                                double min_af, double min_cov,
+                                int64_t* idx_out, int32_t* depth_out,
+                                uint8_t* base_out) {
+  // byte -> candidate column (CANDIDATE_COL_LUT) and byte -> collapsed
+  // reported base, built once to match the Python tables bit for bit.
+  static int8_t col_lut[256];
+  static uint8_t collapse_lut[256];
+  static bool lut_ready = false;
+  if (!lut_ready) {
+    const char* iupac = "ACGTURYSWKMBDHV";
+    const int8_t iupac_col[] = {0, 1, 2, 3, 3, 0, 1, 1, 0, 2, 0, 1, 0, 0, 0};
+    const char iupac_acgt[] = "ACGTTACCAGACAAA";
+    for (int b = 0; b < 256; b++) {
+      col_lut[b] = -1;
+      collapse_lut[b] = (uint8_t)b;  // not an uppercase IUPAC code: keep
+    }
+    for (int i = 0; iupac[i]; i++) {
+      uint8_t up = (uint8_t)iupac[i];
+      uint8_t lo = (uint8_t)(up + 32);
+      col_lut[up] = col_lut[lo] = iupac_col[i];
+      collapse_lut[up] = (uint8_t)iupac_acgt[i];  // lowercase keeps itself
+    }
+    col_lut['N'] = col_lut['n'] = 6;
+    collapse_lut['N'] = 'N';  // N reports as N, not its A collapse
+    lut_ready = true;
+  }
+
+  int64_t n_out = 0;
+  for (int64_t i = 0; i < region_length; i++) {
+    int8_t ref_col = col_lut[(uint8_t)ref[i]];
+    if (ref_col < 0) continue;
+    if (mask != nullptr && mask[i] == 0) continue;
+    const int32_t* c = counts + i * 7;
+    int32_t depth = c[0] + c[1] + c[2] + c[3] + c[6];
+    if ((double)depth < min_cov) continue;
+    int top = 0;
+    int32_t top_count = c[0];
+    for (int k = 1; k < 7; k++)
+      if (c[k] > top_count) { top_count = c[k]; top = k; }
+    if (top != ref_col) {
+      // dominant column is non-reference: passes regardless of AF
+    } else {
+      int32_t second = INT32_MIN;
+      for (int k = 0; k < 7; k++)
+        if (k != top && c[k] > second) second = c[k];
+      int32_t denom = depth > 0 ? depth : 1;
+      if ((double)second / (double)denom < min_af) continue;
+    }
+    idx_out[n_out] = i;
+    depth_out[n_out] = depth;
+    base_out[n_out] = collapse_lut[(uint8_t)ref[i]];
+    n_out++;
+  }
+  return n_out;
+}
+
+// Fused finalize for filled (n, 33, 8, 4) int32 window tensors: one C
+// pass applies the keep filter (center coverage + complete flank context,
+// data/pileup.py finalize_window_tensors, ref CreateTensor.py:57-59),
+// gathers the kept rows, converts to float32, and channel-normalizes
+// (channels 1..3 -= channel 0, tensor_stream.py normalize_channels) —
+// replacing an astype + fancy-index + in-place subtract chain over the
+// full window in numpy. ref points at the reference bytes starting at
+// ref_seq_start. Writes the kept tensors (float32), the kept input
+// indices, and the kept 33-mer sequences concatenated (33 bytes each);
+// out buffers must have room for n entries. Returns the kept count.
+int64_t clair_finalize_windows(const int32_t* tensors, int64_t n,
+                               const int64_t* centers, const char* ref,
+                               int64_t ref_len, int64_t ref_seq_start,
+                               double minimum_coverage, float* out_tensors,
+                               int64_t* kept_idx, uint8_t* seqs_out) {
+  const int64_t kFlank = 16, kSize = 33 * 8 * 4;
+  int64_t n_kept = 0;
+  for (int64_t i = 0; i < n; i++) {
+    const int32_t* t = tensors + i * kSize;
+    int64_t center_depth = 0;
+    for (int r = 0; r < 8; r++) center_depth += t[kFlank * 32 + r * 4];
+    int64_t c = centers[i] - ref_seq_start;
+    if ((double)center_depth < minimum_coverage) continue;
+    if (c - (kFlank + 1) < 0 || c + kFlank > ref_len) continue;
+    float* o = out_tensors + n_kept * kSize;
+    for (int64_t p = 0; p < kSize; p += 4) {
+      float v0 = (float)t[p];
+      o[p] = v0;
+      o[p + 1] = (float)t[p + 1] - v0;
+      o[p + 2] = (float)t[p + 2] - v0;
+      o[p + 3] = (float)t[p + 3] - v0;
+    }
+    memcpy(seqs_out + n_kept * 33, ref + c - (kFlank + 1), 33);
+    kept_idx[n_kept] = i;
+    n_kept++;
+  }
+  return n_kept;
+}
+
 void clair_free_events(EventBuffers* buffers) {
   free(buffers->match_pos);
   free(buffers->match_qcol);

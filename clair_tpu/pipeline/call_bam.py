@@ -445,10 +445,20 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
             tensor_ints, tensor_events = scan.tensors(
                 centers, reference_sequence, ref_seq_start, dcov=config.dcov
             )
-        ref_raw = np.frombuffer(reference_sequence.encode("ascii"), dtype=np.uint8)
-        tensors, centers, sequences = finalize_window_tensors(
-            tensor_ints.astype(np.float32), centers, ref_raw, ref_seq_start
+        ref_bytes = reference_sequence.encode("ascii")
+        from clair_tpu.native import finalize_windows_native
+
+        finalized = finalize_windows_native(
+            tensor_ints, centers, ref_bytes, ref_seq_start
         )
+        if finalized is not None:
+            tensors, centers, sequences = finalized
+        else:
+            ref_raw = np.frombuffer(ref_bytes, dtype=np.uint8)
+            tensors, centers, sequences = finalize_window_tensors(
+                tensor_ints.astype(np.float32), centers, ref_raw, ref_seq_start
+            )
+            normalize_channels(tensors)
     else:
         candidate_counts, tensor_events = load_region_counts(
             config.bam_path, config.contig, ctg_start - 1, ctg_end,
@@ -467,8 +477,8 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
             minimum_coverage=0,
             consider_left_edge=not config.stop_consider_left_edge,
         )
+        normalize_channels(tensors)
 
-    normalize_channels(tensors)
     work = WindowWork(
         config=config,
         tensors=tensors,

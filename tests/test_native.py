@@ -249,3 +249,74 @@ def test_corrupt_library_rebuilds_or_falls_back(tmp_path, monkeypatch):
     lib = nat.load_library()
     assert lib is not None  # rebuilt from source and loaded
     monkeypatch.setattr(nat, "_lib", None)
+
+
+def test_select_candidates_native_matches_numpy():
+    """clair_select_candidates == the numpy filter, including the stable
+    A,C,G,T,I,D,N argmax tie order, zero-depth rows, position masks, and
+    IUPAC/lowercase/unknown reference bytes."""
+    import clair_tpu.native as native_mod
+    from clair_tpu.data import pileup
+
+    rs = np.random.RandomState(11)
+    n = 20_000
+    counts = rs.randint(0, 25, size=(n, 7)).astype(np.int32)
+    counts[::7, :] = 5          # full seven-way ties
+    counts[::11, :] = 0         # zero depth
+    ref = "".join(rs.choice(list("ACGTNRYKacgtnX*"), size=n + 200))
+    mask = rs.rand(n) > 0.15
+
+    for position_mask in (None, mask):
+        got = pileup.select_candidates(
+            counts, ref, 500, 400, 0.2, 4, position_mask=position_mask
+        )
+        orig = native_mod.select_candidates_native
+        native_mod.select_candidates_native = lambda *a, **kw: None
+        try:
+            want = pileup.select_candidates(
+                counts, ref, 500, 400, 0.2, 4, position_mask=position_mask
+            )
+        finally:
+            native_mod.select_candidates_native = orig
+        assert np.array_equal(got.positions, want.positions)
+        assert np.array_equal(got.depths, want.depths)
+        assert np.array_equal(got.counts, want.counts)
+        assert got.reference_bases == want.reference_bases
+        assert len(want.positions) > 0
+
+
+def test_finalize_windows_native_matches_numpy():
+    """clair_finalize_windows == finalize_window_tensors + astype(float32)
+    + normalize_channels, including edge-of-reference drops and the
+    center-coverage filter."""
+    from clair_tpu.native import finalize_windows_native
+    from clair_tpu.data.pileup import finalize_window_tensors
+    from clair_tpu.data.tensor_stream import normalize_channels
+
+    rs = np.random.RandomState(12)
+    n = 300
+    ref = "".join(rs.choice(list("ACGT"), size=1500))
+    ref_bytes = ref.encode("ascii")
+    ref_raw = np.frombuffer(ref_bytes, dtype=np.uint8)
+    ref_seq_start = 50
+    centers = np.sort(
+        rs.choice(np.arange(40, 1650), size=n, replace=False)
+    ).astype(np.int64)
+    tensors = rs.randint(0, 60, size=(n, 33, 8, 4)).astype(np.int32)
+    tensors[::9] = 0  # zero center depth
+
+    for minimum_coverage in (0, 4):
+        got = finalize_windows_native(
+            tensors, centers, ref_bytes, ref_seq_start,
+            minimum_coverage=minimum_coverage,
+        )
+        want_t, want_c, want_s = finalize_window_tensors(
+            tensors.astype(np.float32), centers, ref_raw, ref_seq_start,
+            minimum_coverage=minimum_coverage,
+        )
+        normalize_channels(want_t)
+        assert got[0].dtype == np.float32
+        assert np.array_equal(got[0], want_t)
+        assert np.array_equal(got[1], want_c)
+        assert got[2] == want_s
+        assert 0 < len(want_c) < n  # both filters actually fired
