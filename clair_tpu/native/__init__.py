@@ -11,7 +11,7 @@ import ctypes
 import os
 import shutil
 import subprocess
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -202,6 +202,12 @@ def _bind_symbols(lib) -> None:
         ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(_EventBuffers),
+    ]
+    lib.clair_region_open2.restype = ctypes.c_void_p
+    lib.clair_region_open2.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
     ]
     lib.clair_region_open.restype = ctypes.c_void_p
     lib.clair_region_open.argtypes = [
@@ -697,16 +703,34 @@ class RegionScan:
         exclude_flag: int = 2316,
         min_mapq: int = 0,
         use_index: bool = True,
+        counts_region: Optional[Tuple[int, int]] = None,
     ):
         self._lib = load_library()
         self._handle = None
+        self._counts_cache = None
         if self._lib is None:
             raise RuntimeError("native library unavailable")
         start_coffset, start_uoffset = _bai_seek(bam_path, ref_id, start, use_index)
-        handle = self._lib.clair_region_open(
-            bam_path.encode(), ref_id, start, end, exclude_flag, min_mapq,
-            start_coffset, start_uoffset,
-        )
+        if counts_region is not None:
+            # fused open: candidate counts accumulate while each accepted
+            # record is still cache-hot (clair_region_open2), so the later
+            # counts() call is a lookup instead of a re-walk of the
+            # inflated buffer
+            region_start, region_length = counts_region
+            cached = np.zeros((region_length, 7), dtype=np.int32)
+            handle = self._lib.clair_region_open2(
+                bam_path.encode(), ref_id, start, end, exclude_flag,
+                min_mapq, start_coffset, start_uoffset,
+                region_start, region_length,
+                cached.ctypes.data_as(ctypes.c_void_p),
+            )
+            if handle:
+                self._counts_cache = (region_start, region_length, cached)
+        else:
+            handle = self._lib.clair_region_open(
+                bam_path.encode(), ref_id, start, end, exclude_flag, min_mapq,
+                start_coffset, start_uoffset,
+            )
         if not handle:
             raise RuntimeError(f"clair_region_open failed on {bam_path}")
         self._handle = handle
@@ -717,6 +741,10 @@ class RegionScan:
 
     def counts(self, region_start: int, region_length: int) -> np.ndarray:
         """(region_length, 7) candidate pileup counts (soft-clip filtered)."""
+        if self._counts_cache is not None:
+            cached_start, cached_length, cached = self._counts_cache
+            if cached_start == region_start and cached_length == region_length:
+                return cached
         out = np.zeros((region_length, 7), dtype=np.int32)
         rc = self._lib.clair_region_counts(
             self._handle, region_start, region_length,

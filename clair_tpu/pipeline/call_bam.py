@@ -126,6 +126,7 @@ def _open_region_scan(config: "CallBamConfig", ctg_start: int, ctg_end: int):
         return native.RegionScan(
             config.bam_path, ref_id, ctg_start - 1, ctg_end,
             min_mapq=config.minimum_mapq,
+            counts_region=(ctg_start - 1, ctg_end - (ctg_start - 1)),
         )
     except Exception:
         return None

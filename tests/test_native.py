@@ -320,3 +320,29 @@ def test_finalize_windows_native_matches_numpy():
         assert np.array_equal(got[1], want_c)
         assert got[2] == want_s
         assert 0 < len(want_c) < n  # both filters actually fired
+
+
+def test_fused_open_counts_matches_counts_pass(tmp_path):
+    """RegionScan(counts_region=...) accumulates the same candidate counts
+    during the open walk as the standalone counts pass, and a counts()
+    call for a different range still runs the real pass."""
+    from clair_tpu.io.bai import build_bai
+    from clair_tpu.native import RegionScan
+    from clair_tpu.utils.simulate import (
+        ErrorProfile, plant_variants, random_reference, simulate_bam,
+    )
+
+    rs = np.random.RandomState(21)
+    ref = random_reference(rs, 8_000)
+    variants = plant_variants(rs, ref, n_variants=12, spacing=400)
+    bam = str(tmp_path / "fused.bam")
+    simulate_bam(bam, ref, variants, rs, coverage=20,
+                 error_profile=ErrorProfile(mismatch=0.03, insertion=0.01,
+                                            deletion=0.01))
+    build_bai(bam, bam + ".bai")
+
+    plain = RegionScan(bam, 0, 0, 8_000)
+    fused = RegionScan(bam, 0, 0, 8_000, counts_region=(0, 8_000))
+    assert plain.n_records == fused.n_records
+    assert np.array_equal(plain.counts(0, 8_000), fused.counts(0, 8_000))
+    assert np.array_equal(plain.counts(100, 500), fused.counts(100, 500))
