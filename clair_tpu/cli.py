@@ -192,6 +192,13 @@ def cmd_call_bam(argv):
                         help="emit tensor+probability rows for the ensemble combiner")
     parser.add_argument("--stop_consider_left_edge", action="store_true",
                         help="reference-parity tensor mode (CreateTensor.py:187)")
+    parser.add_argument("--gvcf", action="store_true",
+                        help="emit gVCF: reference-confidence blocks "
+                             "between variant rows (pipeline/gvcf.py)")
+    parser.add_argument("--base_err", type=float, default=0.001,
+                        help="per-read base error for gVCF reference GQ")
+    parser.add_argument("--gq_bin_size", type=int, default=5,
+                        help="GQ bin width for merging gVCF reference blocks")
     parser.add_argument("--log_path", default=None)
     parser.add_argument("--threads", type=int, default=None,
                         help="host decode threads (reference: TF threads)")
@@ -226,6 +233,9 @@ def cmd_call_bam(argv):
         stop_consider_left_edge=args.stop_consider_left_edge,
         debug=args.debug,
         output_for_ensemble=args.output_for_ensemble,
+        gvcf=args.gvcf,
+        base_err=args.base_err,
+        gq_bin_size=args.gq_bin_size,
     )
     total = call_bam(
         config, _predictor_from(args.chkpnt_fn, dtype=args.dtype,
@@ -261,6 +271,13 @@ def cmd_call_bam_parallel(argv):
     parser.add_argument("--bam_for_all_indel_bases", "--pysam_for_all_indel_bases",
                         action="store_true", dest="bam_for_all_indel_bases")
     parser.add_argument("--stop_consider_left_edge", action="store_true")
+    parser.add_argument("--gvcf", action="store_true",
+                        help="emit gVCF: reference-confidence blocks "
+                             "between variant rows (pipeline/gvcf.py)")
+    parser.add_argument("--base_err", type=float, default=0.001,
+                        help="per-read base error for gVCF reference GQ")
+    parser.add_argument("--gq_bin_size", type=int, default=5,
+                        help="GQ bin width for merging gVCF reference blocks")
     parser.add_argument("--dtype", choices=("float32", "bfloat16"), default=None,
                         help="inference compute dtype (default float32)")
     parser.add_argument("--num_devices", type=int, default=None,
@@ -352,6 +369,9 @@ def cmd_call_bam_parallel(argv):
         use_bam_for_all_indels=args.bam_for_all_indel_bases,
         truth_vcf_path=args.vcf_fn,
         stop_consider_left_edge=args.stop_consider_left_edge,
+        gvcf=args.gvcf,
+        base_err=args.base_err,
+        gq_bin_size=args.gq_bin_size,
     )
     if args.work_dir:
         from clair_tpu.io.fasta import FastaReader
@@ -372,7 +392,7 @@ def cmd_call_bam_parallel(argv):
         if args.finalize_only:
             state = finalize(queue, args.output_prefix + ".vcf",
                              sample_name=args.sampleName,
-                             contigs=contigs, qual=args.qual)
+                             contigs=contigs, qual=args.qual, gvcf=args.gvcf)
             print(json.dumps(state), file=sys.stderr)
             return
         total = run_worker(
@@ -387,7 +407,7 @@ def cmd_call_bam_parallel(argv):
         if state["ok"] + state["failed"] == state["total"]:
             finalize(queue, args.output_prefix + ".vcf",
                      sample_name=args.sampleName,
-                     contigs=contigs, qual=args.qual)
+                     contigs=contigs, qual=args.qual, gvcf=args.gvcf)
         return
     if args.process_pool:
         if args.num_devices and args.num_devices > 1:

@@ -44,9 +44,20 @@ class VcfWriter:
         self.sample_name = sample_name
         self.contigs = list(contigs) if contigs else None
         self.quality_score_for_pass = quality_score_for_pass
+        # extra header lines appended after HEADER_BODY (gVCF mode adds
+        # NON_REF/END/MIN_DP/PL declarations; see pipeline/gvcf.py)
+        self.header_extra: str = ""
+
+    def begin_window(self, work) -> None:
+        """Window bracket hook (no-op here; GvcfWriter buffers rows)."""
+
+    def end_window(self) -> None:
+        """Window bracket hook (no-op here; GvcfWriter merges blocks)."""
 
     def write_header(self) -> None:
         print(HEADER_BODY, file=self._fh)
+        if self.header_extra:
+            print(self.header_extra, file=self._fh)
         if self.contigs:
             for name, length in self.contigs:
                 print(f"##contig=<ID={name},length={length}>", file=self._fh)
@@ -93,6 +104,27 @@ class VcfWriter:
     def close(self) -> None:
         if self._fh not in (sys.stdout, sys.stderr):
             self._fh.close()
+
+
+def make_writer(config, output_fh, contigs=None) -> "VcfWriter":
+    """VcfWriter, or GvcfWriter when ``config.gvcf`` is set (duck-typed:
+    reads gvcf/sample_name/qual/gq_bin_size off any config object)."""
+    if getattr(config, "gvcf", False):
+        from clair_tpu.pipeline.gvcf import GvcfWriter
+
+        return GvcfWriter(
+            output_fh,
+            sample_name=config.sample_name,
+            contigs=contigs,
+            quality_score_for_pass=config.qual,
+            gq_bin_size=getattr(config, "gq_bin_size", 5),
+        )
+    return VcfWriter(
+        output_fh,
+        sample_name=config.sample_name,
+        contigs=contigs,
+        quality_score_for_pass=config.qual,
+    )
 
 
 def contigs_from_fai(fai_path: str):

@@ -349,6 +349,11 @@ class CallBamConfig:
     # per-site probability dump / ensemble tensor+probability output
     debug: bool = False
     output_for_ensemble: bool = False
+    # gVCF mode: reference-confidence blocks between variant rows
+    # (pipeline/gvcf.py; flag names follow the Clair3 CLI)
+    gvcf: bool = False
+    base_err: float = 0.001
+    gq_bin_size: int = 5
 
 
 @dataclass
@@ -368,6 +373,9 @@ class WindowWork:
     indel_sources: EventsIndelSources
     contigs: list
     output_config: OutputConfig
+    # gVCF mode: (contig, window_start_1based, depth, gq, ref_bytes) for
+    # the block writer (pipeline/gvcf.py), None otherwise
+    gvcf_data: Optional[tuple] = None
 
 
 def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -> WindowWork:
@@ -433,16 +441,25 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
         )
         return sites.positions + 1  # 1-based
 
+    if config.gvcf and (config.output_for_ensemble or config.debug):
+        raise ValueError(
+            "--gvcf is incompatible with ensemble/debug output (those "
+            "modes write non-VCF rows that cannot carry reference blocks)"
+        )
+
+    region_counts = None  # (region_length, 7) matrix, kept for gVCF mode
     if scan is not None:
         from clair_tpu.data.pileup import finalize_window_tensors
 
         with scan:
+            if config.truth_vcf_path is None or config.gvcf:
+                region_counts = scan.counts(
+                    ctg_start - 1, ctg_end - (ctg_start - 1)
+                )
             if config.truth_vcf_path is not None:
                 centers = truth_centers()
             else:
-                centers = select_sites(
-                    scan.counts(ctg_start - 1, ctg_end - (ctg_start - 1))
-                )
+                centers = select_sites(region_counts)
             tensor_ints, tensor_events = scan.tensors(
                 centers, reference_sequence, ref_seq_start, dcov=config.dcov
             )
@@ -469,6 +486,7 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
             fasta=fasta,
             track_read_layout=config.stop_consider_left_edge,
         )
+        region_counts = candidate_counts
         if config.truth_vcf_path is not None:
             centers = truth_centers()
         else:
@@ -480,11 +498,26 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
         )
         normalize_channels(tensors)
 
+    gvcf_data = None
+    if config.gvcf and region_counts is not None:
+        from clair_tpu.pipeline.gvcf import reference_confidence
+
+        offset = (ctg_start - 1) - ref_seq_start
+        region_length = ctg_end - (ctg_start - 1)
+        window_ref = reference_sequence[
+            offset: offset + region_length
+        ].encode("ascii")
+        gvcf_depth, gvcf_gq = reference_confidence(
+            region_counts, window_ref, config.base_err
+        )
+        gvcf_data = (config.contig, ctg_start, gvcf_depth, gvcf_gq, window_ref)
+
     work = WindowWork(
         config=config,
         tensors=tensors,
         centers=centers,
         sequences=sequences,
+        gvcf_data=gvcf_data,
         indel_sources=EventsIndelSources(
             tensor_events, fasta, config.contig, config.use_bam_for_all_indels
         ),
@@ -543,6 +576,7 @@ def call_window(work: WindowWork, predictor: Predictor, writer: VcfWriter,
     # lets transfers for batches k+1..k+D proceed while batch k decodes.
     from collections import deque
 
+    writer.begin_window(work)
     pending = deque()
     for off in range(0, len(work.tensors), batch):
         x = work.tensors[off:off + batch]  # pre-normalized; read-only use
@@ -557,6 +591,7 @@ def call_window(work: WindowWork, predictor: Predictor, writer: VcfWriter,
             total += flush(pending.popleft())
     while pending:
         total += flush(pending.popleft())
+    writer.end_window()
     fasta = getattr(work, "_fasta_to_close", None)
     if fasta is not None:
         fasta.close()
@@ -579,12 +614,9 @@ def call_bam(
     if output_fh is None:
         output_fh = open(output_path, "w") if output_path else sys.stdout
         close_output = output_path is not None
-    writer = VcfWriter(
-        output_fh,
-        sample_name=config.sample_name,
-        contigs=work.contigs,
-        quality_score_for_pass=config.qual,
-    )
+    from clair_tpu.io.vcf import make_writer
+
+    writer = make_writer(config, output_fh, contigs=work.contigs)
     if not config.output_for_ensemble:
         writer.write_header()
 

@@ -353,12 +353,9 @@ def call_bam_windows_threaded(
     output_fh = (
         open(output_path, "a" if appending else "w") if output_path else sys.stdout
     )
-    writer = VcfWriter(
-        output_fh,
-        sample_name=base_config.sample_name,
-        contigs=contigs,
-        quality_score_for_pass=base_config.qual,
-    )
+    from clair_tpu.io.vcf import make_writer
+
+    writer = make_writer(base_config, output_fh, contigs=contigs)
     if not appending:
         writer.write_header()
 

@@ -252,8 +252,9 @@ def run_worker(
             work = prepare_window(config)
             path = queue.vcf_path(window)
             with open(path + f".tmp.{os.getpid()}", "w") as fh:
-                writer = VcfWriter(fh, sample_name=base_config.sample_name,
-                                   quality_score_for_pass=base_config.qual)
+                from clair_tpu.io.vcf import make_writer
+
+                writer = make_writer(base_config, fh)
                 sites = call_window(work, predictor, writer)
             os.replace(path + f".tmp.{os.getpid()}", path)
             queue.mark_done(window, "ok", sites=sites,
@@ -271,7 +272,7 @@ def run_worker(
 
 
 def finalize(queue: WorkQueue, output_path: str, sample_name: str = "SAMPLE",
-             contigs=None, qual=None) -> dict:
+             contigs=None, qual=None, gvcf: bool = False) -> dict:
     """Merge finished windows (genome order) into one VCF with a header.
     Returns the queue status; failed/missing windows are reported, their
     rows absent (re-run workers after reclaiming to fill them)."""
@@ -284,6 +285,10 @@ def finalize(queue: WorkQueue, output_path: str, sample_name: str = "SAMPLE",
     with open(tmp_path, "w") as out:
         writer = VcfWriter(out, sample_name=sample_name, contigs=contigs,
                            quality_score_for_pass=qual)
+        if gvcf:
+            from clair_tpu.pipeline.gvcf import GVCF_HEADER_EXTRA
+
+            writer.header_extra = GVCF_HEADER_EXTRA
         writer.write_header()
         for window in queue.windows():
             path = queue.vcf_path(window)
