@@ -1159,27 +1159,35 @@ int64_t clair_select_candidates(const int32_t* counts, int64_t region_length,
                                 uint8_t* base_out) {
   // byte -> candidate column (CANDIDATE_COL_LUT) and byte -> collapsed
   // reported base, built once to match the Python tables bit for bit.
-  static int8_t col_lut[256];
-  static uint8_t collapse_lut[256];
-  static bool lut_ready = false;
-  if (!lut_ready) {
-    const char* iupac = "ACGTURYSWKMBDHV";
-    const int8_t iupac_col[] = {0, 1, 2, 3, 3, 0, 1, 1, 0, 2, 0, 1, 0, 0, 0};
-    const char iupac_acgt[] = "ACGTTACCAGACAAA";
-    for (int b = 0; b < 256; b++) {
-      col_lut[b] = -1;
-      collapse_lut[b] = (uint8_t)b;  // not an uppercase IUPAC code: keep
+  // A function-local static struct gets C++11 magic-static init: the
+  // first pileup worker thread to arrive builds it, concurrent first
+  // calls from other workers block until it is complete (a plain
+  // `static bool ready` guard would be a data race here — ctypes
+  // releases the GIL, so worker threads do run this concurrently).
+  struct CandidateLuts {
+    int8_t col[256];
+    uint8_t collapse[256];
+    CandidateLuts() {
+      const char* iupac = "ACGTURYSWKMBDHV";
+      const int8_t iupac_col[] = {0, 1, 2, 3, 3, 0, 1, 1, 0, 2, 0, 1, 0, 0, 0};
+      const char iupac_acgt[] = "ACGTTACCAGACAAA";
+      for (int b = 0; b < 256; b++) {
+        col[b] = -1;
+        collapse[b] = (uint8_t)b;  // not an uppercase IUPAC code: keep
+      }
+      for (int i = 0; iupac[i]; i++) {
+        uint8_t up = (uint8_t)iupac[i];
+        uint8_t lo = (uint8_t)(up + 32);
+        col[up] = col[lo] = iupac_col[i];
+        collapse[up] = (uint8_t)iupac_acgt[i];  // lowercase keeps itself
+      }
+      col['N'] = col['n'] = 6;
+      collapse['N'] = 'N';  // N reports as N, not its A collapse
     }
-    for (int i = 0; iupac[i]; i++) {
-      uint8_t up = (uint8_t)iupac[i];
-      uint8_t lo = (uint8_t)(up + 32);
-      col_lut[up] = col_lut[lo] = iupac_col[i];
-      collapse_lut[up] = (uint8_t)iupac_acgt[i];  // lowercase keeps itself
-    }
-    col_lut['N'] = col_lut['n'] = 6;
-    collapse_lut['N'] = 'N';  // N reports as N, not its A collapse
-    lut_ready = true;
-  }
+  };
+  static const CandidateLuts luts;
+  const int8_t* col_lut = luts.col;
+  const uint8_t* collapse_lut = luts.collapse;
 
   int64_t n_out = 0;
   for (int64_t i = 0; i < region_length; i++) {

@@ -123,10 +123,18 @@ def _open_region_scan(config: "CallBamConfig", ctg_start: int, ctg_end: int):
             ref_id = bam.reference_id(config.contig)
         if ref_id is None:
             return None
+        # fused counts only when something will read them: candidate
+        # selection (no truth VCF) or gVCF blocks — truth-mode extraction
+        # would otherwise pay the dominant accumulation cost for a matrix
+        # that is thrown away
+        wants_counts = config.truth_vcf_path is None or config.gvcf
         return native.RegionScan(
             config.bam_path, ref_id, ctg_start - 1, ctg_end,
             min_mapq=config.minimum_mapq,
-            counts_region=(ctg_start - 1, ctg_end - (ctg_start - 1)),
+            counts_region=(
+                (ctg_start - 1, ctg_end - (ctg_start - 1))
+                if wants_counts else None
+            ),
         )
     except Exception:
         return None

@@ -98,7 +98,12 @@ def _variant_pl(genotype: str, n_alleles: int, qual: int) -> str:
     size = n_alleles * (n_alleles + 1) // 2
     values = [penalty] * size
     try:
-        a, b = (int(x) for x in genotype.replace("|", "/").split("/"))
+        alleles = [int(x) for x in genotype.replace("|", "/").split("/")]
+        if len(alleles) == 1:
+            # haploid modes emit single-allele GTs ('1'); place the 0 at
+            # the homozygous cell of the diploid-convention vector
+            alleles = alleles * 2
+        a, b = alleles
         values[_pl_index(a, b)] = 0
     except (ValueError, IndexError):
         pass  # './.' or malformed: leave a flat vector
@@ -129,6 +134,11 @@ class GvcfWriter(VcfWriter):
         self.gq_bin_size = max(int(gq_bin_size), 1)
         self._rows: Optional[list] = None
         self._window = None
+        # (chrom, resume_pos): a variant REF span that ran past the last
+        # window's end suppresses blocks up to resume_pos in the next
+        # contiguous window, keeping the covered-exactly-once invariant
+        # for deletions that cross window boundaries
+        self._carry: Optional[Tuple[str, int]] = None
 
     # -- capture ----------------------------------------------------------
 
@@ -171,11 +181,18 @@ class GvcfWriter(VcfWriter):
         region_end1 = start1 + len(depth) - 1
         out = []
         cursor = start1
+        if self._carry is not None:
+            carry_chrom, carry_pos = self._carry
+            if carry_chrom == chrom and carry_pos > start1:
+                cursor = carry_pos
+        self._carry = None
         for line in rows:
             fields = line.split("\t")
             pos = int(fields[1])
-            if fields[4] == ".":
-                continue  # explicit reference row: covered by blocks
+            if fields[4] == "." or fields[4] == fields[3]:
+                # explicit reference row (--show_ref emits ALT == REF,
+                # batch_decode.py hom-ref rows): covered by blocks
+                continue
             if pos > cursor:
                 self._emit_blocks(
                     out, chrom, start1, depth, gq, ref_bytes,
@@ -187,6 +204,15 @@ class GvcfWriter(VcfWriter):
             self._emit_blocks(
                 out, chrom, start1, depth, gq, ref_bytes, cursor, region_end1
             )
+        elif cursor > region_end1 + 1:
+            # a REF span extends into the next window (deletion at the
+            # window edge); remember where its coverage ends. One writer
+            # sees windows in genome order (threaded runner / sequential
+            # call_bam), so the next end_window resumes there. The
+            # multi-host queue writes windows to separate files and
+            # cannot carry this — a boundary-spanning deletion may then
+            # overlap the next window's first block by its tail bases.
+            self._carry = (chrom, cursor)
         if out:
             self._fh.write("\n".join(out) + "\n")
 

@@ -192,3 +192,66 @@ def test_gvcf_block_binning():
     ]
     # REF base of each block comes from the block start
     assert [o.split("\t")[3] for o in out] == ["A", "T", "C"]
+
+
+def test_variant_pl_haploid():
+    # haploid GTs ('1', '0') place the 0 at the homozygous cell
+    assert _variant_pl("1", 3, 42) == "42,42,0,42,42,42"
+    assert _variant_pl("0", 3, 42) == "0,42,42,42,42,42"
+
+
+def test_gvcf_show_ref_rows_fold_into_blocks(gvcf_genome):
+    """--show_ref hom-ref rows (ALT == REF) are dropped in gVCF mode; the
+    covered-exactly-once invariant holds."""
+    from tests.test_pipeline_e2e import OraclePredictor
+
+    from clair_tpu.pipeline.call_bam import CallBamConfig, call_bam
+
+    bam, fa, ref, _ = gvcf_genome
+    out = io.StringIO()
+    config = CallBamConfig(
+        bam_path=bam, fasta_path=fa, contig="chr1",
+        minimum_af=0.2, minimum_coverage=4, gvcf=True, show_reference=True,
+    )
+    call_bam(config, OraclePredictor(), output_fh=out)
+    blocks, rows = _parse_gvcf(out.getvalue())
+    for f in rows:
+        assert f[4].split(",")[0] != f[3], f
+    _coverage_check(blocks, rows, 1, len(ref))
+
+
+def test_gvcf_deletion_spanning_window_boundary():
+    """A deletion whose REF span crosses the window edge suppresses the
+    next window's leading block positions (single-writer carry)."""
+    out = io.StringIO()
+    writer = GvcfWriter(out, gq_bin_size=100)
+
+    class _Work:
+        pass
+
+    # window 1: [1, 10]; deletion at pos 9 with 4 bp REF covers 9-12
+    w1 = _Work()
+    w1.gvcf_data = (
+        "chr1", 1,
+        np.full(10, 20, dtype=np.int64), np.full(10, 60, dtype=np.int64),
+        b"ACGTACGTAC",
+    )
+    writer.begin_window(w1)
+    writer.write_raw("chr1\t9\t.\tACGT\tA\t50\t.\t.\tGT:GQ:DP:AF\t1/1:50:20:0.9\n")
+    writer.end_window()
+
+    # window 2: [11, 20], contiguous
+    w2 = _Work()
+    w2.gvcf_data = (
+        "chr1", 11,
+        np.full(10, 20, dtype=np.int64), np.full(10, 60, dtype=np.int64),
+        b"GTACGTACGT",
+    )
+    writer.begin_window(w2)
+    writer.end_window()
+
+    blocks, rows = _parse_gvcf(out.getvalue())
+    assert len(rows) == 1 and rows[0][1] == "9"
+    _coverage_check(blocks, rows, 1, 20)
+    # window 2's first block starts after the deletion span, not at 11
+    assert min(b[0] for b in blocks if b[0] >= 11) == 13
