@@ -1056,32 +1056,47 @@ int clair_region_tensors(void* h, int32_t dcov, const int64_t* centers,
       int64_t len = cv >> 4;
       switch (op) {
         case 0: case 7: case 8: {
-          // clamp to the positions that can touch a window AND have a
-          // known reference base: long ONT reads mostly hang outside both
-          int64_t k_lo = std::max<int64_t>(
-              0, std::max(ref_lo, mask_lo) - refp);
-          int64_t k_hi = std::min(
-              len, std::min(ref_hi, mask_lo + mask_len) - refp);
-          for (int64_t k = k_lo; k < k_hi; k++) {
-            int64_t p = refp + k;
-            int64_t w_lo, w_hi;
-            if (!windows(p, &w_lo, &w_hi)) continue;
-            int64_t q = qp + k;
-            uint8_t code = seq_p[q >> 1];
-            code = (q & 1) ? (code & 0xF) : (code >> 4);
-            int8_t qc = kCodeToCol[code];
-            if (qc < 0) continue;
-            int8_t rr = kBaseNum.lut[(uint8_t)ref_seq[p - ref_seq_start]];
-            if (rr < 0) continue;
-            int64_t q_row = (qc > 3 ? 0 : qc) + strand_rows;
-            int64_t r_row = rr + strand_rows;
-            for (int64_t w = w_lo; w < w_hi; w++) {
-              int64_t idx = p - centers[w] + kFlank + 1;
-              int32_t* cell = tensors_out + w * kSize + idx * 32;
-              cell[r_row * 4 + 0]++;
-              cell[r_row * 4 + 2]++;
-              cell[q_row * 4 + 1]++;
-              cell[q_row * 4 + 3]++;
+          // Iterate per overlapping WINDOW, not per aligned base: a long
+          // ONT read visits ~14M aligned bases per 250 kb region but
+          // only ~20-30% sit inside any candidate window — the per-base
+          // windows() lookup on the cold majority was the pass's
+          // dominant cost. Center range for the whole run comes from the
+          // same precomputed sweep tables in O(1), then each (window,
+          // position) pair is visited exactly once, identical to the
+          // per-base form (equivalence-tested against the Python engine
+          // in tests/test_native.py).
+          int64_t a = std::max(refp, ref_lo);          // ref-gated span
+          int64_t b = std::min(refp + len, ref_hi);
+          if (a < b) {
+            // centers c whose 33-wide window [c-17, c+15] meets [a, b):
+            // c >= a - kFlank + 1 and c <= (b-1) + kFlank + 1
+            int64_t a_idx = a - mask_lo;
+            int64_t b_idx = (b - 1) - mask_lo;
+            int64_t c_lo = a_idx < 0 ? 0
+                : (a_idx >= mask_len ? n_centers : win_lo[a_idx]);
+            int64_t c_hi = b_idx < 0 ? 0
+                : (b_idx >= mask_len ? n_centers : win_hi[b_idx]);
+            for (int64_t w = c_lo; w < c_hi; w++) {
+              int64_t c = centers[w];
+              int64_t p_lo = std::max(a, c - kFlank - 1);
+              int64_t p_hi = std::min(b - 1, c + kFlank - 1);
+              int32_t* win_cells = tensors_out + w * kSize;
+              for (int64_t p = p_lo; p <= p_hi; p++) {
+                int64_t q = qp + (p - refp);
+                uint8_t code = seq_p[q >> 1];
+                code = (q & 1) ? (code & 0xF) : (code >> 4);
+                int8_t qc = kCodeToCol[code];
+                if (qc < 0) continue;
+                int8_t rr = kBaseNum.lut[(uint8_t)ref_seq[p - ref_seq_start]];
+                if (rr < 0) continue;
+                int64_t q_row = (qc > 3 ? 0 : qc) + strand_rows;
+                int64_t r_row = rr + strand_rows;
+                int32_t* cell = win_cells + (p - c + kFlank + 1) * 32;
+                cell[r_row * 4 + 0]++;
+                cell[r_row * 4 + 2]++;
+                cell[q_row * 4 + 1]++;
+                cell[q_row * 4 + 3]++;
+              }
             }
           }
           refp += len;
