@@ -1358,6 +1358,34 @@ def _native_decode_arrays(
     )
 
 
+def _concat_packed(parts):
+    """Concatenate per-slice packed-array payloads into one (offsets are
+    rebased); an empty part list yields a valid zero-record payload."""
+    value_keys = ("pos", "mapq", "flag", "refid", "seq", "cig_ops",
+                  "cig_lens")
+    if not parts:
+        return {
+            "pos": np.empty(0, np.int64), "mapq": np.empty(0, np.int32),
+            "flag": np.empty(0, np.int32), "refid": np.empty(0, np.int32),
+            "seq": np.empty(0, np.uint8), "seq_off": np.zeros(1, np.int64),
+            "cig_ops": np.empty(0, np.uint8),
+            "cig_lens": np.empty(0, np.int32),
+            "cig_off": np.zeros(1, np.int64),
+        }
+    if len(parts) == 1:
+        return parts[0]
+    out = {k: np.concatenate([p[k] for p in parts]) for k in value_keys}
+    for key in ("seq_off", "cig_off"):
+        base = 0
+        segments = [np.zeros(1, dtype=np.int64)]
+        for p in parts:
+            offsets = np.asarray(p[key], dtype=np.int64)
+            segments.append(offsets[1:] + base)
+            base += int(offsets[-1])
+        out[key] = np.concatenate(segments)
+    return out
+
+
 def _records_from_arrays(
     arrays, slice_header: SliceHeader, name_prefix: str
 ) -> List[BamRecord]:
@@ -1506,10 +1534,10 @@ class CramReader:
                 continue
             yield header, self._fh.read(header.length)
 
-    def _native_slice(self, comp, sh, core, external, skip_quals=None):
+    def _native_slice_arrays(self, comp, sh, core, external, skip_quals=None):
         """Try the native record decoder for one slice. Returns the
-        record list, or None to fall back to the Python decoder (which
-        either handles the case or raises the precise error).
+        packed arrays payload, or None to fall back to the Python decoder
+        (which either handles the case or raises the precise error).
         ``skip_quals=None`` derives the flag from reader state (matching
         what _slice_records would have skipped for this slice)."""
         if sh.ref_seq_id == -2:
@@ -1575,7 +1603,74 @@ class CramReader:
             )
         if rc != 0:
             return None
+        return payload
+
+    def _native_slice(self, comp, sh, core, external, skip_quals=None):
+        """Native record decode for one slice as BamRecord objects, or
+        None to fall back to the Python decoder."""
+        payload = self._native_slice_arrays(comp, sh, core, external,
+                                            skip_quals)
+        if payload is None:
+            return None
         return _records_from_arrays(payload, sh, "cram")
+
+    def _container_arrays(self, header: ContainerHeader, body: bytes):
+        """Packed arrays for every slice of one container, or None when
+        any slice needs the Python decoder."""
+        cursor = ByteCursor(body)
+        comp = parse_compression_header(
+            read_block(cursor, self.verify_crc).data
+        )
+        skip_ids = frozenset()
+        if self._skip_quals:
+            skip_ids, _, _ = qual_skip_info(comp)
+        parts = []
+        for _ in range(max(len(header.landmarks), 1)):
+            if cursor.eof():
+                break
+            sh = parse_slice_header(read_block(cursor, self.verify_crc).data)
+            slice_skip = skip_ids
+            if sh.embedded_ref_id >= 0 and sh.embedded_ref_id in slice_skip:
+                slice_skip = slice_skip - {sh.embedded_ref_id}
+            skipping = bool(slice_skip)
+            core = b""
+            external: Dict[int, bytes] = {}
+            for _ in range(sh.n_blocks):
+                block = read_block(cursor, self.verify_crc,
+                                   skip_ids=slice_skip or None)
+                if block.content_type == CT_CORE:
+                    core = block.data
+                elif not (skipping and block.content_id in slice_skip):
+                    external[block.content_id] = block.data
+            payload = self._native_slice_arrays(comp, sh, core, external,
+                                                skipping)
+            if payload is None:
+                return None
+            parts.append(payload)
+        return parts
+
+    def fetch_packed(self, contig: Optional[str] = None,
+                     start: Optional[int] = None,
+                     end: Optional[int] = None):
+        """Packed record arrays for a region — the zero-Python-object fast
+        path feeding native.RegionScan.from_packed (flag/MAPQ/overlap
+        filtering happens there, matching fetch()). Concatenates every
+        slice of the containers overlapping [start, end); returns None
+        when the native decoder is off or any overlapping slice needs the
+        Python decoder (multi-ref slices, exotic codecs), so callers
+        never silently lose records."""
+        if not self._use_native:
+            return None
+        want_ref = self._name_to_id.get(contig) if contig is not None else None
+        if contig is not None and want_ref is None:
+            return None
+        parts = []
+        for header, body in self._containers(want_ref, start, end):
+            arrays = self._container_arrays(header, body)
+            if arrays is None:
+                return None
+            parts.extend(arrays)
+        return _concat_packed(parts)
 
     def _slice_records(self, header: ContainerHeader, body: bytes):
         cursor = ByteCursor(body)

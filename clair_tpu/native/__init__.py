@@ -209,6 +209,18 @@ def _bind_symbols(lib) -> None:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
     ]
+    lib.clair_region_from_packed.restype = ctypes.c_void_p
+    lib.clair_region_from_packed.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+    ]
     lib.clair_region_open.restype = ctypes.c_void_p
     lib.clair_region_open.argtypes = [
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
@@ -734,6 +746,59 @@ class RegionScan:
         if not handle:
             raise RuntimeError(f"clair_region_open failed on {bam_path}")
         self._handle = handle
+
+    @classmethod
+    def from_packed(cls, arrays, ref_id, start, end, exclude_flag=2316,
+                    min_mapq=0, counts_region=None):
+        """RegionScan over packed record arrays (the native CRAM slice
+        decoder's output: ASCII seq, BAM cigar op codes, position-sorted)
+        — same counts()/tensors() surface as the file-based constructor.
+        Returns None when the library is missing or a record exceeds BAM
+        limits (>65535 cigar ops); callers fall back to the Python
+        events engine."""
+        lib = load_library()
+        if lib is None:
+            return None
+        n = int(arrays["pos"].shape[0])
+
+        def as_c(key, dtype, ctype):
+            a = np.ascontiguousarray(arrays[key], dtype=dtype)
+            if a.size == 0:
+                a = np.zeros(1, dtype=dtype)
+            return a, a.ctypes.data_as(ctypes.POINTER(ctype))
+
+        pos, pos_p = as_c("pos", np.int64, ctypes.c_int64)
+        mapq, mapq_p = as_c("mapq", np.int32, ctypes.c_int32)
+        flag, flag_p = as_c("flag", np.int32, ctypes.c_int32)
+        refid, refid_p = as_c("refid", np.int32, ctypes.c_int32)
+        seq, seq_p = as_c("seq", np.uint8, ctypes.c_uint8)
+        seq_off, seq_off_p = as_c("seq_off", np.int64, ctypes.c_int64)
+        cig_ops, cig_ops_p = as_c("cig_ops", np.uint8, ctypes.c_uint8)
+        cig_lens, cig_lens_p = as_c("cig_lens", np.int32, ctypes.c_int32)
+        cig_off, cig_off_p = as_c("cig_off", np.int64, ctypes.c_int64)
+
+        cached = None
+        region_start = region_length = 0
+        counts_ptr = None
+        if counts_region is not None:
+            region_start, region_length = counts_region
+            cached = np.zeros((region_length, 7), dtype=np.int32)
+            counts_ptr = cached.ctypes.data_as(ctypes.c_void_p)
+        handle = lib.clair_region_from_packed(
+            n, pos_p, mapq_p, flag_p, refid_p,
+            seq_p, seq_off_p, cig_ops_p, cig_lens_p, cig_off_p,
+            ref_id, start, end, exclude_flag, min_mapq,
+            region_start, region_length, counts_ptr,
+        )
+        if not handle:
+            return None
+        self = cls.__new__(cls)
+        self._lib = lib
+        self._handle = handle
+        self._counts_cache = (
+            (region_start, region_length, cached) if cached is not None else None
+        )
+        return self
 
     @property
     def n_records(self) -> int:

@@ -319,6 +319,11 @@ T read_le(const uint8_t* p) {
 }
 
 template <typename T>
+void write_le(uint8_t* p, T v) {
+  memcpy(p, &v, sizeof(T));
+}
+
+template <typename T>
 T* to_heap(const std::vector<T>& v) {
   T* p = (T*)malloc(v.size() * sizeof(T));
   if (p && !v.empty()) memcpy(p, v.data(), v.size() * sizeof(T));
@@ -904,6 +909,107 @@ int clair_region_counts(void* h, int64_t region_start, int64_t region_length,
   for (size_t rec_offset : handle->records)
     accumulate_counts_record(handle->data.data() + rec_offset + 4, acc);
   return 0;
+}
+
+// Build a RegionHandle from packed record arrays — the native CRAM slice
+// decoder's output (clair_cram.cpp: ASCII seq bytes, BAM cigar op codes,
+// position-sorted records) — so the counts/tensors passes run unchanged
+// on CRAM input instead of falling back to the Python events engine
+// (measured ~128x slower on a noisy ONT window). Each passing record is
+// synthesized as a BAM-format record block (32-byte fixed header +
+// 1-byte empty name + cigar + 4-bit packed seq; quals omitted — only
+// this library's own passes read these bytes and none touch quals).
+// Record selection matches clair_region_open (flag/mapq/region overlap);
+// counts_out (nullable) fuses the candidate counts pass like
+// clair_region_open2. Returns nullptr when a record cannot be expressed
+// in BAM limits (cigar ops > 65535, pos > INT32_MAX) — the caller falls
+// back to the Python path rather than silently dropping reads.
+void* clair_region_from_packed(
+    int64_t n, const int64_t* pos, const int32_t* mapq, const int32_t* flag,
+    const int32_t* refid,
+    const uint8_t* seq, const int64_t* seq_off,
+    const uint8_t* cig_ops, const int32_t* cig_lens, const int64_t* cig_off,
+    int32_t ref_id, int64_t start, int64_t end,
+    int32_t exclude_flag, int32_t min_mapq,
+    int64_t region_start, int64_t region_length, int32_t* counts_out) {
+  struct Ascii4Bit {
+    uint8_t lut[256];
+    Ascii4Bit() {
+      // BAM 4-bit base codes ("=ACMGRSVTWYHKDBN"); unknowns become N
+      const char* bases = "=ACMGRSVTWYHKDBN";
+      for (int b = 0; b < 256; b++) lut[b] = 15;
+      for (int c = 1; c < 16; c++) {
+        lut[(uint8_t)bases[c]] = (uint8_t)c;
+        lut[(uint8_t)(bases[c] + 32)] = (uint8_t)c;  // lowercase
+      }
+    }
+  };
+  static const Ascii4Bit k4bit;
+
+  CountsAcc acc{counts_out, region_start, region_length};
+  RegionHandle* handle = new RegionHandle();
+  handle->records.reserve((size_t)n);
+  size_t upper = 0;
+  for (int64_t i = 0; i < n; i++)
+    upper += 4 + 33 + 4 * (size_t)(cig_off[i + 1] - cig_off[i]) +
+             (size_t)(seq_off[i + 1] - seq_off[i] + 1) / 2;
+  handle->data.reserve(upper);
+
+  for (int64_t i = 0; i < n; i++) {
+    if (refid[i] != ref_id) continue;
+    if (flag[i] & exclude_flag) continue;
+    if (mapq[i] < min_mapq) continue;
+    if (end >= 0 && pos[i] >= end) continue;
+    int64_t c0 = cig_off[i], nc = cig_off[i + 1] - c0;
+    if (nc > 0xFFFF || pos[i] > INT32_MAX || pos[i] < INT32_MIN) {
+      delete handle;
+      return nullptr;
+    }
+    if (start >= 0) {
+      int64_t ref_len = 0;
+      for (int64_t j = 0; j < nc; j++) {
+        uint8_t op = cig_ops[c0 + j];
+        if (op < 9 && kConsumesRef[op]) ref_len += cig_lens[c0 + j];
+      }
+      if (pos[i] + ref_len <= start) continue;
+    }
+    int64_t s0 = seq_off[i], sl = seq_off[i + 1] - s0;
+    int32_t block_size =
+        (int32_t)(32 + 1 + 4 * nc + (sl + 1) / 2);
+    size_t off = handle->data.size();
+    handle->data.resize(off + 4 + (size_t)block_size);
+    uint8_t* out = handle->data.data() + off;
+    write_le<int32_t>(out, block_size);
+    uint8_t* rec = out + 4;
+    write_le<int32_t>(rec + 0, refid[i]);
+    write_le<int32_t>(rec + 4, (int32_t)pos[i]);
+    rec[8] = 1;  // l_read_name: empty name, NUL only
+    rec[9] = (uint8_t)(mapq[i] < 0 ? 255 : mapq[i]);
+    write_le<uint16_t>(rec + 10, 0);  // bin (unused by the passes)
+    write_le<uint16_t>(rec + 12, (uint16_t)nc);
+    write_le<uint16_t>(rec + 14, (uint16_t)flag[i]);
+    write_le<int32_t>(rec + 16, (int32_t)sl);
+    write_le<int32_t>(rec + 20, -1);  // next_refID
+    write_le<int32_t>(rec + 24, -1);  // next_pos
+    write_le<int32_t>(rec + 28, 0);   // tlen
+    rec[32] = 0;                      // read name terminator
+    uint8_t* cp = rec + 33;
+    for (int64_t j = 0; j < nc; j++)
+      write_le<uint32_t>(
+          cp + 4 * j,
+          ((uint32_t)cig_lens[c0 + j] << 4) | (cig_ops[c0 + j] & 0xF));
+    uint8_t* sp = cp + 4 * nc;
+    for (int64_t q = 0; q < sl; q++) {
+      uint8_t code = k4bit.lut[seq[s0 + q]];
+      if (q & 1)
+        sp[q >> 1] |= code;
+      else
+        sp[q >> 1] = (uint8_t)(code << 4);
+    }
+    handle->records.push_back(off);
+    if (counts_out != nullptr) accumulate_counts_record(rec, acc);
+  }
+  return handle;
 }
 
 // Fused open + counts: identical record selection to clair_region_open,

@@ -31,7 +31,7 @@ from clair_tpu.data.pileup import (
 )
 from clair_tpu.data.tensor_stream import LazyTensorInfos, normalize_channels
 from clair_tpu.io.bam import BamReader
-from clair_tpu.io.cram import is_cram, open_alignment
+from clair_tpu.io.cram import CramReader, is_cram, open_alignment
 from clair_tpu.io.fasta import FastaReader
 from clair_tpu.io.vcf import VcfWriter
 from clair_tpu.params import EXPAND_REFERENCE_REGION, MAX_DEPTH_PER_POSITION
@@ -109,25 +109,52 @@ def load_region_events(
     return candidate_events, tensor_events
 
 
-def _open_region_scan(config: "CallBamConfig", ctg_start: int, ctg_end: int):
-    """Native RegionScan for the window (None -> fall back to events)."""
+def _open_region_scan(config: "CallBamConfig", ctg_start: int, ctg_end: int,
+                      fasta: Optional[FastaReader] = None):
+    """Native RegionScan for the window (None -> fall back to events).
+    CRAM input goes through the packed-array bridge: the native slice
+    decoder's arrays feed clair_region_from_packed, which synthesizes
+    BAM-format records in memory so the same counts/tensors passes run —
+    without it a noisy ONT window paid the Python events engine (~128x
+    slower host prepare than BAM)."""
     import os
 
     from clair_tpu import native
 
-    if not native.available() or is_cram(config.bam_path):
+    if not native.available():
         return None
+    wants_counts = config.truth_vcf_path is None or config.gvcf
+    if is_cram(config.bam_path):
+        try:
+            with CramReader(config.bam_path, fasta=fasta
+                            or config.fasta_path) as cram:
+                ref_id = cram.reference_id(config.contig)
+                if ref_id is None:
+                    return None
+                packed = cram.fetch_packed(
+                    config.contig, ctg_start - 1, ctg_end
+                )
+            if packed is None:
+                return None
+            return native.RegionScan.from_packed(
+                packed, ref_id, ctg_start - 1, ctg_end,
+                min_mapq=config.minimum_mapq,
+                counts_region=(
+                    (ctg_start - 1, ctg_end - (ctg_start - 1))
+                    if wants_counts else None
+                ),
+            )
+        except Exception:
+            return None
     _ensure_bai(config.bam_path)
     try:
         with BamReader(config.bam_path) as bam:
             ref_id = bam.reference_id(config.contig)
         if ref_id is None:
             return None
-        # fused counts only when something will read them: candidate
-        # selection (no truth VCF) or gVCF blocks — truth-mode extraction
-        # would otherwise pay the dominant accumulation cost for a matrix
-        # that is thrown away
-        wants_counts = config.truth_vcf_path is None or config.gvcf
+        # fused counts only when something will read them (see wants_counts
+        # above): truth-mode extraction would otherwise pay the dominant
+        # accumulation cost for a matrix that is thrown away
         return native.RegionScan(
             config.bam_path, ref_id, ctg_start - 1, ctg_end,
             min_mapq=config.minimum_mapq,
@@ -417,7 +444,7 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
     # left-edge parity mode, which needs per-read layout tracking).
     scan = (
         None if config.stop_consider_left_edge
-        else _open_region_scan(config, ctg_start, ctg_end)
+        else _open_region_scan(config, ctg_start, ctg_end, fasta=fasta)
     )
 
     def truth_centers():

@@ -189,3 +189,76 @@ def test_python_fallback_on_multi_ref_slice(tmp_path):
             external[block.content_id] = block.data
     multi = dataclasses.replace(sh, ref_seq_id=-2)
     assert reader._native_slice(comp, multi, core, external) is None
+
+
+def test_packed_bridge_matches_python_engine(tmp_path):
+    """prepare_window over CRAM via the packed-array bridge
+    (clair_region_from_packed) == the Python events engine: identical
+    tensors, centers, and 33-mers on a noisy flowcell."""
+    import clair_tpu.native as native_mod
+    from clair_tpu.io.bai import build_bai
+    from clair_tpu.io.cram import bam_to_cram
+    from clair_tpu.pipeline.call_bam import CallBamConfig, prepare_window
+    from clair_tpu.utils.simulate import (
+        ErrorProfile, plant_variants, random_reference, simulate_bam,
+        write_fasta,
+    )
+
+    rs = np.random.RandomState(31)
+    ref = random_reference(rs, 12_000)
+    variants = plant_variants(rs, ref, n_variants=12, spacing=700)
+    bam = str(tmp_path / "p.bam")
+    fa = str(tmp_path / "p.fa")
+    cram = str(tmp_path / "p.cram")
+    simulate_bam(bam, ref, variants, rs, coverage=25,
+                 error_profile=ErrorProfile(mismatch=0.05, insertion=0.02,
+                                            deletion=0.02))
+    write_fasta(fa, ref)
+    build_bai(bam, bam + ".bai")
+    bam_to_cram(bam, cram, fa)
+
+    config = CallBamConfig(bam_path=cram, fasta_path=fa, contig="chr1",
+                           minimum_af=0.2, minimum_coverage=4)
+    fast = prepare_window(config)
+    orig = native_mod.RegionScan.from_packed
+    native_mod.RegionScan.from_packed = classmethod(
+        lambda cls, *a, **kw: None
+    )
+    try:
+        slow = prepare_window(config)
+    finally:
+        native_mod.RegionScan.from_packed = orig
+
+    assert len(fast.centers) > 0
+    assert np.array_equal(fast.centers, slow.centers)
+    assert np.array_equal(fast.tensors, slow.tensors)
+    assert fast.sequences == slow.sequences
+
+
+def test_from_packed_rejects_bam_limits():
+    """Records inexpressible in BAM limits (>65535 cigar ops) make
+    from_packed return None so the caller falls back instead of
+    silently dropping reads."""
+    from clair_tpu.native import RegionScan, available
+
+    if not available():
+        pytest.skip("native lib unavailable")
+    n_ops = 70_000
+    arrays = {
+        "pos": np.array([100], dtype=np.int64),
+        "mapq": np.array([60], dtype=np.int32),
+        "flag": np.array([0], dtype=np.int32),
+        "refid": np.array([0], dtype=np.int32),
+        "seq": np.frombuffer(b"A" * n_ops, dtype=np.uint8),
+        "seq_off": np.array([0, n_ops], dtype=np.int64),
+        "cig_ops": np.zeros(n_ops, dtype=np.uint8),
+        "cig_lens": np.ones(n_ops, dtype=np.int32),
+        "cig_off": np.array([0, n_ops], dtype=np.int64),
+    }
+    assert RegionScan.from_packed(arrays, 0, 0, 1_000_000) is None
+    # and a well-formed sibling still opens
+    arrays["cig_ops"] = np.zeros(1, dtype=np.uint8)
+    arrays["cig_lens"] = np.array([n_ops], dtype=np.int32)
+    arrays["cig_off"] = np.array([0, 1], dtype=np.int64)
+    scan = RegionScan.from_packed(arrays, 0, 0, 1_000_000)
+    assert scan is not None and scan.n_records == 1
