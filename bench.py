@@ -572,6 +572,22 @@ def main():
     except Exception as exc:
         print(f"[bench] clean wgs stage failed ({exc})", file=sys.stderr)
         wgs_mbp_min = 0.0
+    # CRAM-input host ceiling: same flowcell through the packed-array
+    # bridge (clair_region_from_packed) — proves CRAM calling holds the
+    # BAM-path rate instead of falling back to the Python events engine
+    try:
+        from clair_tpu.io.cram import bam_to_cram
+
+        ont_cram = os.path.join(tmp, "ont_bench.cram")
+        bam_to_cram(ont_bam, ont_cram, ont_fa)
+        wgs_ceiling_cram_mbp_min = wgs_host_ceiling(
+            params_ont, config, ont_cram, ont_fa, ont_len / 1e6,
+            minimum_af=0.2,
+        )
+    except Exception as exc:
+        print(f"[bench] CRAM ceiling stage failed ({exc})", file=sys.stderr)
+        wgs_ceiling_cram_mbp_min = 0.0
+
     # steady-state pipeline rate in the headline (ONT) regime
     pipeline_tps = (
         min(device_tps, decode_ont_tps) if device_ok else decode_ont_tps
@@ -609,6 +625,7 @@ def main():
                     "train_samples_per_sec": round(train_tps, 1),
                     "wgs_ont_end_to_end_mbp_per_min": round(wgs_ont_mbp_min, 2),
                     "wgs_ont_host_ceiling_mbp_per_min": round(wgs_ceiling_mbp_min, 2),
+                    "wgs_ont_host_ceiling_cram_mbp_per_min": round(wgs_ceiling_cram_mbp_min, 2),
                     "wgs_end_to_end_mbp_per_min": round(wgs_mbp_min, 2),
                     "pileup_workers": os.cpu_count(),
                     "device_unreachable_cpu_fallback": not device_ok,
