@@ -209,6 +209,19 @@ def _bind_symbols(lib) -> None:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
     ]
+    lib.clair_region_scan_window.restype = ctypes.c_int
+    lib.clair_region_scan_window.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(_EventBuffers),
+    ]
+    lib.clair_region_events_dual.restype = ctypes.c_int
+    lib.clair_region_events_dual.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(_EventBuffers), ctypes.POINTER(_EventBuffers),
+    ]
     lib.clair_region_from_packed.restype = ctypes.c_void_p
     lib.clair_region_from_packed.argtypes = [
         ctypes.c_int64,
@@ -723,6 +736,7 @@ class RegionScan:
         if self._lib is None:
             raise RuntimeError("native library unavailable")
         start_coffset, start_uoffset = _bai_seek(bam_path, ref_id, start, use_index)
+        self._filters = (ref_id, start, end, exclude_flag, min_mapq)
         if counts_region is not None:
             # fused open: candidate counts accumulate while each accepted
             # record is still cache-hot (clair_region_open2), so the later
@@ -795,6 +809,7 @@ class RegionScan:
         self = cls.__new__(cls)
         self._lib = lib
         self._handle = handle
+        self._filters = (ref_id, start, end, exclude_flag, min_mapq)
         self._counts_cache = (
             (region_start, region_length, cached) if cached is not None else None
         )
@@ -843,6 +858,42 @@ class RegionScan:
         if rc != 0:
             raise RuntimeError(f"clair_region_tensors failed with code {rc}")
         return tensors, _events_from_buffers(self._lib, buffers)
+
+    def scan_window(self, dcov: int, region_start: int, region_length: int):
+        """(candidate counts, tensor ReadEvents) with data-prep semantics
+        (depth cap on tensor events, soft-clip filter on counts) — the
+        handle-based equivalent of scan_window_native, re-applying the
+        handle's own build filters so decisions match the stream scan."""
+        ref_id, start, end, exclude_flag, min_mapq = self._filters
+        counts = np.zeros((region_length, 7), dtype=np.int32)
+        buffers = _EventBuffers()
+        rc = self._lib.clair_region_scan_window(
+            self._handle, ref_id, start, end, exclude_flag, min_mapq, dcov,
+            region_start, region_length,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.byref(buffers),
+        )
+        if rc != 0:
+            raise RuntimeError(f"clair_region_scan_window failed with {rc}")
+        return counts, _events_from_buffers(self._lib, buffers)
+
+    def events_dual(self, dcov: int):
+        """(candidate ReadEvents, tensor ReadEvents) with the reference's
+        per-stage filters — the handle-based equivalent of
+        dual_events_from_bam_native."""
+        ref_id, start, end, exclude_flag, min_mapq = self._filters
+        candidate = _EventBuffers()
+        tensor = _EventBuffers()
+        rc = self._lib.clair_region_events_dual(
+            self._handle, ref_id, start, end, exclude_flag, min_mapq, dcov,
+            ctypes.byref(candidate), ctypes.byref(tensor),
+        )
+        if rc != 0:
+            raise RuntimeError(f"clair_region_events_dual failed with {rc}")
+        return (
+            _events_from_buffers(self._lib, candidate),
+            _events_from_buffers(self._lib, tensor),
+        )
 
     def close(self) -> None:
         if self._handle is not None:

@@ -424,23 +424,29 @@ struct CountsAcc {
 // directly (the soft-clip filter applies) instead of candidate events.
 // The stream stops early once records start past `end` (coordinate-sorted
 // input), bounding IO/inflate to the region.
-void scan_records(StreamInflater& in, size_t cursor, int32_t ref_id,
-                  int64_t start, int64_t end, int32_t exclude_flag,
-                  int32_t min_mapq, EventVecs* candidate, EventVecs* tensor,
-                  int32_t dcov, CountsAcc* cand_counts = nullptr) {
+// Per-record scan state + body, shared by the stream walker
+// (scan_records) and the RegionHandle walker (clair_region_scan_window /
+// clair_region_events_dual — the CRAM packed-array path). scan_record
+// returns false when the scan should stop (coordinate-sorted input has
+// moved past the region).
+struct ScanState {
+  int32_t ref_id;
+  int64_t start, end;
+  int32_t exclude_flag, min_mapq, dcov;
+  EventVecs* candidate;
+  EventVecs* tensor;
+  CountsAcc* cand_counts;
   int64_t previous_pos = -1;
   int32_t same_pos_count = 0;
-  if (candidate) candidate->match_pos.reserve(1 << 20);
-  if (tensor) tensor->match_pos.reserve(1 << 20);
+};
 
+bool scan_record(const uint8_t* rec, ScanState& st) {
   EventVecs* targets[2];
-
-  while (in.ensure(cursor + 4)) {
-    int32_t block_size = read_le<int32_t>(in.data.data() + cursor);
-    if (!in.ensure(cursor + 4 + block_size)) break;
-    const uint8_t* rec = in.data.data() + cursor + 4;
-    cursor += 4 + block_size;
-
+  EventVecs* candidate = st.candidate;
+  EventVecs* tensor = st.tensor;
+  CountsAcc* cand_counts = st.cand_counts;
+  int32_t dcov = st.dcov;
+  {
     int32_t rec_ref = read_le<int32_t>(rec);
     int64_t pos = read_le<int32_t>(rec + 4);
     uint8_t l_read_name = rec[8];
@@ -448,13 +454,13 @@ void scan_records(StreamInflater& in, size_t cursor, int32_t ref_id,
     uint16_t n_cigar = read_le<uint16_t>(rec + 12);
     uint16_t flag = read_le<uint16_t>(rec + 14);
 
-    if (rec_ref != ref_id) {
-      if (ref_id >= 0 && rec_ref > ref_id) break;  // sorted past target
-      continue;
+    if (rec_ref != st.ref_id) {
+      if (st.ref_id >= 0 && rec_ref > st.ref_id) return false;  // sorted past
+      return true;
     }
-    if (flag & exclude_flag) continue;
-    if (mapq < min_mapq) continue;
-    if (end >= 0 && pos >= end) break;
+    if (flag & st.exclude_flag) return true;
+    if (mapq < st.min_mapq) return true;
+    if (st.end >= 0 && pos >= st.end) return false;
 
     const uint8_t* cigar_p = rec + 32 + l_read_name;
     const uint8_t* seq_p = cigar_p + 4 * n_cigar;
@@ -468,26 +474,26 @@ void scan_records(StreamInflater& in, size_t cursor, int32_t ref_id,
       if (op < 9 && kConsumesRef[op]) ref_len += len;
       if (op == 4) soft_len += len;
     }
-    if (start >= 0 && pos + ref_len <= start) continue;
+    if (st.start >= 0 && pos + ref_len <= st.start) return true;
 
     bool softclip_ok =
         1.0 - (double)soft_len / (double)(total_len + 1) >= 0.55;
 
     // depth cap per start position (counted over every flag/mapq-passing
     // read, like CreateTensor which has no soft-clip filter)
-    if (pos != previous_pos) {
-      previous_pos = pos;
-      same_pos_count = 0;
+    if (pos != st.previous_pos) {
+      st.previous_pos = pos;
+      st.same_pos_count = 0;
     } else {
-      same_pos_count++;
+      st.same_pos_count++;
     }
-    bool dcov_ok = dcov <= 0 || same_pos_count < dcov;
+    bool dcov_ok = dcov <= 0 || st.same_pos_count < dcov;
 
     int n_targets = 0;
     if (candidate && softclip_ok) targets[n_targets++] = candidate;
     if (tensor && dcov_ok) targets[n_targets++] = tensor;
     bool to_counts = cand_counts != nullptr && softclip_ok;
-    if (n_targets == 0 && !to_counts) continue;
+    if (n_targets == 0 && !to_counts) return true;
     for (int t = 0; t < n_targets; t++) targets[t]->reads_used++;
 
     int8_t strand = (flag & 16) ? 1 : 0;
@@ -559,6 +565,24 @@ void scan_records(StreamInflater& in, size_t cursor, int32_t ref_id,
           break;
       }
     }
+  }
+  return true;
+}
+
+void scan_records(StreamInflater& in, size_t cursor, int32_t ref_id,
+                  int64_t start, int64_t end, int32_t exclude_flag,
+                  int32_t min_mapq, EventVecs* candidate, EventVecs* tensor,
+                  int32_t dcov, CountsAcc* cand_counts = nullptr) {
+  ScanState st{ref_id, start, end, exclude_flag, min_mapq, dcov,
+               candidate, tensor, cand_counts};
+  if (candidate) candidate->match_pos.reserve(1 << 20);
+  if (tensor) tensor->match_pos.reserve(1 << 20);
+  while (in.ensure(cursor + 4)) {
+    int32_t block_size = read_le<int32_t>(in.data.data() + cursor);
+    if (!in.ensure(cursor + 4 + block_size)) break;
+    const uint8_t* rec = in.data.data() + cursor + 4;
+    cursor += 4 + block_size;
+    if (!scan_record(rec, st)) break;
   }
 }
 
@@ -1010,6 +1034,48 @@ void* clair_region_from_packed(
     if (counts_out != nullptr) accumulate_counts_record(rec, acc);
   }
   return handle;
+}
+
+// Data-prep scans over a RegionHandle — the CRAM packed-array path's
+// equivalent of clair_bam_scan_window / clair_bam_events_dual: identical
+// per-record semantics (scan_record), iterating the handle's records
+// instead of a BGZF stream. Handle records are already flag/mapq/region
+// filtered at build time; the filters are applied again here with the
+// same constants (idempotent) so the depth-cap and soft-clip decisions
+// match the stream scans exactly.
+int clair_region_scan_window(void* h, int32_t ref_id, int64_t start,
+                             int64_t end, int32_t exclude_flag,
+                             int32_t min_mapq, int32_t dcov,
+                             int64_t region_start, int64_t region_length,
+                             int32_t* counts_out, EventBuffers* tensor_out) {
+  memset(tensor_out, 0, sizeof(*tensor_out));
+  RegionHandle* handle = (RegionHandle*)h;
+  CountsAcc acc{counts_out, region_start, region_length};
+  EventVecs tensor_vecs;
+  ScanState st{ref_id, start, end, exclude_flag, min_mapq, dcov,
+               nullptr, &tensor_vecs, &acc};
+  for (size_t rec_offset : handle->records)
+    if (!scan_record(handle->data.data() + rec_offset + 4, st)) break;
+  tensor_vecs.fill(tensor_out);
+  return 0;
+}
+
+int clair_region_events_dual(void* h, int32_t ref_id, int64_t start,
+                             int64_t end, int32_t exclude_flag,
+                             int32_t min_mapq, int32_t dcov,
+                             EventBuffers* candidate_out,
+                             EventBuffers* tensor_out) {
+  memset(candidate_out, 0, sizeof(*candidate_out));
+  memset(tensor_out, 0, sizeof(*tensor_out));
+  RegionHandle* handle = (RegionHandle*)h;
+  EventVecs candidate_vecs, tensor_vecs;
+  ScanState st{ref_id, start, end, exclude_flag, min_mapq, dcov,
+               &candidate_vecs, &tensor_vecs, nullptr};
+  for (size_t rec_offset : handle->records)
+    if (!scan_record(handle->data.data() + rec_offset + 4, st)) break;
+  candidate_vecs.fill(candidate_out);
+  tensor_vecs.fill(tensor_out);
+  return 0;
 }
 
 // Fused open + counts: identical record selection to clair_region_open,

@@ -87,16 +87,24 @@ def load_region_events(
 
     _ensure_bai(bam_path)
 
-    if native.available() and not is_cram(bam_path) and not track_read_layout:
-        with BamReader(bam_path) as bam:
-            ref_id = bam.reference_id(contig)
-        if ref_id is not None:
-            result = native.dual_events_from_bam_native(
-                bam_path, ref_id, start0, end,
-                min_mapq=minimum_mapq, dcov=dcov,
+    if native.available() and not track_read_layout:
+        if is_cram(bam_path):
+            scan = _cram_packed_scan(
+                bam_path, fasta, contig, start0, end, minimum_mapq
             )
-            if result is not None:
-                return result
+            if scan is not None:
+                with scan:
+                    return scan.events_dual(dcov)
+        else:
+            with BamReader(bam_path) as bam:
+                ref_id = bam.reference_id(contig)
+            if ref_id is not None:
+                result = native.dual_events_from_bam_native(
+                    bam_path, ref_id, start0, end,
+                    min_mapq=minimum_mapq, dcov=dcov,
+                )
+                if result is not None:
+                    return result
 
     with open_alignment(bam_path, fasta=fasta) as bam:
         records = list(bam.fetch(contig, start0, end, min_mapq=minimum_mapq))
@@ -107,6 +115,34 @@ def load_region_events(
         apply_depth_cap(records, dcov), track_read_layout=track_read_layout
     )
     return candidate_events, tensor_events
+
+
+def _cram_packed_scan(cram_path: str, fasta, contig: str, start0: int,
+                      end: int, min_mapq: int, counts_region=None):
+    """RegionScan over a CRAM region via the packed-array bridge
+    (CramReader.fetch_packed -> clair_region_from_packed), or None when
+    the native path cannot take it (library missing, slice needs the
+    Python decoder, BAM-inexpressible records). ``fasta`` is a
+    FastaReader or path; None returns None (the Python path raises the
+    precise missing-reference error)."""
+    from clair_tpu import native
+
+    if not native.available() or fasta is None:
+        return None
+    try:
+        with CramReader(cram_path, fasta=fasta) as cram:
+            ref_id = cram.reference_id(contig)
+            if ref_id is None:
+                return None
+            packed = cram.fetch_packed(contig, start0, end)
+        if packed is None:
+            return None
+        return native.RegionScan.from_packed(
+            packed, ref_id, start0, end, min_mapq=min_mapq,
+            counts_region=counts_region,
+        )
+    except Exception:
+        return None
 
 
 def _open_region_scan(config: "CallBamConfig", ctg_start: int, ctg_end: int,
@@ -125,27 +161,14 @@ def _open_region_scan(config: "CallBamConfig", ctg_start: int, ctg_end: int,
         return None
     wants_counts = config.truth_vcf_path is None or config.gvcf
     if is_cram(config.bam_path):
-        try:
-            with CramReader(config.bam_path, fasta=fasta
-                            or config.fasta_path) as cram:
-                ref_id = cram.reference_id(config.contig)
-                if ref_id is None:
-                    return None
-                packed = cram.fetch_packed(
-                    config.contig, ctg_start - 1, ctg_end
-                )
-            if packed is None:
-                return None
-            return native.RegionScan.from_packed(
-                packed, ref_id, ctg_start - 1, ctg_end,
-                min_mapq=config.minimum_mapq,
-                counts_region=(
-                    (ctg_start - 1, ctg_end - (ctg_start - 1))
-                    if wants_counts else None
-                ),
-            )
-        except Exception:
-            return None
+        return _cram_packed_scan(
+            config.bam_path, fasta or config.fasta_path, config.contig,
+            ctg_start - 1, ctg_end, config.minimum_mapq,
+            counts_region=(
+                (ctg_start - 1, ctg_end - (ctg_start - 1))
+                if wants_counts else None
+            ),
+        )
     _ensure_bai(config.bam_path)
     try:
         with BamReader(config.bam_path) as bam:
@@ -188,16 +211,24 @@ def load_region_counts(
 
     _ensure_bai(bam_path)
 
-    if native.available() and not is_cram(bam_path) and not track_read_layout:
-        with BamReader(bam_path) as bam:
-            ref_id = bam.reference_id(contig)
-        if ref_id is not None:
-            result = native.scan_window_native(
-                bam_path, ref_id, start0, end, region_start, region_length,
-                min_mapq=minimum_mapq, dcov=dcov,
+    if native.available() and not track_read_layout:
+        if is_cram(bam_path):
+            scan = _cram_packed_scan(
+                bam_path, fasta, contig, start0, end, minimum_mapq
             )
-            if result is not None:
-                return result
+            if scan is not None:
+                with scan:
+                    return scan.scan_window(dcov, region_start, region_length)
+        else:
+            with BamReader(bam_path) as bam:
+                ref_id = bam.reference_id(contig)
+            if ref_id is not None:
+                result = native.scan_window_native(
+                    bam_path, ref_id, start0, end, region_start, region_length,
+                    min_mapq=minimum_mapq, dcov=dcov,
+                )
+                if result is not None:
+                    return result
 
     candidate_events, tensor_events = load_region_events(
         bam_path, contig, start0, end, minimum_mapq, dcov, fasta=fasta,

@@ -262,3 +262,56 @@ def test_from_packed_rejects_bam_limits():
     arrays["cig_off"] = np.array([0, 1], dtype=np.int64)
     scan = RegionScan.from_packed(arrays, 0, 0, 1_000_000)
     assert scan is not None and scan.n_records == 1
+
+
+def test_cram_dataprep_loaders_match_python_engine(tmp_path):
+    """load_region_events / load_region_counts over CRAM via the handle
+    scans == the Python events engine (same candidate/tensor events,
+    same counts matrix)."""
+    import clair_tpu.pipeline.call_bam as cb
+    from clair_tpu.io.bai import build_bai
+    from clair_tpu.io.cram import bam_to_cram
+    from clair_tpu.io.fasta import FastaReader
+    from clair_tpu.utils.simulate import (
+        ErrorProfile, plant_variants, random_reference, simulate_bam,
+        write_fasta,
+    )
+    from tests.test_native import _sort_events
+
+    rs = np.random.RandomState(41)
+    ref = random_reference(rs, 9_000)
+    variants = plant_variants(rs, ref, n_variants=9, spacing=600)
+    bam = str(tmp_path / "d.bam")
+    fa = str(tmp_path / "d.fa")
+    cram = str(tmp_path / "d.cram")
+    simulate_bam(bam, ref, variants, rs, coverage=20,
+                 error_profile=ErrorProfile(mismatch=0.04, insertion=0.02,
+                                            deletion=0.02))
+    write_fasta(fa, ref)
+    build_bai(bam, bam + ".bai")
+    bam_to_cram(bam, cram, fa)
+
+    fasta = FastaReader(fa)
+    args = (cram, "chr1", 0, 9_000, 0, 144)
+    fast_cand, fast_tens = cb.load_region_events(*args, fasta=fasta)
+    fast_counts, fast_tens2 = cb.load_region_counts(
+        *args, region_start=0, region_length=9_000, fasta=fasta
+    )
+    orig = cb._cram_packed_scan
+    cb._cram_packed_scan = lambda *a, **kw: None
+    try:
+        slow_cand, slow_tens = cb.load_region_events(*args, fasta=fasta)
+        slow_counts, _ = cb.load_region_counts(
+            *args, region_start=0, region_length=9_000, fasta=fasta
+        )
+    finally:
+        cb._cram_packed_scan = orig
+
+    assert fast_cand.match_pos.size > 0
+    for got, want in ((fast_cand, slow_cand), (fast_tens, slow_tens)):
+        for a, b in zip(_sort_events(got), _sort_events(want)):
+            assert np.array_equal(a, b)
+    assert np.array_equal(fast_counts, slow_counts)
+    assert np.array_equal(
+        np.sort(fast_tens2.match_pos), np.sort(fast_tens.match_pos)
+    )
