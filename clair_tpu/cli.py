@@ -661,13 +661,6 @@ def cmd_extract_candidates(argv):
     ref_end = min(ctg_end + EXPAND_REFERENCE_REGION, length)
     reference = fasta.fetch(args.ctgName, ref_start, ref_end)
 
-    with open_alignment(args.bam_fn, fasta=fasta) as bam:
-        records = [
-            r for r in bam.fetch(args.ctgName, ctg_start - 1, ctg_end, min_mapq=args.minMQ)
-            if r.cigar_ops.size and soft_clip_fraction_ok(r)
-        ]
-    events = events_from_reads(records)
-
     variant_positions = variant_positions_from(args.var_fn, args.ctgName)
     config = CandidateConfig(
         minimum_af=args.threshold,
@@ -679,13 +672,78 @@ def cmd_extract_candidates(argv):
         bed=BedIntervals.from_bed(args.bed_fn),
         contig=args.ctgName,
     )
-    sites = candidate_sites_from_events(
-        events, reference, ctg_start - 1, ctg_end - (ctg_start - 1), ref_start, config
+
+    # native counts pass (BAM stream scan or the CRAM packed-array
+    # bridge) — same soft-clip filter and column semantics as the event
+    # path, without materializing per-base events for a counts-only CLI
+    sites = _native_candidate_sites(
+        args, fasta, reference, ctg_start, ctg_end, ref_start, config
     )
+    if sites is None:
+        with open_alignment(args.bam_fn, fasta=fasta) as bam:
+            records = [
+                r for r in bam.fetch(args.ctgName, ctg_start - 1, ctg_end,
+                                     min_mapq=args.minMQ)
+                if r.cigar_ops.size and soft_clip_fraction_ok(r)
+            ]
+        events = events_from_reads(records)
+        sites = candidate_sites_from_events(
+            events, reference, ctg_start - 1, ctg_end - (ctg_start - 1),
+            ref_start, config,
+        )
     out = sys.stdout if args.can_fn == "PIPE" else open(args.can_fn, "w")
     write_candidates_text(sites, args.ctgName, out)
     if args.can_fn != "PIPE":
         out.close()
+
+
+def _native_region_scan(bam_fn, fasta, contig, ctg_start, ctg_end, min_mapq,
+                        counts_region=None):
+    """RegionScan for a BAM or CRAM region (None -> Python fallback)."""
+    from clair_tpu import native
+    from clair_tpu.io.cram import is_cram
+    from clair_tpu.pipeline.call_bam import _cram_packed_scan, _ensure_bai
+
+    if not native.available():
+        return None
+    if is_cram(bam_fn):
+        return _cram_packed_scan(
+            bam_fn, fasta, contig, ctg_start - 1, ctg_end, min_mapq,
+            counts_region=counts_region,
+        )
+    _ensure_bai(bam_fn)
+    try:
+        from clair_tpu.io.bam import BamReader
+
+        with BamReader(bam_fn) as bam:
+            ref_id = bam.reference_id(contig)
+        if ref_id is None:
+            return None
+        return native.RegionScan(
+            bam_fn, ref_id, ctg_start - 1, ctg_end, min_mapq=min_mapq,
+            counts_region=counts_region,
+        )
+    except Exception:
+        return None
+
+
+def _native_candidate_sites(args, fasta, reference, ctg_start, ctg_end,
+                            ref_start, config):
+    """Candidate sites via the native counts pass, or None to fall back."""
+    from clair_tpu.data.candidates import candidate_sites_from_counts
+
+    region_length = ctg_end - (ctg_start - 1)
+    scan = _native_region_scan(
+        args.bam_fn, fasta, args.ctgName, ctg_start, ctg_end, args.minMQ,
+        counts_region=(ctg_start - 1, region_length),
+    )
+    if scan is None:
+        return None
+    with scan:
+        counts = scan.counts(ctg_start - 1, region_length)
+    return candidate_sites_from_counts(
+        counts, reference, ctg_start - 1, ref_start, config
+    )
 
 
 def cmd_create_tensor(argv):
@@ -747,18 +805,41 @@ def cmd_create_tensor(argv):
         args.ctgName, ref_start, min(ctg_end + EXPAND_REFERENCE_REGION, length)
     )
 
-    with open_alignment(args.bam_fn, fasta=fasta) as bam:
-        records = list(
-            bam.fetch(args.ctgName, ctg_start - 1, ctg_end, min_mapq=args.minMQ)
-        )
-    records = apply_depth_cap(records, args.dcov)
     parity_mode = args.stop_consider_left_edge or args.compat_slot_throttle is not None
-    tensors, kept, sequences = create_tensors(
-        events_from_reads(records, track_read_layout=parity_mode),
-        centers, reference, ref_start, args.minCoverage,
-        consider_left_edge=not args.stop_consider_left_edge,
-        slot_budget=args.compat_slot_throttle,
-    )
+    tensors = None
+    if not parity_mode and len(centers):
+        # native window-tensor pass (BAM stream scan or CRAM packed
+        # bridge) — byte-identical to the Python engine (tests/
+        # test_native.py); parity modes need per-read layout tracking and
+        # stay on the Python path
+        scan = _native_region_scan(
+            args.bam_fn, fasta, args.ctgName, ctg_start, ctg_end, args.minMQ
+        )
+        if scan is not None:
+            from clair_tpu.data.pileup import finalize_window_tensors
+
+            with scan:
+                tensor_ints, _events = scan.tensors(
+                    centers, reference, ref_start, dcov=args.dcov
+                )
+            ref_raw = np.frombuffer(reference.encode("ascii"), dtype=np.uint8)
+            tensors, kept, sequences = finalize_window_tensors(
+                tensor_ints, centers, ref_raw, ref_start,
+                minimum_coverage=args.minCoverage,
+            )
+    if tensors is None:
+        with open_alignment(args.bam_fn, fasta=fasta) as bam:
+            records = list(
+                bam.fetch(args.ctgName, ctg_start - 1, ctg_end,
+                          min_mapq=args.minMQ)
+            )
+        records = apply_depth_cap(records, args.dcov)
+        tensors, kept, sequences = create_tensors(
+            events_from_reads(records, track_read_layout=parity_mode),
+            centers, reference, ref_start, args.minCoverage,
+            consider_left_edge=not args.stop_consider_left_edge,
+            slot_budget=args.compat_slot_throttle,
+        )
 
     out = sys.stdout if args.tensor_fn == "PIPE" else open_maybe_gzip(args.tensor_fn, "wt")
     for i in range(len(kept)):

@@ -82,3 +82,58 @@ def test_plot_tensor_cli(tmp_path):
           "--name", str(tmp_path / "viz")])
     assert (tmp_path / "viz_chr1_42.png").exists()
     assert (tmp_path / "viz_chr1_42.png").stat().st_size > 1000
+
+def test_dataprep_native_paths_match_python(tmp_path, monkeypatch, capsys):
+    """extract_candidates and create_tensor produce identical text through
+    the native scans and the Python events engine, for BAM and CRAM."""
+    import clair_tpu.cli as cli
+    from clair_tpu.io.bai import build_bai
+    from clair_tpu.io.cram import bam_to_cram
+    from clair_tpu.utils.simulate import (
+        ErrorProfile, plant_variants, random_reference, simulate_bam,
+        write_fasta,
+    )
+
+    rs = np.random.RandomState(51)
+    ref = random_reference(rs, 7_000)
+    variants = plant_variants(rs, ref, n_variants=8, spacing=500)
+    bam = str(tmp_path / "c.bam")
+    fa = str(tmp_path / "c.fa")
+    cram = str(tmp_path / "c.cram")
+    simulate_bam(bam, ref, variants, rs, coverage=18,
+                 error_profile=ErrorProfile(mismatch=0.03, insertion=0.01,
+                                            deletion=0.01))
+    write_fasta(fa, ref)
+    build_bai(bam, bam + ".bai")
+    bam_to_cram(bam, cram, fa)
+
+    def run_pair(fn, argv_builder):
+        outputs = {}
+        for native_on in (True, False):
+            if not native_on:
+                monkeypatch.setattr(cli, "_native_region_scan",
+                                    lambda *a, **kw: None)
+            else:
+                monkeypatch.undo()
+            out_path = tmp_path / f"out.{fn.__name__}.{native_on}"
+            fn(argv_builder(str(out_path)))
+            outputs[native_on] = out_path.read_text()
+        assert outputs[True] == outputs[False]
+        assert outputs[True].strip()
+        return outputs[True]
+
+    for aln in (bam, cram):
+        cands = run_pair(
+            cli.cmd_extract_candidates,
+            lambda out: ["--bam_fn", aln, "--ref_fn", fa,
+                         "--ctgName", "chr1", "--threshold", "0.15",
+                         "--can_fn", out],
+        )
+        can_path = tmp_path / "cands.txt"
+        can_path.write_text(cands)
+        run_pair(
+            cli.cmd_create_tensor,
+            lambda out: ["--bam_fn", aln, "--ref_fn", fa,
+                         "--ctgName", "chr1", "--can_fn", str(can_path),
+                         "--tensor_fn", out],
+        )
