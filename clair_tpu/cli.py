@@ -699,32 +699,14 @@ def cmd_extract_candidates(argv):
 
 def _native_region_scan(bam_fn, fasta, contig, ctg_start, ctg_end, min_mapq,
                         counts_region=None):
-    """RegionScan for a BAM or CRAM region (None -> Python fallback)."""
-    from clair_tpu import native
-    from clair_tpu.io.cram import is_cram
-    from clair_tpu.pipeline.call_bam import _cram_packed_scan, _ensure_bai
+    """RegionScan for a BAM or CRAM region (None -> Python fallback).
+    Thin alias kept as the CLI's monkeypatch point for the parity tests."""
+    from clair_tpu.pipeline.call_bam import open_region_scan_path
 
-    if not native.available():
-        return None
-    if is_cram(bam_fn):
-        return _cram_packed_scan(
-            bam_fn, fasta, contig, ctg_start - 1, ctg_end, min_mapq,
-            counts_region=counts_region,
-        )
-    _ensure_bai(bam_fn)
-    try:
-        from clair_tpu.io.bam import BamReader
-
-        with BamReader(bam_fn) as bam:
-            ref_id = bam.reference_id(contig)
-        if ref_id is None:
-            return None
-        return native.RegionScan(
-            bam_fn, ref_id, ctg_start - 1, ctg_end, min_mapq=min_mapq,
-            counts_region=counts_region,
-        )
-    except Exception:
-        return None
+    return open_region_scan_path(
+        bam_fn, fasta, contig, ctg_start, ctg_end, min_mapq,
+        counts_region=counts_region,
+    )
 
 
 def _native_candidate_sites(args, fasta, reference, ctg_start, ctg_end,

@@ -1614,9 +1614,12 @@ class CramReader:
             return None
         return _records_from_arrays(payload, sh, "cram")
 
-    def _container_arrays(self, header: ContainerHeader, body: bytes):
-        """Packed arrays for every slice of one container, or None when
-        any slice needs the Python decoder."""
+    def _slice_blocks(self, header: ContainerHeader, body: bytes):
+        """Walk one container's slices, yielding (comp, sh, core,
+        external, skipping) per slice — the shared preamble of the record
+        and packed-array decoders (compression-header parse, qual-skip
+        derivation including the embedded-ref id-aliasing workaround,
+        block gathering)."""
         cursor = ByteCursor(body)
         comp = parse_compression_header(
             read_block(cursor, self.verify_crc).data
@@ -1624,13 +1627,13 @@ class CramReader:
         skip_ids = frozenset()
         if self._skip_quals:
             skip_ids, _, _ = qual_skip_info(comp)
-        parts = []
         for _ in range(max(len(header.landmarks), 1)):
             if cursor.eof():
                 break
             sh = parse_slice_header(read_block(cursor, self.verify_crc).data)
             slice_skip = skip_ids
             if sh.embedded_ref_id >= 0 and sh.embedded_ref_id in slice_skip:
+                # pathological id aliasing: keep the embedded reference
                 slice_skip = slice_skip - {sh.embedded_ref_id}
             skipping = bool(slice_skip)
             core = b""
@@ -1642,6 +1645,15 @@ class CramReader:
                     core = block.data
                 elif not (skipping and block.content_id in slice_skip):
                     external[block.content_id] = block.data
+            yield comp, sh, core, external, skipping
+
+    def _container_arrays(self, header: ContainerHeader, body: bytes):
+        """Packed arrays for every slice of one container, or None when
+        any slice needs the Python decoder."""
+        parts = []
+        for comp, sh, core, external, skipping in self._slice_blocks(
+            header, body
+        ):
             payload = self._native_slice_arrays(comp, sh, core, external,
                                                 skipping)
             if payload is None:
@@ -1673,29 +1685,9 @@ class CramReader:
         return _concat_packed(parts)
 
     def _slice_records(self, header: ContainerHeader, body: bytes):
-        cursor = ByteCursor(body)
-        comp = parse_compression_header(read_block(cursor, self.verify_crc).data)
-        skip_ids = frozenset()
-        if self._skip_quals:
-            skip_ids, _, _ = qual_skip_info(comp)
-        for _ in range(max(len(header.landmarks), 1)):
-            if cursor.eof():
-                break
-            sh = parse_slice_header(read_block(cursor, self.verify_crc).data)
-            slice_skip = skip_ids
-            if sh.embedded_ref_id >= 0 and sh.embedded_ref_id in slice_skip:
-                # pathological id aliasing: keep the embedded reference
-                slice_skip = slice_skip - {sh.embedded_ref_id}
-            skipping = bool(slice_skip)
-            core = b""
-            external: Dict[int, bytes] = {}
-            for _ in range(sh.n_blocks):
-                block = read_block(cursor, self.verify_crc,
-                                   skip_ids=slice_skip or None)
-                if block.content_type == CT_CORE:
-                    core = block.data
-                elif not (skipping and block.content_id in slice_skip):
-                    external[block.content_id] = block.data
+        for comp, sh, core, external, skipping in self._slice_blocks(
+            header, body
+        ):
             if self._use_native:
                 records = self._native_slice(comp, sh, core, external,
                                              skipping)

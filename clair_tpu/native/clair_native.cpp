@@ -989,6 +989,14 @@ void* clair_region_from_packed(
       delete handle;
       return nullptr;
     }
+    for (int64_t j = 0; j < nc; j++) {
+      // BAM packs op length into 28 bits; a longer (or negative) op
+      // cannot be expressed and must not silently wrap
+      if (cig_lens[c0 + j] < 0 || cig_lens[c0 + j] >= (1 << 28)) {
+        delete handle;
+        return nullptr;
+      }
+    }
     if (start >= 0) {
       int64_t ref_len = 0;
       for (int64_t j = 0; j < nc; j++) {
@@ -1008,7 +1016,10 @@ void* clair_region_from_packed(
     write_le<int32_t>(rec + 0, refid[i]);
     write_le<int32_t>(rec + 4, (int32_t)pos[i]);
     rec[8] = 1;  // l_read_name: empty name, NUL only
-    rec[9] = (uint8_t)(mapq[i] < 0 ? 255 : mapq[i]);
+    // BAM mapq is one byte; clamp ITF8-range CRAM values to 255 so the
+    // re-applied `mapq >= min_mapq` filter in the handle scans keeps any
+    // record the build filter kept (min_mapq is at most 255 in practice)
+    rec[9] = (uint8_t)(mapq[i] < 0 || mapq[i] > 255 ? 255 : mapq[i]);
     write_le<uint16_t>(rec + 10, 0);  // bin (unused by the passes)
     write_le<uint16_t>(rec + 12, (uint16_t)nc);
     write_le<uint16_t>(rec + 14, (uint16_t)flag[i]);

@@ -145,6 +145,35 @@ def _cram_packed_scan(cram_path: str, fasta, contig: str, start0: int,
         return None
 
 
+def open_region_scan_path(bam_path: str, fasta, contig: str, ctg_start: int,
+                          ctg_end: int, min_mapq: int, counts_region=None):
+    """Native RegionScan over a BAM or CRAM region (None -> fall back to
+    the Python events engine). CRAM goes through the packed-array bridge
+    (_cram_packed_scan); BAM opens the stream scan directly. Shared by
+    prepare_window, the region loaders, and the data-prep CLIs."""
+    from clair_tpu import native
+
+    if not native.available():
+        return None
+    if is_cram(bam_path):
+        return _cram_packed_scan(
+            bam_path, fasta, contig, ctg_start - 1, ctg_end, min_mapq,
+            counts_region=counts_region,
+        )
+    _ensure_bai(bam_path)
+    try:
+        with BamReader(bam_path) as bam:
+            ref_id = bam.reference_id(contig)
+        if ref_id is None:
+            return None
+        return native.RegionScan(
+            bam_path, ref_id, ctg_start - 1, ctg_end, min_mapq=min_mapq,
+            counts_region=counts_region,
+        )
+    except Exception:
+        return None
+
+
 def _open_region_scan(config: "CallBamConfig", ctg_start: int, ctg_end: int,
                       fasta: Optional[FastaReader] = None):
     """Native RegionScan for the window (None -> fall back to events).
@@ -153,41 +182,18 @@ def _open_region_scan(config: "CallBamConfig", ctg_start: int, ctg_end: int,
     BAM-format records in memory so the same counts/tensors passes run —
     without it a noisy ONT window paid the Python events engine (~128x
     slower host prepare than BAM)."""
-    import os
-
-    from clair_tpu import native
-
-    if not native.available():
-        return None
+    # fused counts only when something will read them: truth-mode
+    # extraction would otherwise pay the dominant accumulation cost for a
+    # matrix that is thrown away
     wants_counts = config.truth_vcf_path is None or config.gvcf
-    if is_cram(config.bam_path):
-        return _cram_packed_scan(
-            config.bam_path, fasta or config.fasta_path, config.contig,
-            ctg_start - 1, ctg_end, config.minimum_mapq,
-            counts_region=(
-                (ctg_start - 1, ctg_end - (ctg_start - 1))
-                if wants_counts else None
-            ),
-        )
-    _ensure_bai(config.bam_path)
-    try:
-        with BamReader(config.bam_path) as bam:
-            ref_id = bam.reference_id(config.contig)
-        if ref_id is None:
-            return None
-        # fused counts only when something will read them (see wants_counts
-        # above): truth-mode extraction would otherwise pay the dominant
-        # accumulation cost for a matrix that is thrown away
-        return native.RegionScan(
-            config.bam_path, ref_id, ctg_start - 1, ctg_end,
-            min_mapq=config.minimum_mapq,
-            counts_region=(
-                (ctg_start - 1, ctg_end - (ctg_start - 1))
-                if wants_counts else None
-            ),
-        )
-    except Exception:
-        return None
+    return open_region_scan_path(
+        config.bam_path, fasta or config.fasta_path, config.contig,
+        ctg_start, ctg_end, config.minimum_mapq,
+        counts_region=(
+            (ctg_start - 1, ctg_end - (ctg_start - 1))
+            if wants_counts else None
+        ),
+    )
 
 
 def load_region_counts(

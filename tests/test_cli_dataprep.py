@@ -107,6 +107,13 @@ def test_dataprep_native_paths_match_python(tmp_path, monkeypatch, capsys):
     build_bai(bam, bam + ".bai")
     bam_to_cram(bam, cram, fa)
 
+    # the native arm must actually engage; a silent fallback would make
+    # the equality below vacuous
+    for aln_check in (bam, cram):
+        scan = cli._native_region_scan(aln_check, fa, "chr1", 1, 7_000, 0)
+        assert scan is not None, f"native scan did not engage for {aln_check}"
+        scan.close()
+
     def run_pair(fn, argv_builder):
         outputs = {}
         for native_on in (True, False):

@@ -219,6 +219,12 @@ def test_packed_bridge_matches_python_engine(tmp_path):
 
     config = CallBamConfig(bam_path=cram, fasta_path=fa, contig="chr1",
                            minimum_af=0.2, minimum_coverage=4)
+    # the bridge must actually engage or the comparison below is vacuous
+    from clair_tpu.pipeline.call_bam import _cram_packed_scan
+
+    probe = _cram_packed_scan(cram, fa, "chr1", 0, 12_000, 0)
+    assert probe is not None and probe.n_records > 0
+    probe.close()
     fast = prepare_window(config)
     orig = native_mod.RegionScan.from_packed
     native_mod.RegionScan.from_packed = classmethod(
@@ -292,6 +298,9 @@ def test_cram_dataprep_loaders_match_python_engine(tmp_path):
     bam_to_cram(bam, cram, fa)
 
     fasta = FastaReader(fa)
+    probe = cb._cram_packed_scan(cram, fasta, "chr1", 0, 9_000, 0)
+    assert probe is not None and probe.n_records > 0  # bridge engaged
+    probe.close()
     args = (cram, "chr1", 0, 9_000, 0, 144)
     fast_cand, fast_tens = cb.load_region_events(*args, fasta=fasta)
     fast_counts, fast_tens2 = cb.load_region_counts(
