@@ -243,7 +243,8 @@ static bool decode_stream(const uint8_t* data, int64_t len, uint8_t* out,
     bool body_ok;
     if (flags & F_CAT) {
         if (r.end - r.p < payload_size) return false;
-        std::memcpy(target, r.p, payload_size);
+        // n=0 memcpy with a null target (empty PACK buffer) is still UB
+        if (payload_size > 0) std::memcpy(target, r.p, payload_size);
         body_ok = true;
     } else if (flags & F_RLE) {
         body_ok = decode_rle(r.p, r.end, target, payload_size,
