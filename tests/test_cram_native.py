@@ -324,3 +324,45 @@ def test_cram_dataprep_loaders_match_python_engine(tmp_path):
     assert np.array_equal(
         np.sort(fast_tens2.match_pos), np.sort(fast_tens.match_pos)
     )
+
+
+def test_fetch_packed_multi_slice_concat(tmp_path):
+    """fetch_packed over a CRAM written with tiny slices (forcing many
+    containers) rebases offsets correctly: the concatenated payload
+    decodes to the same records as fetch()."""
+    from clair_tpu.io.bai import build_bai
+    from clair_tpu.io.cram import CramReader, bam_to_cram
+    from clair_tpu.native import RegionScan
+    from clair_tpu.utils.simulate import (
+        plant_variants, random_reference, simulate_bam, write_fasta,
+    )
+
+    rs = np.random.RandomState(61)
+    ref = random_reference(rs, 5_000)
+    variants = plant_variants(rs, ref, n_variants=5, spacing=600)
+    bam = str(tmp_path / "m.bam")
+    fa = str(tmp_path / "m.fa")
+    cram = str(tmp_path / "m.cram")
+    simulate_bam(bam, ref, variants, rs, coverage=12)
+    write_fasta(fa, ref)
+    build_bai(bam, bam + ".bai")
+    bam_to_cram(bam, cram, fa, records_per_slice=64)  # many containers
+
+    with CramReader(cram, fasta=fa) as reader:
+        packed = reader.fetch_packed("chr1", 0, 5_000)
+        records = list(reader.fetch("chr1", 0, 5_000))
+    assert packed is not None
+    # the packed arrays span > 1 slice part (offsets were rebased)
+    n = len(packed["pos"])
+    assert n > 64
+    # record-level parity with fetch()
+    assert n == len(records)
+    assert np.array_equal(packed["pos"], [r.pos for r in records])
+    for i, r in enumerate(records):
+        c0, c1 = int(packed["cig_off"][i]), int(packed["cig_off"][i + 1])
+        assert np.array_equal(packed["cig_ops"][c0:c1], r.cigar_ops)
+        s0, s1 = int(packed["seq_off"][i]), int(packed["seq_off"][i + 1])
+        assert np.array_equal(packed["seq"][s0:s1], r.seq)
+    scan = RegionScan.from_packed(packed, 0, 0, 5_000)
+    assert scan is not None and scan.n_records == n
+    scan.close()
