@@ -41,6 +41,18 @@ _DUP_PREFIXES = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
 
 def _pack(array: np.ndarray) -> bytes:
+    # Pileup tensors are channel-normalized integer counts in
+    # [-dcov, dcov] stored as float32; packing them as int16 when that
+    # round-trips losslessly halves the raw bytes the epoch iterator
+    # must decompress (the host feed was the training bottleneck:
+    # ~130k samples/s vs the chip's 171k+). _unpack restores float32,
+    # so readers are unchanged; float blocks that do not fit (shouldn't
+    # happen for tensors, possible for exotic labels) stay float32.
+    if array.dtype == np.float32:
+        with np.errstate(invalid="ignore"):  # NaN/overflow fail the check below
+            as_int = array.astype(np.int16)
+        if np.array_equal(as_int.astype(np.float32), array):
+            array = as_int
     buf = _io.BytesIO()
     np.save(buf, array, allow_pickle=False)
     return zstandard.ZstdCompressor(level=6).compress(buf.getvalue())
@@ -48,7 +60,10 @@ def _pack(array: np.ndarray) -> bytes:
 
 def _unpack(blob: bytes) -> np.ndarray:
     raw = zstandard.ZstdDecompressor().decompress(blob)
-    return np.load(_io.BytesIO(raw), allow_pickle=False)
+    out = np.load(_io.BytesIO(raw), allow_pickle=False)
+    if out.dtype == np.int16:
+        return out.astype(np.float32)
+    return out
 
 
 @dataclass

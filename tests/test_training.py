@@ -64,6 +64,34 @@ def test_bin_roundtrip(tmp_path):
     assert loaded.pos_block(0)[0] == "chr1:0"
 
 
+def test_pack_int16_fastpath_lossless():
+    from clair_tpu.data.bins import _unpack
+
+    # integer-valued float32 (the pileup-tensor case): packed via int16,
+    # restored to float32 bit-exactly, and the blob shrinks
+    rs = np.random.RandomState(3)
+    counts = rs.randint(-250, 251, size=(64, 33, 8, 4)).astype(np.float32)
+    blob = _pack(counts)
+    out = _unpack(blob)
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out, counts)
+    assert len(blob) < len(_pack(counts + 0.5))
+
+    # fractional, out-of-int16-range, and NaN blocks must stay float32-exact
+    for arr in (
+        rs.rand(8, 4).astype(np.float32),
+        np.array([40000.0, -40000.0], dtype=np.float32),
+        np.array([1.0, np.nan], dtype=np.float32),
+    ):
+        got = _unpack(_pack(arr))
+        assert got.dtype == np.float32
+        np.testing.assert_array_equal(got, arr)
+
+    # non-float arrays (position strings) pass through untouched
+    pos = np.array(["chr1:5", "chr1:9"])
+    assert _unpack(_pack(pos))[1] == "chr1:9"
+
+
 def test_combine_and_train_val_bins(tmp_path):
     ds1, _, _ = _make_dataset(16, 8, seed=1)
     ds2, _, _ = _make_dataset(24, 8, seed=2)
