@@ -297,6 +297,12 @@ class EpochBatches:
     train_batch_size: int = TRAIN_BATCH_SIZE
     val_batch_size: int = PREDICT_BATCH_SIZE
     prefetch: int = 4
+    # zstd decompression releases the GIL, so block decode scales across
+    # threads. One thread feeds ~173k samples/s (int16 blocks) — below the
+    # bf16 train step's 242k — so on multi-core hosts the pool keeps the
+    # chip fed. None = one worker per spare core (capped at 4; a block is
+    # ~3 ms so more buys nothing), 0 = inline serial decode.
+    decompress_workers: Optional[int] = None
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, bool]]:
         import queue
@@ -341,23 +347,62 @@ class EpochBatches:
             stop.set()
             thread.join()
 
-    def _generate(self) -> Iterator[Tuple[np.ndarray, np.ndarray, bool]]:
+    def _block_stream(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yield (x, y) block pairs in block_order, decompressing ahead on a
+        thread pool when workers are available (in-order delivery; the
+        lookahead bounds memory at ~2 blocks per worker)."""
         ds = self.dataset
+        workers = self.decompress_workers
+        if workers is None:
+            import os
+
+            workers = min(4, max((os.cpu_count() or 1) - 1, 0))
+        if workers <= 0:
+            for i in self.block_order:
+                i = int(i)
+                yield ds.x_block(i), ds.y_block(i)
+            return
+
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        def load(i: int):
+            return ds.x_block(i), ds.y_block(i)
+
+        block_iter = iter(self.block_order)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            pending: "deque" = deque()
+
+            def submit() -> None:
+                try:
+                    i = int(next(block_iter))
+                except StopIteration:
+                    return
+                pending.append(pool.submit(load, i))
+
+            for _ in range(2 * workers):
+                submit()
+            while pending:
+                x, y = pending.popleft().result()
+                submit()
+                yield x, y
+
+    def _generate(self) -> Iterator[Tuple[np.ndarray, np.ndarray, bool]]:
         buffer_x: List[np.ndarray] = []
         buffer_y: List[np.ndarray] = []
         buffered = 0
         produced = 0
-        block_iter = iter(self.block_order)
+        blocks = self._block_stream()
 
         def fill(target: int) -> None:
             nonlocal buffered
             while buffered < target:
                 try:
-                    i = int(next(block_iter))
+                    x, y = next(blocks)
                 except StopIteration:
                     return
-                buffer_x.append(ds.x_block(i))
-                buffer_y.append(ds.y_block(i))
+                buffer_x.append(x)
+                buffer_y.append(y)
                 buffered += len(buffer_x[-1])
 
         def take(n: int):

@@ -94,6 +94,11 @@ class TrainingConfig:
     # the ONT held-out run — the earlier "~9 recall points" measurement
     # predated the loss upcast). Flip per-run when throughput matters.
     train_compute_dtype: str = "float32"
+    # block-decompression threads for the epoch feed (None = one per spare
+    # core, capped at 4; 0 = inline). One thread decodes ~173k samples/s
+    # (int16 blocks) — below the bf16 step's 242k, so multi-core hosts
+    # need the pool to keep the chip fed.
+    decompress_workers: Optional[int] = None
     # restore the best-validation-loss epoch at the end (the reference's
     # behavior, train.py:364-372). With tiny validation sets the val loss
     # is too noisy to pick by — the demo disables this and keeps the final
@@ -196,6 +201,7 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
         batches = EpochBatches(
             dataset, block_order, n_train,
             config.train_batch_size, config.val_batch_size,
+            decompress_workers=config.decompress_workers,
         )
         for x, y, is_training in batches:
             weights = None

@@ -142,6 +142,31 @@ def test_epoch_batches_split_semantics():
     assert sum(train_sizes) + sum(val_sizes) == 40
 
 
+def test_epoch_batches_pooled_decompress_matches_serial():
+    ds, _, _ = _make_dataset(40, 8)
+    order = np.array([3, 0, 4, 1, 2])
+
+    def run(workers):
+        return list(EpochBatches(
+            ds, order, n_train=32, train_batch_size=16, val_batch_size=4,
+            decompress_workers=workers,
+        ))
+
+    serial, pooled = run(0), run(3)
+    assert len(serial) == len(pooled)
+    for (xs, ys, ts), (xp, yp, tp) in zip(serial, pooled):
+        np.testing.assert_array_equal(xs, xp)
+        np.testing.assert_array_equal(ys, yp)
+        assert ts == tp
+
+    # early consumer abandonment (the lr_finder pattern) must not wedge
+    # the pool or the producer thread
+    it = iter(EpochBatches(ds, order, n_train=32, train_batch_size=16,
+                           decompress_workers=2))
+    next(it)
+    it.close()
+
+
 def test_cyclical_lr_matches_reference_semantics():
     clr = CyclicalLR(step_size=10, max_lr=0.03, mode="tri", min_lr=1e-4)
     values = [clr() for _ in range(40)]
