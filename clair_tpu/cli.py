@@ -538,6 +538,15 @@ def cmd_train(argv, schedule="adaptive"):
     parser.add_argument("--num_devices", type=int, default=None,
                         help="shard training over a ('data','model') mesh of this many devices")
     parser.add_argument("--model_parallel", type=int, default=1)
+    parser.add_argument("--coordinator_address", default=None,
+                        help="multi-host training: host:port of process 0's "
+                             "coordinator; run the SAME command on every "
+                             "host with its own --process_id")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--decompress_workers", type=int, default=None,
+                        help="bin-block decompression threads for the epoch "
+                             "feed (default: one per spare core, up to 4)")
     parser.add_argument("--profile_dir", default=None,
                         help="capture a jax.profiler trace of the run into "
                              "this directory (view with TensorBoard/xprof; "
@@ -556,8 +565,15 @@ def cmd_train(argv, schedule="adaptive"):
     model = ModelConfig(
         **{k: v for k, v in dict(optimizer_name=optimizer, loss_function=loss).items() if v}
     )
+    if args.coordinator_address:
+        if args.num_processes is None or args.process_id is None:
+            parser.error("--coordinator_address needs --num_processes and --process_id")
+        from clair_tpu.parallel.distributed import init_distributed
+
+        init_distributed(args.coordinator_address, args.num_processes, args.process_id)
+
     mesh = None
-    if args.num_devices:
+    if args.num_devices or args.coordinator_address:
         from clair_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(args.num_devices, model_parallel=args.model_parallel)
@@ -574,6 +590,7 @@ def cmd_train(argv, schedule="adaptive"):
         # for the adaptive schedule --maxEpoch acts as a hard safety cap
         hard_max_epochs=args.maxEpoch if schedule == "adaptive" else None,
         mesh=mesh,
+        decompress_workers=args.decompress_workers,
     )
     dataset = _load_dataset(args)
     if args.profile_dir:

@@ -83,7 +83,11 @@ def set_learning_rate(opt_state, learning_rate: float):
     """Return opt_state with a new learning rate (inject_hyperparams slot)."""
     inner = opt_state[1]
     new_hyper = dict(inner.hyperparams)
-    new_hyper["learning_rate"] = jnp.asarray(learning_rate, dtype=jnp.float32)
+    # host scalar (not a committed device array): replicates cleanly into
+    # the jitted step in both single- and multi-process runs
+    import numpy as np
+
+    new_hyper["learning_rate"] = np.float32(learning_rate)
     return (opt_state[0], inner._replace(hyperparams=new_hyper))
 
 

@@ -137,14 +137,25 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
     eval_step = make_eval_step(model_config)
 
     shard = None
+    pid, nproc = 0, 1
     if config.mesh is not None:
+        from clair_tpu.parallel.distributed import (
+            local_stripe,
+            make_global_array,
+            process_info,
+        )
         from clair_tpu.parallel.sharding import (
             batch_sharding,
             param_shardings,
             replicate,
         )
 
+        pid, nproc = process_info()
         data_size = config.mesh.shape["data"]
+        if data_size % nproc != 0:
+            raise ValueError(
+                f"data axis ({data_size}) must divide by processes ({nproc})"
+            )
         params = jax.device_put(params, param_shardings(params, config.mesh))
         opt_state = jax.device_put(
             opt_state, jax.tree.map(lambda _: replicate(config.mesh), opt_state)
@@ -154,6 +165,9 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
         w_sharding = batch_sharding(config.mesh, 1)
 
         def shard(x, y):
+            # every process sees the same GLOBAL batch (identical epoch
+            # stream) and ships only its row stripe — multi-process runs
+            # consume batches bit-identical to the single-process run
             n = len(x)
             padded = -(-n // data_size) * data_size
             w = np.zeros(padded, dtype=np.float32)
@@ -161,10 +175,17 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
             if padded != n:
                 x = np.concatenate([x, np.zeros((padded - n,) + x.shape[1:], x.dtype)])
                 y = np.concatenate([y, np.zeros((padded - n,) + y.shape[1:], y.dtype)])
+            if nproc == 1:
+                return (
+                    jax.device_put(x, x_sharding),
+                    jax.device_put(y, flat_sharding),
+                    jax.device_put(w, w_sharding),
+                )
+            rows = local_stripe(padded, pid, nproc)
             return (
-                jax.device_put(x, x_sharding),
-                jax.device_put(y, flat_sharding),
-                jax.device_put(w, w_sharding),
+                make_global_array(x_sharding, x[rows]),
+                make_global_array(flat_sharding, y[rows]),
+                make_global_array(w_sharding, w[rows]),
             )
 
     n_train = dataset.train_size_hint or int(
@@ -173,6 +194,10 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
     n_val = dataset.dataset_size - n_train
     n_train_blocks = int(n_train / dataset.block_size)
     block_order = np.arange(dataset.n_blocks)
+    # dedicated RNG: the per-epoch block shuffle is reproducible from
+    # config.seed, which also keeps multi-process epoch streams identical
+    shuffle_rs = np.random.RandomState(config.seed)
+    best_snapshot = None  # (val_loss, epoch, host_params) for nproc > 1
 
     learning_rate = config.learning_rate
     l2_lambda = config.l2_lambda
@@ -249,11 +274,28 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
         is_last = (config.schedule == "fixed" and epoch >= config.max_epochs) or (
             config.schedule not in ("adaptive", "fixed") and epoch >= config.max_epochs
         )
-        if config.output_prefix is not None and (
+        if nproc > 1 and config.restore_best and (
+            best_snapshot is None or val_loss_sum < best_snapshot[0]
+        ):
+            from clair_tpu.parallel.distributed import host_replicated
+
+            best_snapshot = (
+                val_loss_sum, epoch, host_replicated(params, config.mesh)
+            )
+        if config.output_prefix is not None and pid == 0 and (
             epoch % config.checkpoint_every == 0 or is_last
         ):
+            ckpt_params = params
+            if nproc > 1:
+                from clair_tpu.parallel.distributed import host_replicated
+
+                ckpt_params = (
+                    best_snapshot[2]
+                    if best_snapshot is not None and best_snapshot[1] == epoch
+                    else host_replicated(params, config.mesh)
+                )
             save_checkpoint(
-                checkpoint_path(config.output_prefix, epoch), params,
+                checkpoint_path(config.output_prefix, epoch), ckpt_params,
                 extra={"epoch": epoch, "learning_rate": learning_rate},
             )
 
@@ -277,25 +319,39 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
 
         epoch += 1
         # shuffle the train blocks only (ref train.py:256)
-        block_order = _shuffle_first_n(block_order, n_train_blocks)
+        block_order = _shuffle_first_n(block_order, n_train_blocks, shuffle_rs)
 
     logger.info("[INFO] Training time elapsed: %.2f s", time.time() - training_start)
 
     import os
 
-    saved = {
-        e for _, e in validation_losses
-        if config.output_prefix is not None
-        and os.path.exists(checkpoint_path(config.output_prefix, e))
-    }
-    restorable = [v for v in validation_losses if v[1] in saved] or validation_losses
-    best_epoch = sorted(restorable)[0][1]
-    logger.info("[INFO] Best validation loss at epoch: %d", best_epoch)
-    if not config.restore_best:
-        best_epoch = epoch  # keep the final-epoch parameters
-    elif config.output_prefix is not None and best_epoch in saved:
-        params, _ = load_checkpoint(checkpoint_path(config.output_prefix, best_epoch))
-    if config.evaluate_at_end:
+    if nproc > 1:
+        # no shared-filesystem assumption: restore-best uses the in-memory
+        # snapshot, and all processes end with identical host params
+        from clair_tpu.parallel.distributed import host_replicated
+
+        best_epoch = sorted(validation_losses)[0][1]
+        logger.info("[INFO] Best validation loss at epoch: %d", best_epoch)
+        if config.restore_best and best_snapshot is not None:
+            best_epoch = best_snapshot[1]
+            params = best_snapshot[2]
+        else:
+            best_epoch = epoch
+            params = host_replicated(params, config.mesh)
+    else:
+        saved = {
+            e for _, e in validation_losses
+            if config.output_prefix is not None
+            and os.path.exists(checkpoint_path(config.output_prefix, e))
+        }
+        restorable = [v for v in validation_losses if v[1] in saved] or validation_losses
+        best_epoch = sorted(restorable)[0][1]
+        logger.info("[INFO] Best validation loss at epoch: %d", best_epoch)
+        if not config.restore_best:
+            best_epoch = epoch  # keep the final-epoch parameters
+        elif config.output_prefix is not None and best_epoch in saved:
+            params, _ = load_checkpoint(checkpoint_path(config.output_prefix, best_epoch))
+    if config.evaluate_at_end and pid == 0:
         from clair_tpu.pipeline.evaluate import evaluate_model
 
         evaluate_model(params, model_config, dataset)
@@ -315,12 +371,12 @@ def _accumulate(pending, sums):
             sums[key] += float(components[key])
 
 
-def _shuffle_first_n(array: np.ndarray, n: int) -> np.ndarray:
+def _shuffle_first_n(array: np.ndarray, n: int, rs: np.random.RandomState) -> np.ndarray:
     array = array.copy()
     if len(array) <= n:
-        np.random.shuffle(array)
+        rs.shuffle(array)
         return array
     head = array[:n]
-    np.random.shuffle(head)
+    rs.shuffle(head)
     array[:n] = head
     return array

@@ -1,0 +1,139 @@
+"""Multi-process (multi-host) data-parallel training.
+
+Two OS processes, each with 2 virtual CPU devices, join through
+jax.distributed + gloo collectives and train over a shared bin on a global
+4-device ('data','model') mesh. The design invariant under test: because
+every process iterates the same epoch stream and ships only its row stripe,
+the multi-process run consumes bit-identical global batches — losses agree
+across processes exactly and match a single-process 4-device run up to
+collective reduction order.
+
+The reference has no distributed backend at all (SURVEY.md §2: scale-out is
+GNU parallel over genome chunks); this is the TPU-pod-native replacement.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from clair_tpu.data.bins import write_bin
+from tests.test_training import _make_dataset
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DRIVER = r"""
+import json, sys
+import numpy as np
+sys.path.insert(0, %(repo)r)
+
+bin_path, out_path, pid, nproc, coord = (
+    sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), sys.argv[5])
+
+if nproc > 1:
+    from clair_tpu.parallel.distributed import init_distributed
+    init_distributed(coord, nproc, pid)
+
+import jax
+from clair_tpu.data.bins import load_bin
+from clair_tpu.parallel.mesh import make_mesh
+from clair_tpu.pipeline.train import TrainingConfig, train_model
+
+assert len(jax.devices()) == 4, jax.devices()
+mesh = make_mesh(4)
+config = TrainingConfig(
+    schedule="fixed", max_epochs=3, train_batch_size=16,
+    val_batch_size=4, mesh=mesh, seed=7, evaluate_at_end=False,
+    restore_best=True, decompress_workers=0,
+)
+result = train_model(load_bin(bin_path), config)
+digest = {
+    "/".join(str(p) for p in path): float(np.abs(np.asarray(leaf)).sum())
+    for path, leaf in jax.tree_util.tree_flatten_with_path(result.params)[0]
+}
+json.dump({
+    "train": [[float(l), e] for l, e in result.training_losses],
+    "val": [[float(l), e] for l, e in result.validation_losses],
+    "best_epoch": result.best_epoch,
+    "digest": digest,
+}, open(out_path, "w"))
+"""
+
+
+def _env(n_local_devices: int) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(
+        flags + [f"--xla_force_host_platform_device_count={n_local_devices}"]
+    )
+    return env
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path):
+    ds, _, _ = _make_dataset(n=64, block_size=8, seed=5)
+    bin_path = str(tmp_path / "train.bin")
+    write_bin(bin_path, ds)
+    driver = tmp_path / "driver.py"
+    driver.write_text(DRIVER % {"repo": REPO})
+
+    coord = f"127.0.0.1:{_free_port()}"
+
+    def launch(pid, nproc, out, n_local):
+        return subprocess.Popen(
+            [sys.executable, str(driver), bin_path, out, str(pid), str(nproc), coord],
+            env=_env(n_local), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+
+    procs = [launch(p, 2, str(tmp_path / f"dist{p}.json"), 2) for p in (0, 1)]
+    for p in procs:
+        _, err = p.communicate(timeout=900)
+        assert p.returncode == 0, err[-4000:]
+
+    single = launch(0, 1, str(tmp_path / "single.json"), 4)
+    _, err = single.communicate(timeout=900)
+    assert single.returncode == 0, err[-4000:]
+
+    d0 = json.load(open(tmp_path / "dist0.json"))
+    d1 = json.load(open(tmp_path / "dist1.json"))
+    ref = json.load(open(tmp_path / "single.json"))
+
+    # the two processes observe the SAME replicated losses and params
+    assert d0["train"] == d1["train"]
+    assert d0["val"] == d1["val"]
+    assert d0["best_epoch"] == d1["best_epoch"]
+    assert d0["digest"] == d1["digest"]
+
+    # and the loss trajectory matches the single-process run. Final PARAMS
+    # are deliberately not compared: the gloo all-reduce summation order is
+    # nondeterministic per run, Adam's rsqrt normalization turns those
+    # last-ulp gradient differences into ±lr per-element steps wherever the
+    # gradient is near zero, and 12 optimizer steps amplify that
+    # chaotically (observed: up to ~9% digest drift between two
+    # equally-valid runs). The loss curve over identical global batches is
+    # the stable statement that the distributed step optimizes the same
+    # function down the same path.
+    assert d0["best_epoch"] == ref["best_epoch"]
+    np.testing.assert_allclose(
+        [l for l, _ in d0["train"]], [l for l, _ in ref["train"]],
+        rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        [l for l, _ in d0["val"]], [l for l, _ in ref["val"]], rtol=1e-3
+    )
