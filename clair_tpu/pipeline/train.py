@@ -156,6 +156,14 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
             raise ValueError(
                 f"data axis ({data_size}) must divide by processes ({nproc})"
             )
+        model_size = config.mesh.shape.get("model", 1)
+        if nproc > 1 and len(jax.local_devices()) % model_size != 0:
+            # each process must own whole data-rows of the mesh grid, or
+            # the contiguous-stripe batch placement below is wrong
+            raise ValueError(
+                f"model_parallel ({model_size}) must divide the per-host "
+                f"device count ({len(jax.local_devices())}) in multi-host runs"
+            )
         params = jax.device_put(params, param_shardings(params, config.mesh))
         opt_state = jax.device_put(
             opt_state, jax.tree.map(lambda _: replicate(config.mesh), opt_state)
