@@ -571,6 +571,10 @@ def cmd_train(argv, schedule="adaptive"):
         from clair_tpu.parallel.distributed import init_distributed
 
         init_distributed(args.coordinator_address, args.num_processes, args.process_id)
+    elif args.num_processes is not None or args.process_id is not None:
+        # a host launched without the coordinator would silently train a
+        # full independent run while its peers wait at initialize
+        parser.error("--num_processes/--process_id require --coordinator_address")
 
     mesh = None
     if args.num_devices or args.coordinator_address:

@@ -36,7 +36,11 @@ from clair_tpu.task.labels import label_vector_from_reference, label_vector_from
 from clair_tpu.utils.genomics import BASE2ACGT, BASIC_BASES
 from clair_tpu.utils.intervals import BedIntervals
 
-MAGIC = "clair_tpu_bin_v1"
+# v2: block payloads may be int16-packed (restored to float32 on read).
+# Bumped so a v1-era reader rejects v2 bins loudly instead of returning
+# int16 arrays it never produced; this reader accepts both.
+MAGIC = "clair_tpu_bin_v2"
+_KNOWN_MAGICS = {"clair_tpu_bin_v1", MAGIC}
 _DUP_PREFIXES = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
 
@@ -121,7 +125,12 @@ def load_bin(path: str) -> BinDataset:
     layout (Tensor2Bin.py:15-33) when blosc is importable."""
     with open(path, "rb") as fh:
         head = pickle.load(fh)
-        if isinstance(head, dict) and head.get("magic") == MAGIC:
+        if isinstance(head, dict) and "magic" in head:
+            if head["magic"] not in _KNOWN_MAGICS:
+                raise ValueError(
+                    f"{path} carries bin format {head['magic']!r}, which this "
+                    "version does not know — it was written by a newer clair_tpu"
+                )
             return BinDataset(
                 dataset_size=head["dataset_size"],
                 x_blocks=head["x_blocks"],

@@ -83,6 +83,39 @@ def process_info() -> tuple:
     return jax.process_index(), jax.process_count()
 
 
+def check_multihost_mesh(mesh, num_processes: int) -> None:
+    """Fail loud on mesh geometries the striped batch placement cannot
+    serve. Requirements: every process contributes the same number of
+    devices (a prefix mesh from --num_devices would give some process
+    zero), each data-row's devices live in ONE process (the model axis
+    must not cross hosts), and row ownership ascends by process index
+    (so each process's rows form the contiguous stripe local_stripe
+    hands it)."""
+    import numpy as np
+
+    grid = np.asarray(mesh.devices)
+    procs = np.asarray([d.process_index for d in grid.flat]).reshape(grid.shape)
+    counts = np.bincount(procs.ravel(), minlength=num_processes)
+    if set(counts.tolist()) != {grid.size // num_processes}:
+        raise ValueError(
+            f"multi-host mesh must cover all {num_processes} processes with "
+            f"equal device counts; got per-process counts {counts.tolist()} "
+            "(don't pass --num_devices smaller than the global device count)"
+        )
+    row_owner = []
+    for row in procs.reshape(grid.shape[0], -1):
+        if len(set(row.tolist())) != 1:
+            raise ValueError(
+                "model_parallel must not cross hosts: a data-row of the mesh "
+                f"spans processes {sorted(set(row.tolist()))}"
+            )
+        row_owner.append(int(row[0]))
+    if row_owner != sorted(row_owner):
+        raise ValueError(
+            f"mesh data-rows must ascend by process index, got {row_owner}"
+        )
+
+
 def local_stripe(n_rows: int, process_id: int, num_processes: int) -> slice:
     """The contiguous row stripe of a global batch owned by this process.
 

@@ -124,22 +124,12 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
     rng = jax.random.PRNGKey(config.seed)
     rng, init_rng = jax.random.split(rng)
 
-    if config.init_checkpoint is not None:
-        params, _ = load_checkpoint(config.init_checkpoint)
-        start_epoch = epoch_from_path(config.init_checkpoint) + 1
-    else:
-        params = init_params(init_rng, model_config)
-        start_epoch = 1
-
-    optimizer = make_optimizer(model_config.optimizer_name, config.learning_rate)
-    opt_state = optimizer.init(params)
-    train_step = make_train_step(model_config, optimizer, config.mesh)
-    eval_step = make_eval_step(model_config)
-
     shard = None
     pid, nproc = 0, 1
     if config.mesh is not None:
         from clair_tpu.parallel.distributed import (
+            check_multihost_mesh,
+            host_replicated,
             local_stripe,
             make_global_array,
             process_info,
@@ -152,18 +142,35 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
 
         pid, nproc = process_info()
         data_size = config.mesh.shape["data"]
-        if data_size % nproc != 0:
-            raise ValueError(
-                f"data axis ({data_size}) must divide by processes ({nproc})"
+        if nproc > 1:
+            check_multihost_mesh(config.mesh, nproc)
+
+    if config.init_checkpoint is not None:
+        start_epoch = epoch_from_path(config.init_checkpoint) + 1
+        if nproc > 1:
+            # checkpoints are written by process 0 only (no shared-FS
+            # assumption), so a resume loads there and broadcasts; other
+            # hosts only contribute the pytree structure
+            params = init_params(init_rng, model_config)
+            if pid == 0:
+                params, _ = load_checkpoint(config.init_checkpoint)
+            from jax.experimental import multihost_utils
+
+            params = jax.tree.map(
+                np.asarray, multihost_utils.broadcast_one_to_all(params)
             )
-        model_size = config.mesh.shape.get("model", 1)
-        if nproc > 1 and len(jax.local_devices()) % model_size != 0:
-            # each process must own whole data-rows of the mesh grid, or
-            # the contiguous-stripe batch placement below is wrong
-            raise ValueError(
-                f"model_parallel ({model_size}) must divide the per-host "
-                f"device count ({len(jax.local_devices())}) in multi-host runs"
-            )
+        else:
+            params, _ = load_checkpoint(config.init_checkpoint)
+    else:
+        params = init_params(init_rng, model_config)
+        start_epoch = 1
+
+    optimizer = make_optimizer(model_config.optimizer_name, config.learning_rate)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(model_config, optimizer, config.mesh)
+    eval_step = make_eval_step(model_config)
+
+    if config.mesh is not None:
         params = jax.device_put(params, param_shardings(params, config.mesh))
         opt_state = jax.device_put(
             opt_state, jax.tree.map(lambda _: replicate(config.mesh), opt_state)
@@ -285,8 +292,6 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
         if nproc > 1 and config.restore_best and (
             best_snapshot is None or val_loss_sum < best_snapshot[0]
         ):
-            from clair_tpu.parallel.distributed import host_replicated
-
             best_snapshot = (
                 val_loss_sum, epoch, host_replicated(params, config.mesh)
             )
@@ -295,8 +300,6 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
         ):
             ckpt_params = params
             if nproc > 1:
-                from clair_tpu.parallel.distributed import host_replicated
-
                 ckpt_params = (
                     best_snapshot[2]
                     if best_snapshot is not None and best_snapshot[1] == epoch
@@ -336,8 +339,6 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
     if nproc > 1:
         # no shared-filesystem assumption: restore-best uses the in-memory
         # snapshot, and all processes end with identical host params
-        from clair_tpu.parallel.distributed import host_replicated
-
         best_epoch = sorted(validation_losses)[0][1]
         logger.info("[INFO] Best validation loss at epoch: %d", best_epoch)
         if config.restore_best and best_snapshot is not None:

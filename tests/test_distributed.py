@@ -27,12 +27,13 @@ from tests.test_training import _make_dataset
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 DRIVER = r"""
-import json, sys
+import json, os, sys
 import numpy as np
 sys.path.insert(0, %(repo)r)
 
 bin_path, out_path, pid, nproc, coord = (
     sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), sys.argv[5])
+ckpt_prefix = sys.argv[6] if len(sys.argv) > 6 else None
 
 if nproc > 1:
     from clair_tpu.parallel.distributed import init_distributed
@@ -49,18 +50,39 @@ config = TrainingConfig(
     schedule="fixed", max_epochs=3, train_batch_size=16,
     val_batch_size=4, mesh=mesh, seed=7, evaluate_at_end=False,
     restore_best=True, decompress_workers=0,
+    output_prefix=ckpt_prefix,
 )
 result = train_model(load_bin(bin_path), config)
+runs = {"train": [[float(l), e] for l, e in result.training_losses],
+        "val": [[float(l), e] for l, e in result.validation_losses],
+        "best_epoch": result.best_epoch}
+
+if ckpt_prefix is not None:
+    # resume leg: process 0 wrote epoch-3; non-zero processes point at a
+    # path that does NOT exist for them — the broadcast must cover it
+    if pid == 0:
+        resume_from = ckpt_prefix + "-000003"
+        assert os.path.exists(resume_from)
+    else:
+        # exercise the documented no-shared-FS contract literally: give
+        # non-zero processes a nonexistent path with the right epoch tail
+        resume_from = ckpt_prefix + "-missing-000003"
+        assert not os.path.exists(resume_from)
+    config2 = TrainingConfig(
+        schedule="fixed", max_epochs=4, train_batch_size=16,
+        val_batch_size=4, mesh=mesh, seed=7, evaluate_at_end=False,
+        restore_best=False, decompress_workers=0,
+        init_checkpoint=resume_from,
+    )
+    result2 = train_model(load_bin(bin_path), config2)
+    runs["resume_train"] = [[float(l), e] for l, e in result2.training_losses]
+    runs["resume_val"] = [[float(l), e] for l, e in result2.validation_losses]
 digest = {
     "/".join(str(p) for p in path): float(np.abs(np.asarray(leaf)).sum())
     for path, leaf in jax.tree_util.tree_flatten_with_path(result.params)[0]
 }
-json.dump({
-    "train": [[float(l), e] for l, e in result.training_losses],
-    "val": [[float(l), e] for l, e in result.validation_losses],
-    "best_epoch": result.best_epoch,
-    "digest": digest,
-}, open(out_path, "w"))
+runs["digest"] = digest
+json.dump(runs, open(out_path, "w"))
 """
 
 
@@ -84,6 +106,37 @@ def _free_port() -> int:
     return port
 
 
+class _Dev:
+    def __init__(self, process_index):
+        self.process_index = process_index
+
+
+class _MeshStub:
+    def __init__(self, grid):
+        self.devices = np.asarray(grid, dtype=object)
+
+
+def test_check_multihost_mesh_geometries():
+    from clair_tpu.parallel.distributed import check_multihost_mesh
+
+    d = [_Dev(0), _Dev(0), _Dev(1), _Dev(1)]
+
+    # 2 procs x 2 devices, model_parallel=1: fine
+    check_multihost_mesh(_MeshStub([[d[0]], [d[1]], [d[2]], [d[3]]]), 2)
+    # model axis inside a host: fine
+    check_multihost_mesh(_MeshStub([[d[0], d[1]], [d[2], d[3]]]), 2)
+
+    # prefix mesh (--num_devices too small): process 1 owns nothing
+    with pytest.raises(ValueError, match="equal device counts"):
+        check_multihost_mesh(_MeshStub([[d[0]], [d[1]]]), 2)
+    # model axis crossing hosts
+    with pytest.raises(ValueError, match="must not cross hosts"):
+        check_multihost_mesh(_MeshStub([[d[0], d[2]], [d[1], d[3]]]), 2)
+    # data rows not ascending by process
+    with pytest.raises(ValueError, match="ascend"):
+        check_multihost_mesh(_MeshStub([[d[2]], [d[3]], [d[0]], [d[1]]]), 2)
+
+
 @pytest.mark.slow
 def test_two_process_training_matches_single_process(tmp_path):
     ds, _, _ = _make_dataset(n=64, block_size=8, seed=5)
@@ -94,19 +147,23 @@ def test_two_process_training_matches_single_process(tmp_path):
 
     coord = f"127.0.0.1:{_free_port()}"
 
-    def launch(pid, nproc, out, n_local):
+    def launch(pid, nproc, out, n_local, prefix):
         return subprocess.Popen(
-            [sys.executable, str(driver), bin_path, out, str(pid), str(nproc), coord],
+            [sys.executable, str(driver), bin_path, out, str(pid), str(nproc),
+             coord, prefix],
             env=_env(n_local), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True,
         )
 
-    procs = [launch(p, 2, str(tmp_path / f"dist{p}.json"), 2) for p in (0, 1)]
+    procs = [
+        launch(p, 2, str(tmp_path / f"dist{p}.json"), 2, str(tmp_path / "dckpt"))
+        for p in (0, 1)
+    ]
     for p in procs:
         _, err = p.communicate(timeout=900)
         assert p.returncode == 0, err[-4000:]
 
-    single = launch(0, 1, str(tmp_path / "single.json"), 4)
+    single = launch(0, 1, str(tmp_path / "single.json"), 4, str(tmp_path / "sckpt"))
     _, err = single.communicate(timeout=900)
     assert single.returncode == 0, err[-4000:]
 
@@ -119,6 +176,13 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert d0["val"] == d1["val"]
     assert d0["best_epoch"] == d1["best_epoch"]
     assert d0["digest"] == d1["digest"]
+
+    # resume leg: process 1 pointed at a NONEXISTENT checkpoint path (no
+    # shared FS) and still trained the identical epoch — proof the params
+    # broadcast from process 0's checkpoint
+    assert d0["resume_train"] == d1["resume_train"]
+    assert d0["resume_val"] == d1["resume_val"]
+    assert [e for _, e in d0["resume_train"]] == [4]
 
     # and the loss trajectory matches the single-process run. Final PARAMS
     # are deliberately not compared: the gloo all-reduce summation order is
