@@ -85,3 +85,50 @@ def test_bf16_decode_decisions_match_f32(tmp_path):
         return out
 
     assert decisions(rows32) == decisions(rows16)
+
+
+def test_bf16_cell_state_accumulates_in_f32():
+    """The cell state is the additive accumulator of the recurrence — it
+    carries float32 under bf16 compute (models/bilstm.py:_cell_dtype).
+    Guard: the shipped bf16 path must track the f32 reference at least as
+    well as an all-bf16-carry variant reproduced inline (the pre-fix
+    behavior), and h outputs stay bf16 (the matmul/traffic win)."""
+    import jax.numpy as jnp
+
+    from clair_tpu.models.bilstm import bilstm, init_bilstm_params
+
+    rng = jax.random.PRNGKey(2)
+    params = init_bilstm_params(rng, 32, 128)
+    x = np.random.RandomState(3).randn(4, 33, 32).astype(np.float32) * 2
+
+    ref = np.asarray(bilstm(params, jnp.asarray(x)), np.float32)
+    p16 = jax.tree.map(lambda p: jnp.asarray(p, jnp.bfloat16), params)
+    out16 = bilstm(p16, jnp.asarray(x, jnp.bfloat16))
+    assert out16.dtype == jnp.bfloat16
+    err_fixed = np.abs(np.asarray(out16, np.float32) - ref).mean()
+
+    def all_bf16_carry(params, x):
+        b = x.shape[0]
+        xw_fw = x @ params["fw"]["w"] + params["fw"]["b"]
+        xw_bw = jnp.flip(x, axis=1) @ params["bw"]["w"] + params["bw"]["b"]
+        xw = jnp.concatenate(
+            [xw_fw.transpose(1, 0, 2), xw_bw.transpose(1, 0, 2)], axis=1)
+
+        def step(carry, xw_t):
+            h, c = carry
+            rec = jnp.concatenate(
+                [h[:b] @ params["fw"]["u"], h[b:] @ params["bw"]["u"]], axis=0)
+            i, f, g, o = jnp.split(xw_t + rec, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            return (h_new, c_new), h_new
+
+        h0 = jnp.zeros((2 * b, 128), x.dtype)
+        (_, _), outputs = jax.lax.scan(step, (h0, h0), xw)
+        out_fw = outputs[:, :b].transpose(1, 0, 2)
+        out_bw = jnp.flip(outputs[:, b:].transpose(1, 0, 2), axis=1)
+        return jnp.concatenate([out_fw, out_bw], axis=-1)
+
+    old = all_bf16_carry(p16, jnp.asarray(x, jnp.bfloat16))
+    err_old = np.abs(np.asarray(old, np.float32) - ref).mean()
+    assert err_fixed <= err_old * 1.02, (err_fixed, err_old)
