@@ -160,11 +160,11 @@ def test_two_process_training_matches_single_process(tmp_path):
         for p in (0, 1)
     ]
     for p in procs:
-        _, err = p.communicate(timeout=900)
+        _, err = p.communicate(timeout=1800)
         assert p.returncode == 0, err[-4000:]
 
     single = launch(0, 1, str(tmp_path / "single.json"), 4, str(tmp_path / "sckpt"))
-    _, err = single.communicate(timeout=900)
+    _, err = single.communicate(timeout=1800)
     assert single.returncode == 0, err[-4000:]
 
     d0 = json.load(open(tmp_path / "dist0.json"))
