@@ -94,6 +94,12 @@ def check_multihost_mesh(mesh, num_processes: int) -> None:
     import numpy as np
 
     grid = np.asarray(mesh.devices)
+    # orient by NAME: every consumer addresses the mesh by axis name, so a
+    # Mesh(..., ('model','data')) must be validated along its data axis,
+    # not positionally along axis 0
+    names = list(getattr(mesh, "axis_names", ()) or ())
+    if "data" in names:
+        grid = np.moveaxis(grid, names.index("data"), 0)
     procs = np.asarray([d.process_index for d in grid.flat]).reshape(grid.shape)
     counts = np.bincount(procs.ravel(), minlength=num_processes)
     if set(counts.tolist()) != {grid.size // num_processes}:
@@ -134,6 +140,39 @@ def make_global_array(sharding, local_rows):
     import jax
 
     return jax.make_array_from_process_local_data(sharding, local_rows)
+
+
+def broadcast_checkpoint(init_checkpoint: str, template_params) -> tuple:
+    """Multi-host resume: load on process 0, broadcast (params, epoch) to
+    every host — non-zero hosts never touch the file (their
+    ``init_checkpoint`` string is ignored beyond documentation), so no
+    shared filesystem is needed and a stale epoch tail on one host cannot
+    desynchronize the epoch counter. A load failure on process 0 is
+    broadcast as a flag so every host raises the same error instead of
+    the peers hanging inside the collective."""
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from clair_tpu.models.checkpoint import epoch_from_path, load_checkpoint
+
+    params, epoch, ok, error = template_params, np.int32(0), np.int32(1), ""
+    if jax.process_index() == 0:
+        try:
+            params, _ = load_checkpoint(init_checkpoint)
+            epoch = np.int32(epoch_from_path(init_checkpoint))
+        except Exception as exc:  # propagate to ALL hosts, coordinated
+            ok, error = np.int32(0), str(exc)
+            params = template_params
+    bundle = multihost_utils.broadcast_one_to_all(
+        {"params": params, "epoch": epoch, "ok": ok}
+    )
+    if int(bundle["ok"]) == 0:
+        raise RuntimeError(
+            f"process 0 failed to load {init_checkpoint!r}"
+            + (f": {error}" if error else "")
+        )
+    return jax.tree.map(np.asarray, bundle["params"]), int(bundle["epoch"])
 
 
 def host_replicated(tree, mesh) -> dict:

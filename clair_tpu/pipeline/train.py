@@ -146,21 +146,20 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
             check_multihost_mesh(config.mesh, nproc)
 
     if config.init_checkpoint is not None:
-        start_epoch = epoch_from_path(config.init_checkpoint) + 1
         if nproc > 1:
             # checkpoints are written by process 0 only (no shared-FS
-            # assumption), so a resume loads there and broadcasts; other
-            # hosts only contribute the pytree structure
-            params = init_params(init_rng, model_config)
-            if pid == 0:
-                params, _ = load_checkpoint(config.init_checkpoint)
-            from jax.experimental import multihost_utils
+            # assumption): resume loads there and broadcasts params AND
+            # the epoch counter; other hosts contribute only the pytree
+            # structure (their path string is never opened or parsed)
+            from clair_tpu.parallel.distributed import broadcast_checkpoint
 
-            params = jax.tree.map(
-                np.asarray, multihost_utils.broadcast_one_to_all(params)
+            params, epoch0 = broadcast_checkpoint(
+                config.init_checkpoint, init_params(init_rng, model_config)
             )
+            start_epoch = epoch0 + 1
         else:
             params, _ = load_checkpoint(config.init_checkpoint)
+            start_epoch = epoch_from_path(config.init_checkpoint) + 1
     else:
         params = init_params(init_rng, model_config)
         start_epoch = 1

@@ -65,8 +65,9 @@ if ckpt_prefix is not None:
         assert os.path.exists(resume_from)
     else:
         # exercise the documented no-shared-FS contract literally: give
-        # non-zero processes a nonexistent path with the right epoch tail
-        resume_from = ckpt_prefix + "-missing-000003"
+        # non-zero processes a nonexistent path with a WRONG epoch tail —
+        # both the params and the epoch counter must come from process 0
+        resume_from = ckpt_prefix + "-missing-000001"
         assert not os.path.exists(resume_from)
     config2 = TrainingConfig(
         schedule="fixed", max_epochs=4, train_batch_size=16,
@@ -112,8 +113,9 @@ class _Dev:
 
 
 class _MeshStub:
-    def __init__(self, grid):
+    def __init__(self, grid, axis_names=("data", "model")):
         self.devices = np.asarray(grid, dtype=object)
+        self.axis_names = axis_names[: self.devices.ndim]
 
 
 def test_check_multihost_mesh_geometries():
@@ -135,6 +137,16 @@ def test_check_multihost_mesh_geometries():
     # data rows not ascending by process
     with pytest.raises(ValueError, match="ascend"):
         check_multihost_mesh(_MeshStub([[d[2]], [d[3]], [d[0]], [d[1]]]), 2)
+
+    # axis order must be resolved by NAME: a ('model','data') mesh whose
+    # data columns are {d0,d2}/{d1,d3} crosses hosts even though its
+    # positional rows look clean
+    with pytest.raises(ValueError, match="must not cross hosts"):
+        check_multihost_mesh(
+            _MeshStub([[d[0], d[1]], [d[2], d[3]]], axis_names=("model", "data")), 2)
+    # and the transposed-but-valid layout passes
+    check_multihost_mesh(
+        _MeshStub([[d[0], d[2]], [d[1], d[3]]], axis_names=("model", "data")), 2)
 
 
 @pytest.mark.slow
