@@ -149,6 +149,8 @@ def main():
     parser.add_argument("--seed", type=int, default=21)
     parser.add_argument("--hard_max_epochs", type=int, default=200)
     parser.add_argument("--output", default=None)
+    parser.add_argument("--train_compute_dtype", default="float32",
+                        choices=["float32", "bfloat16"])
     args = parser.parse_args()
 
     from clair_tpu.params import ModelConfig
@@ -179,6 +181,7 @@ def main():
             checkpoint_every=10,
             evaluate_at_end=True,
             seed=args.seed,
+            train_compute_dtype=args.train_compute_dtype,
         ),
     )
     train_secs = time.perf_counter() - t0
