@@ -414,6 +414,41 @@ def wgs_host_ceiling(params, config, bam_path, fasta_path, genome_mb,
     return genome_mb / (elapsed / 60.0)
 
 
+def train_feed_throughput() -> float:
+    """Host epoch-feed samples/s, one decompress thread (zstd block
+    inflate + int16->f32 restore + batch concat). Link-immune; the number
+    the training step's samples/s is gated by per feed thread
+    (TrainingConfig.decompress_workers scales it across spare cores)."""
+    from clair_tpu.data.bins import BinDataset, EpochBatches, _pack
+
+    rs = np.random.RandomState(0)
+    xs = rs.randint(0, 120, (500, 33, 8, 4)).astype(np.float32)
+    xs[..., 1:] -= xs[..., 0:1]
+    ys = np.zeros((500, 90), np.float32)
+    ys[:, 0] = 1.0
+    xb, yb = _pack(xs), _pack(ys)
+    pb = _pack(np.array([f"chr1:{i}" for i in range(500)]))
+    n_blocks = 40
+    ds = BinDataset(500 * n_blocks, [xb] * n_blocks, [yb] * n_blocks,
+                    [pb] * n_blocks, 500)
+
+    def run() -> int:
+        n = 0
+        for x, _, _ in EpochBatches(ds, np.arange(n_blocks),
+                                    n_train=500 * n_blocks,
+                                    train_batch_size=2000,
+                                    decompress_workers=0):
+            n += len(x)
+        return n
+
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = run()
+        best = max(best, n / (time.perf_counter() - t0))
+    return best
+
+
 def cpu_baseline_throughput() -> float:
     """Reference-equivalent network in torch on 4 CPU threads."""
     os.environ.setdefault("OMP_NUM_THREADS", "4")
@@ -549,6 +584,11 @@ def main():
     )
     train_tps = train_throughput(config) if device_ok else 0.0  # f32 default
     try:
+        feed_tps = train_feed_throughput()
+    except Exception as exc:
+        print(f"[bench] train feed stage failed ({exc})", file=sys.stderr)
+        feed_tps = 0.0
+    try:
         wgs_ceiling_mbp_min = wgs_host_ceiling(
             params_ont, config, ont_bam, ont_fa, ont_len / 1e6,
             minimum_af=0.2,
@@ -623,6 +663,7 @@ def main():
                     "ont_indel_winner_fraction": round(ont_indel_frac, 3),
                     "host_decode_tps": round(decode_clean_tps, 1),
                     "train_samples_per_sec": round(train_tps, 1),
+                    "train_feed_samples_per_sec_1thread": round(feed_tps, 1),
                     "wgs_ont_end_to_end_mbp_per_min": round(wgs_ont_mbp_min, 2),
                     "wgs_ont_host_ceiling_mbp_per_min": round(wgs_ceiling_mbp_min, 2),
                     "wgs_ont_host_ceiling_cram_mbp_per_min": round(wgs_ceiling_cram_mbp_min, 2),
