@@ -521,6 +521,57 @@ def _device_reachable(timeout=240) -> bool:
         return False
 
 
+class _Watchdog:
+    """Emit a partial artifact and hard-exit if a stage wedges mid-run.
+
+    The start-of-run `_device_reachable` probe only proves the link was up
+    at t=0; the observed failure mode (round 3) is a link that wedges
+    HOURS into a session, after which any device op hangs unkillably
+    in-process. Without this guard a mid-run wedge burns the driver's
+    whole budget and produces NO artifact at all — strictly worse than
+    the CPU fallback. Each device-touching stage declares a generous
+    budget (minutes, vs ~40 s worst-case healthy compile); if a stage
+    overruns it, the watchdog prints the JSON line composed from every
+    stage that DID complete (missing ones 0.0, `wedged_mid_run` names the
+    culprit) and `os._exit(0)`s so the line is recorded."""
+
+    def __init__(self, finish):
+        import threading
+
+        self._finish = finish
+        self._lock = threading.Lock()
+        self._deadline = None
+        self._stage = ""
+        threading.Thread(target=self._run, daemon=True).start()
+
+    def enter(self, stage: str, budget_s: float) -> None:
+        with self._lock:
+            self._stage = stage
+            self._deadline = time.monotonic() + budget_s
+
+    def clear(self) -> None:
+        with self._lock:
+            self._deadline = None
+
+    def _run(self) -> None:
+        while True:
+            time.sleep(5)
+            with self._lock:
+                deadline, stage = self._deadline, self._stage
+            if deadline is not None and time.monotonic() > deadline:
+                print(
+                    f"[bench] stage {stage!r} exceeded its watchdog budget "
+                    "(link wedged mid-run?); emitting partial artifact",
+                    file=sys.stderr,
+                )
+                try:
+                    self._finish(wedged=stage)
+                finally:
+                    sys.stdout.flush()
+                    sys.stderr.flush()
+                    os._exit(0)
+
+
 def main():
     import tempfile
 
@@ -566,114 +617,144 @@ def main():
     ont_bam, ont_fa, ont_len = _make_ont_bam(tmp)
     clean_bam, clean_fa, clean_len = _make_clean_bam(tmp)
 
+    # every stage lands in this dict as it completes; _finish composes the
+    # artifact from whatever is present so the watchdog can emit a partial
+    # one if a later stage wedges the process
+    st = {
+        "device_forward_tps_f32": 0.0,
+        "device_forward_tps_bf16": 0.0,
+        "host_decode_tps_ont_real": 0.0,
+        "ont_indel_winner_fraction": 0.0,
+        "host_decode_tps": 0.0,
+        "train_samples_per_sec": 0.0,
+        "train_feed_samples_per_sec_1thread": 0.0,
+        "wgs_ont_end_to_end_mbp_per_min": 0.0,
+        "wgs_ont_host_ceiling_mbp_per_min": 0.0,
+        "wgs_ont_host_ceiling_cram_mbp_per_min": 0.0,
+        "wgs_end_to_end_mbp_per_min": 0.0,
+        "pileup_workers": os.cpu_count(),
+        "device_unreachable_cpu_fallback": not device_ok,
+    }
+    cpu_tps_box = [None]
+
+    def _finish(wedged=None):
+        # steady-state pipeline rate in the headline (ONT) regime
+        decode_ont = st["host_decode_tps_ont_real"]
+        device = st["device_forward_tps_f32"]
+        if device_ok and device > 0:
+            pipeline_tps = min(device, decode_ont)
+        else:
+            pipeline_tps = decode_ont
+        cpu_tps = cpu_tps_box[0] or 2500.0
+        stages = {k: (round(v, 3) if isinstance(v, float) else v)
+                  for k, v in st.items()}
+        if wedged is not None:
+            stages["wedged_mid_run"] = wedged
+        print(
+            json.dumps(
+                {
+                    "metric": "call_var pipeline throughput, ONT regime "
+                              "(pileup tensors/sec/chip)",
+                    "value": round(pipeline_tps, 1),
+                    "unit": "tensors/sec",
+                    "vs_baseline": round(pipeline_tps / cpu_tps, 2),
+                    "stages": stages,
+                }
+            ),
+            flush=True,
+        )
+
+    wd = _Watchdog(_finish)
+
     if device_ok:
-        device_tps = device_throughput(params, config)
-        device_bf16_tps = device_throughput(params, config_bf16)
-    else:
-        # chip-stage numbers would be meaningless (and the batch-10000
-        # train loop impractically slow) on the 1-core CPU fallback
-        device_tps = device_bf16_tps = 0.0
+        wd.enter("device_forward_f32", 1200)
+        st["device_forward_tps_f32"] = device_throughput(params, config)
+        wd.enter("device_forward_bf16", 1200)
+        st["device_forward_tps_bf16"] = device_throughput(params, config_bf16)
     # decode over a REAL ONT-regime window (trained ONT checkpoint output +
     # event-indexed recovery sources): the HEADLINE decode leg — the
-    # reference is an ONT caller first
+    # reference is an ONT caller first.  The forward that produces the
+    # probabilities touches the device, so these stay under the watchdog.
+    wd.enter("decode_ont", 1800)
     decode_ont_tps, ont_indel_frac = decode_window_throughput(
         params_ont, config, ont_bam, ont_fa, minimum_af=0.2
     )
+    st["host_decode_tps_ont_real"] = decode_ont_tps
+    st["ont_indel_winner_fraction"] = ont_indel_frac
+    wd.enter("decode_clean", 1800)
     decode_clean_tps, clean_indel_frac = decode_window_throughput(
         params_ilmn, config, clean_bam, clean_fa, minimum_af=0.2
     )
-    train_tps = train_throughput(config) if device_ok else 0.0  # f32 default
+    st["host_decode_tps"] = decode_clean_tps
+    if device_ok:
+        wd.enter("train_step", 1800)
+        st["train_samples_per_sec"] = train_throughput(config)  # f32 default
+    wd.clear()
     try:
-        feed_tps = train_feed_throughput()
+        st["train_feed_samples_per_sec_1thread"] = train_feed_throughput()
     except Exception as exc:
         print(f"[bench] train feed stage failed ({exc})", file=sys.stderr)
-        feed_tps = 0.0
     try:
-        wgs_ceiling_mbp_min = wgs_host_ceiling(
+        wd.enter("wgs_ont_host_ceiling", 2400)
+        st["wgs_ont_host_ceiling_mbp_per_min"] = wgs_host_ceiling(
             params_ont, config, ont_bam, ont_fa, ont_len / 1e6,
             minimum_af=0.2,
         )
     except Exception as exc:
         print(f"[bench] host-ceiling stage failed ({exc})", file=sys.stderr)
-        wgs_ceiling_mbp_min = 0.0
     try:
-        wgs_ont_mbp_min = wgs_throughput(
+        wd.enter("wgs_ont_e2e", 2400)
+        st["wgs_ont_end_to_end_mbp_per_min"] = wgs_throughput(
             params_ont, config, ont_bam, ont_fa, ont_len / 1e6,
             minimum_af=0.2, out_name="ont.vcf",
         )
     except Exception as exc:
         print(f"[bench] ONT wgs stage failed ({exc})", file=sys.stderr)
-        wgs_ont_mbp_min = 0.0
     try:
-        wgs_mbp_min = wgs_throughput(
+        wd.enter("wgs_clean_e2e", 2400)
+        st["wgs_end_to_end_mbp_per_min"] = wgs_throughput(
             params_ilmn, config, clean_bam, clean_fa, clean_len / 1e6,
             minimum_af=0.2, out_name="clean.vcf",
         )
     except Exception as exc:
         print(f"[bench] clean wgs stage failed ({exc})", file=sys.stderr)
-        wgs_mbp_min = 0.0
     # CRAM-input host ceiling: same flowcell through the packed-array
     # bridge (clair_region_from_packed) — proves CRAM calling holds the
     # BAM-path rate instead of falling back to the Python events engine
     try:
         from clair_tpu.io.cram import bam_to_cram
 
+        wd.enter("wgs_ont_host_ceiling_cram", 2400)
         ont_cram = os.path.join(tmp, "ont_bench.cram")
         bam_to_cram(ont_bam, ont_cram, ont_fa)
-        wgs_ceiling_cram_mbp_min = wgs_host_ceiling(
+        st["wgs_ont_host_ceiling_cram_mbp_per_min"] = wgs_host_ceiling(
             params_ont, config, ont_cram, ont_fa, ont_len / 1e6,
             minimum_af=0.2,
         )
     except Exception as exc:
         print(f"[bench] CRAM ceiling stage failed ({exc})", file=sys.stderr)
-        wgs_ceiling_cram_mbp_min = 0.0
+    wd.clear()
 
-    # steady-state pipeline rate in the headline (ONT) regime
-    pipeline_tps = (
-        min(device_tps, decode_ont_tps) if device_ok else decode_ont_tps
-    )
     print(
-        f"[bench] device f32 {device_tps:.0f} t/s (bf16 {device_bf16_tps:.0f}), "
+        f"[bench] device f32 {st['device_forward_tps_f32']:.0f} t/s "
+        f"(bf16 {st['device_forward_tps_bf16']:.0f}), "
         f"host decode ONT-real {decode_ont_tps:.0f} t/s "
         f"({ont_indel_frac:.0%} indel winners; clean {decode_clean_tps:.0f} "
-        f"t/s at {clean_indel_frac:.0%}), train {train_tps:.0f} samples/s, "
-        f"wgs e2e ONT {wgs_ont_mbp_min:.1f} (host ceiling "
-        f"{wgs_ceiling_mbp_min:.1f}) / clean {wgs_mbp_min:.1f} "
-        f"Mbp/min/core",
+        f"t/s at {clean_indel_frac:.0%}), "
+        f"train {st['train_samples_per_sec']:.0f} samples/s, "
+        f"wgs e2e ONT {st['wgs_ont_end_to_end_mbp_per_min']:.1f} "
+        f"(host ceiling {st['wgs_ont_host_ceiling_mbp_per_min']:.1f}) / "
+        f"clean {st['wgs_end_to_end_mbp_per_min']:.1f} Mbp/min/core",
         file=sys.stderr,
     )
 
     try:
-        cpu_tps = cpu_baseline_throughput()
+        wd.enter("cpu_baseline", 1800)
+        cpu_tps_box[0] = cpu_baseline_throughput()
+        wd.clear()
     except Exception as exc:
         print(f"[bench] cpu baseline failed ({exc}); using recorded value", file=sys.stderr)
-        cpu_tps = 2500.0
-    print(
-        json.dumps(
-            {
-                "metric": "call_var pipeline throughput, ONT regime "
-                          "(pileup tensors/sec/chip)",
-                "value": round(pipeline_tps, 1),
-                "unit": "tensors/sec",
-                "vs_baseline": round(pipeline_tps / cpu_tps, 2),
-                "stages": {
-                    "device_forward_tps_f32": round(device_tps, 1),
-                    "device_forward_tps_bf16": round(device_bf16_tps, 1),
-                    "host_decode_tps_ont_real": round(decode_ont_tps, 1),
-                    "ont_indel_winner_fraction": round(ont_indel_frac, 3),
-                    "host_decode_tps": round(decode_clean_tps, 1),
-                    "train_samples_per_sec": round(train_tps, 1),
-                    "train_feed_samples_per_sec_1thread": round(feed_tps, 1),
-                    "wgs_ont_end_to_end_mbp_per_min": round(wgs_ont_mbp_min, 2),
-                    "wgs_ont_host_ceiling_mbp_per_min": round(wgs_ceiling_mbp_min, 2),
-                    "wgs_ont_host_ceiling_cram_mbp_per_min": round(wgs_ceiling_cram_mbp_min, 2),
-                    "wgs_end_to_end_mbp_per_min": round(wgs_mbp_min, 2),
-                    "pileup_workers": os.cpu_count(),
-                    "device_unreachable_cpu_fallback": not device_ok,
-                },
-            }
-        )
-    )
+    _finish()
 
 
 if __name__ == "__main__":
