@@ -72,7 +72,8 @@ def cmd_call_var(argv):
     )
     parser.add_argument("--tensor_fn", default="PIPE")
     parser.add_argument("--chkpnt_fn", default=None)
-    parser.add_argument("--call_fn", default=None)
+    parser.add_argument("--call_fn", default=None,
+                        help="output VCF; a .gz suffix writes tabix-indexed BGZF")
     parser.add_argument("--bam_fn", default=None)
     parser.add_argument("--ref_fn", default=None)
     parser.add_argument("--qual", type=int, default=None)
@@ -115,7 +116,13 @@ def cmd_call_var(argv):
     )
     from clair_tpu.pipeline.decode import IndelSources, OutputConfig
 
-    output_fh = open(args.call_fn, "w") if args.call_fn else sys.stdout
+    bgzip_out = bool(args.call_fn) and args.call_fn.endswith(".gz")
+    if bgzip_out:
+        from clair_tpu.io.tbi import BgzfTextWriter
+
+        output_fh = BgzfTextWriter(args.call_fn)
+    else:
+        output_fh = open(args.call_fn, "w") if args.call_fn else sys.stdout
     output_config = OutputConfig(
         is_show_reference=args.showRef,
         is_debug=args.debug,
@@ -154,6 +161,10 @@ def cmd_call_var(argv):
         )
     if args.call_fn:
         output_fh.close()
+        if bgzip_out and not (args.output_for_ensemble or args.debug):
+            from clair_tpu.io.tbi import build_tbi
+
+            build_tbi(args.call_fn)
 
 
 def cmd_call_bam(argv):
@@ -163,7 +174,8 @@ def cmd_call_bam(argv):
     parser.add_argument("--bam_fn", required=True)
     parser.add_argument("--ref_fn", required=True)
     parser.add_argument("--chkpnt_fn", required=True)
-    parser.add_argument("--call_fn", default=None)
+    parser.add_argument("--call_fn", default=None,
+                        help="output VCF; a .gz suffix writes tabix-indexed BGZF")
     parser.add_argument("--ctgName", required=True)
     parser.add_argument("--ctgStart", type=int, default=None)
     parser.add_argument("--ctgEnd", type=int, default=None)

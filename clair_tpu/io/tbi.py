@@ -40,6 +40,77 @@ def write_bgzf(path: str, data: bytes, block_size: int = 60000) -> None:
         fh.write(BGZF_EOF)
 
 
+class BgzfTextWriter:
+    """File-like text sink writing a spec-compliant BGZF stream.
+
+    Lets any VCF/gVCF emitter target ``out.vcf.gz`` directly (the calling
+    CLIs sniff the ``.gz`` suffix): text accumulates into 60000-byte
+    members via the BAM layer's deflate helper, and close() appends the
+    canonical EOF marker so samtools/tabix accept the file. The reference
+    writes plain text and leaves compression to the user's bgzip
+    (/root/reference/clair/call_var.py output handling); here the writer
+    plus build_tbi make ``--call_fn out.vcf.gz`` one step.
+    """
+
+    def __init__(self, path: str, block_size: int = 60000):
+        from clair_tpu.io.bam import _bgzf_block
+
+        self._block = _bgzf_block
+        self._fh = open(path, "wb")
+        self._buf = bytearray()
+        self._block_size = block_size
+        self.closed = False
+
+    def write(self, text) -> int:
+        self._buf += text.encode("utf-8") if isinstance(text, str) else text
+        while len(self._buf) >= self._block_size:
+            self._fh.write(self._block(bytes(self._buf[:self._block_size])))
+            del self._buf[:self._block_size]
+        return len(text)
+
+    def flush(self) -> None:
+        # block boundaries are an internal detail; only push finished
+        # members down (a mid-buffer flush would fragment the stream)
+        self._fh.flush()
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        if self._buf:
+            self._fh.write(self._block(bytes(self._buf)))
+            self._buf.clear()
+        self._fh.write(BGZF_EOF)
+        self._fh.close()
+        self.closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def bgzip_file(src_path: str, dst_path: Optional[str] = None,
+               block_size: int = 60000, remove_src: bool = False) -> str:
+    """Compress a text file to BGZF (streaming; WGS VCFs never fit the
+    write_bgzf whole-buffer path)."""
+    import os
+
+    from clair_tpu.io.bam import _bgzf_block
+
+    dst_path = dst_path or src_path + ".gz"
+    with open(src_path, "rb") as src, open(dst_path, "wb") as out:
+        while True:
+            chunk = src.read(block_size)
+            if not chunk:
+                break
+            out.write(_bgzf_block(chunk))
+        out.write(BGZF_EOF)
+    if remove_src:
+        os.remove(src_path)
+    return dst_path
+
+
 def build_tbi(vcf_gz_path: str, tbi_path: Optional[str] = None) -> str:
     """Index a coordinate-sorted bgzipped VCF (tabix VCF preset)."""
     tbi_path = tbi_path or vcf_gz_path + ".tbi"

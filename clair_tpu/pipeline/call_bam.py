@@ -683,8 +683,14 @@ def call_bam(
     work = prepare_window(config)
 
     close_output = False
+    bgzip_out = bool(output_path) and output_path.endswith(".gz")
     if output_fh is None:
-        output_fh = open(output_path, "w") if output_path else sys.stdout
+        if bgzip_out:
+            from clair_tpu.io.tbi import BgzfTextWriter
+
+            output_fh = BgzfTextWriter(output_path)
+        else:
+            output_fh = open(output_path, "w") if output_path else sys.stdout
         close_output = output_path is not None
     from clair_tpu.io.vcf import make_writer
 
@@ -699,4 +705,10 @@ def call_bam(
 
     if close_output:
         output_fh.close()
+        if bgzip_out and not (config.output_for_ensemble or config.debug):
+            # ensemble/debug streams interleave non-VCF lines the tabix
+            # VCF preset cannot index; plain bgzf output still stands
+            from clair_tpu.io.tbi import build_tbi
+
+            build_tbi(output_path)
     return total

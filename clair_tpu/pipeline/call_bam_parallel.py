@@ -326,6 +326,13 @@ def call_bam_windows_threaded(
     from clair_tpu.io.vcf import VcfWriter
     from clair_tpu.pipeline.call_bam import call_window, prepare_window
 
+    gz_path = None
+    if output_path and output_path.endswith(".gz"):
+        # stream plain text while windows run (resume needs an appendable,
+        # truncatable file); compress + tabix-index once every window lands
+        gz_path = output_path
+        output_path = output_path[: -len(".gz")]
+
     fasta = FastaReader(base_config.fasta_path)
     bed = BedIntervals.from_bed(base_config.bed_path) if base_config.bed_path else None
     windows = list(genome_windows(
@@ -341,6 +348,14 @@ def call_bam_windows_threaded(
     if resume:
         done = joblog.completed()
         windows = [w for w in windows if w not in done]
+        if (gz_path and not windows and os.path.isfile(gz_path)
+                and not os.path.isfile(output_path)):
+            # the previous run already finished, compressed, and removed
+            # the plain stream; rebuilding from zero windows would replace
+            # the complete .gz with a header-only file
+            logger.info("resume: %s already complete", gz_path)
+            joblog.close()
+            return 0
         appending = bool(output_path) and os.path.isfile(output_path) and bool(done)
         if appending and not vcf_is_complete(output_path):
             # a kill mid-flush can leave a torn final line; drop it so the
@@ -411,13 +426,32 @@ def call_bam_windows_threaded(
             "%d window(s) failed; re-run with resume=True (or --resume) to "
             "retry only those — audit log: %s", failures, joblog.path,
         )
+    if gz_path and output_path:
+        if failures == 0:
+            from clair_tpu.io.tbi import bgzip_file, build_tbi
+
+            bgzip_file(output_path, gz_path, remove_src=True)
+            build_tbi(gz_path)
+        else:
+            logger.error(
+                "left %s uncompressed so --resume can append; a clean "
+                "re-run will produce %s", output_path, gz_path,
+            )
     return total
 
 
 def merge_vcfs(paths: List[str], output_path: str) -> None:
-    """Concatenate per-window VCFs, keeping the first header."""
+    """Concatenate per-window VCFs, keeping the first header. A ``.gz``
+    output is written as tabix-indexed BGZF (inputs stay plain text)."""
+    if output_path.endswith(".gz"):
+        from clair_tpu.io.tbi import BgzfTextWriter, build_tbi
+
+        out = BgzfTextWriter(output_path)
+    else:
+        build_tbi = None
+        out = open(output_path, "w")
     wrote_header = False
-    with open(output_path, "w") as out:
+    try:
         for path in paths:
             with open(path) as fh:
                 for line in fh:
@@ -427,3 +461,7 @@ def merge_vcfs(paths: List[str], output_path: str) -> None:
                     else:
                         out.write(line)
             wrote_header = True
+    finally:
+        out.close()
+    if build_tbi is not None:
+        build_tbi(output_path)

@@ -282,7 +282,13 @@ def finalize(queue: WorkQueue, output_path: str, sample_name: str = "SAMPLE",
     # temp + atomic rename: several hosts can reach completion near-
     # simultaneously and all finalize the same shared path
     tmp_path = output_path + f".tmp.{socket.gethostname()}.{os.getpid()}"
-    with open(tmp_path, "w") as out:
+    if output_path.endswith(".gz"):
+        from clair_tpu.io.tbi import BgzfTextWriter
+
+        out = BgzfTextWriter(tmp_path)
+    else:
+        out = open(tmp_path, "w")
+    with out:
         writer = VcfWriter(out, sample_name=sample_name, contigs=contigs,
                            quality_score_for_pass=qual)
         if gvcf:
@@ -298,6 +304,12 @@ def finalize(queue: WorkQueue, output_path: str, sample_name: str = "SAMPLE",
                         if not line.startswith("#"):
                             out.write(line)
     os.replace(tmp_path, output_path)
+    if output_path.endswith(".gz"):
+        # build_tbi writes via its own temp + atomic replace, so racing
+        # finalizers produce identical complete indexes
+        from clair_tpu.io.tbi import build_tbi
+
+        build_tbi(output_path)
     if state["failed"] or state["unclaimed"] or state["in_progress"]:
         logger.warning(
             "finalize with incomplete queue: %s (failed/unfinished windows "

@@ -99,6 +99,16 @@ def test_two_workers_drain_disjointly_and_match_single_host(genome, tmp_path):
     # the real assertion
     assert len(truth & called) >= len(truth) - 2
 
+    # a .gz target finalizes to tabix-indexed BGZF with identical rows
+    merged_gz = str(tmp_path / "merged.vcf.gz")
+    finalize(queue, merged_gz)
+    import gzip as _gzip
+
+    with _gzip.open(merged_gz, "rt") as fh:
+        gz_rows = [r for r in fh if not r.startswith("#")]
+    assert gz_rows == queue_rows
+    assert os.path.isfile(merged_gz + ".tbi")
+
 
 def test_stale_claim_reclaim(genome, tmp_path):
     queue, windows = _queue_with_windows(genome, tmp_path / "q2")
