@@ -330,6 +330,43 @@ T* to_heap(const std::vector<T>& v) {
   return p;
 }
 
+// query-consuming cigar ops: M I S = X
+const bool kConsumesQueryOp[9] = {true,  true,  false, false, true,
+                                  false, false, true,  true};
+
+enum RecordCheck { kRecOk = 0, kRecSkip = 1, kRecCorrupt = 2 };
+
+// A corrupt or torn BAM stream — or a stale .bai seeking into the middle
+// of a record — yields arbitrary record geometry; every walk admits a
+// record only after this check so no later field access leaves the
+// record's block_size bytes. kRecCorrupt means framing is gone (the
+// caller must abort the scan with an error: silently truncating a
+// region scan would silently drop variants); kRecSkip marks a record
+// whose frame is consistent but whose seq cannot be indexed by its
+// cigar (seq-less alignments) — safe to pass over. The per-base seq
+// indexing downstream is safe because the spec invariant (query-
+// consuming cigar lengths sum to l_seq) is verified here.
+inline RecordCheck check_record(const uint8_t* rec, int64_t block_size) {
+  if (block_size < 32) return kRecCorrupt;
+  uint8_t l_read_name = rec[8];
+  if (l_read_name < 1) return kRecCorrupt;
+  uint16_t n_cigar = read_le<uint16_t>(rec + 12);
+  int32_t l_seq = read_le<int32_t>(rec + 16);
+  if (l_seq < 0) return kRecCorrupt;
+  int64_t need = 32 + (int64_t)l_read_name + 4ll * n_cigar +
+                 ((int64_t)l_seq + 1) / 2 + (int64_t)l_seq;
+  if (need > block_size) return kRecCorrupt;
+  const uint8_t* cigar_p = rec + 32 + (int64_t)l_read_name;
+  int64_t qlen = 0;
+  for (int i = 0; i < n_cigar; i++) {
+    uint32_t cv = read_le<uint32_t>(cigar_p + 4 * i);
+    if ((cv & 0xF) > 8) return kRecCorrupt;
+    if (kConsumesQueryOp[cv & 0xF]) qlen += (int64_t)(cv >> 4);
+  }
+  if (n_cigar > 0 && qlen != l_seq) return kRecSkip;
+  return kRecOk;
+}
+
 }  // namespace
 
 extern "C" {
@@ -461,6 +498,7 @@ bool scan_record(const uint8_t* rec, ScanState& st) {
     if (flag & st.exclude_flag) return true;
     if (mapq < st.min_mapq) return true;
     if (st.end >= 0 && pos >= st.end) return false;
+    if (pos < 0) return true;  // corrupt/unmapped position on a kept ref
 
     const uint8_t* cigar_p = rec + 32 + l_read_name;
     const uint8_t* seq_p = cigar_p + 4 * n_cigar;
@@ -569,7 +607,9 @@ bool scan_record(const uint8_t* rec, ScanState& st) {
   return true;
 }
 
-void scan_records(StreamInflater& in, size_t cursor, int32_t ref_id,
+// false -> a corrupt record broke the stream's framing (callers must
+// fail the scan rather than return silently-truncated events).
+bool scan_records(StreamInflater& in, size_t cursor, int32_t ref_id,
                   int64_t start, int64_t end, int32_t exclude_flag,
                   int32_t min_mapq, EventVecs* candidate, EventVecs* tensor,
                   int32_t dcov, CountsAcc* cand_counts = nullptr) {
@@ -579,11 +619,16 @@ void scan_records(StreamInflater& in, size_t cursor, int32_t ref_id,
   if (tensor) tensor->match_pos.reserve(1 << 20);
   while (in.ensure(cursor + 4)) {
     int32_t block_size = read_le<int32_t>(in.data.data() + cursor);
-    if (!in.ensure(cursor + 4 + block_size)) break;
+    if (block_size < 32) return false;
+    if (!in.ensure(cursor + 4 + block_size)) return false;  // torn record
     const uint8_t* rec = in.data.data() + cursor + 4;
     cursor += 4 + block_size;
+    RecordCheck rc = check_record(rec, block_size);
+    if (rc == kRecCorrupt) return false;
+    if (rc == kRecSkip) continue;
     if (!scan_record(rec, st)) break;
   }
+  return true;
 }
 
 // IUPAC char -> base row (A=0 C=1 G=2 T=3; -1 unknown), matching
@@ -653,9 +698,10 @@ int clair_bam_events(const char* path, int32_t ref_id, int64_t start,
   }
 
   EventVecs vecs;
-  scan_records(in, cursor, ref_id, start, end, exclude_flag, min_mapq,
-               softclip_filter ? &vecs : nullptr,
-               softclip_filter ? nullptr : &vecs, dcov);
+  if (!scan_records(in, cursor, ref_id, start, end, exclude_flag, min_mapq,
+                    softclip_filter ? &vecs : nullptr,
+                    softclip_filter ? nullptr : &vecs, dcov))
+    return 4;  // corrupt record framing
   vecs.fill(out);
   return 0;
 }
@@ -687,8 +733,9 @@ int clair_bam_scan_window(const char* path, int32_t ref_id, int64_t start,
 
   CountsAcc acc{counts_out, region_start, region_length};
   EventVecs tensor_vecs;
-  scan_records(in, cursor, ref_id, start, end, exclude_flag, min_mapq,
-               nullptr, &tensor_vecs, dcov, &acc);
+  if (!scan_records(in, cursor, ref_id, start, end, exclude_flag, min_mapq,
+                    nullptr, &tensor_vecs, dcov, &acc))
+    return 4;  // corrupt record framing
   tensor_vecs.fill(tensor_out);
   return 0;
 }
@@ -718,8 +765,9 @@ int clair_bam_events_dual(const char* path, int32_t ref_id, int64_t start,
   }
 
   EventVecs candidate_vecs, tensor_vecs;
-  scan_records(in, cursor, ref_id, start, end, exclude_flag, min_mapq,
-               &candidate_vecs, &tensor_vecs, dcov);
+  if (!scan_records(in, cursor, ref_id, start, end, exclude_flag, min_mapq,
+                    &candidate_vecs, &tensor_vecs, dcov))
+    return 4;  // corrupt record framing
   candidate_vecs.fill(candidate_out);
   tensor_vecs.fill(tensor_out);
   return 0;
@@ -758,16 +806,21 @@ int clair_build_bai(const char* bam_path, const char* bai_path) {
   size_t rebase_total = 0;
   while (in.ensure(cursor + 4)) {
     int32_t block_size = read_le<int32_t>(in.data.data() + cursor);
-    if (!in.ensure(cursor + 4 + block_size)) break;
+    if (block_size < 32) return 4;                         // corrupt framing
+    if (!in.ensure(cursor + 4 + block_size)) return 4;     // torn record
     uint64_t voff_beg = (uint64_t)in.voffset_of(cursor, rebase_total);
     uint64_t voff_end = (uint64_t)in.voffset_of(cursor + 4 + block_size, rebase_total);
     const uint8_t* rec = in.data.data() + cursor + 4;
     cursor += 4 + block_size;
 
+    if (check_record(rec, block_size) == kRecCorrupt) return 4;
     int32_t ref_id = read_le<int32_t>(rec);
     int64_t pos = read_le<int32_t>(rec + 4);
     uint8_t l_read_name = rec[8];
     uint16_t n_cigar = read_le<uint16_t>(rec + 12);
+    // a negative/absurd position would index the linear table with a
+    // huge size_t (multi-GB resize); spec keeps mapped pos in [0, 2^31)
+    if (pos < 0 || pos > (1ll << 31)) continue;
     if (ref_id >= 0 && ref_id < n_ref) {
       const uint8_t* cigar_p = rec + 32 + l_read_name;
       int64_t span = 0;
@@ -778,6 +831,7 @@ int clair_build_bai(const char* bam_path, const char* bai_path) {
           span += cv >> 4;
       }
       int64_t end = pos + (span > 1 ? span : 1);
+      if (end > (1ll << 31)) return 4;  // beyond BAI addressability: corrupt
       int bin = bai_reg2bin(pos, end);
       int32_t slot = bin_slot[ref_id][bin];
       if (slot < 0) {
@@ -1119,10 +1173,18 @@ void* clair_region_open2(const char* path, int32_t ref_id, int64_t start,
   handle->records.reserve(1 << 16);
   while (in.ensure(cursor + 4)) {
     int32_t block_size = read_le<int32_t>(in.data.data() + cursor);
-    if (!in.ensure(cursor + 4 + block_size)) break;
+    // corrupt framing (or a stale .bai seeking mid-record): fail the
+    // whole open — callers fall back to the loud checksummed Python
+    // path; a silently truncated record list would silently drop calls
+    if (block_size < 32) { delete handle; return nullptr; }
+    if (!in.ensure(cursor + 4 + block_size)) { delete handle; return nullptr; }
     const uint8_t* rec = in.data.data() + cursor + 4;
     size_t rec_offset = cursor;
     cursor += 4 + block_size;
+
+    RecordCheck chk = check_record(rec, block_size);
+    if (chk == kRecCorrupt) { delete handle; return nullptr; }
+    if (chk == kRecSkip) continue;
 
     int32_t rec_ref = read_le<int32_t>(rec);
     int64_t pos = read_le<int32_t>(rec + 4);
@@ -1138,6 +1200,7 @@ void* clair_region_open2(const char* path, int32_t ref_id, int64_t start,
     if (flag & exclude_flag) continue;
     if (mapq < min_mapq) continue;
     if (end >= 0 && pos >= end) break;
+    if (pos < 0) continue;  // corrupt/unmapped position on a kept ref
     if (start >= 0) {
       const uint8_t* cigar_p = rec + 32 + l_read_name;
       int64_t ref_len = 0;

@@ -151,6 +151,10 @@ def main():
     parser.add_argument("--output", default=None)
     parser.add_argument("--train_compute_dtype", default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--dataset_bin", default=None,
+                        help="cache the built dataset at this path (loaded "
+                             "if it exists — the 2 Mb dataset takes ~20 min "
+                             "to simulate, so pre-build it host-side once)")
     args = parser.parse_args()
 
     from clair_tpu.params import ModelConfig
@@ -160,13 +164,25 @@ def main():
     enable()
     work_dir = tempfile.mkdtemp(prefix="clair_tpu_prod_train_")
     t0 = time.perf_counter()
-    dataset, variants = build_ont_dataset(
-        work_dir, args.seed, args.genome_kb, args.coverage,
-        args.variant_spacing, platform=args.platform,
-    )
-    print(f"[prod] dataset {dataset.dataset_size} examples "
-          f"({len(variants)} truth variants) in {time.perf_counter()-t0:.0f}s",
-          file=sys.stderr)
+    if args.dataset_bin and os.path.isfile(args.dataset_bin):
+        from clair_tpu.data.bins import load_bin
+
+        dataset = load_bin(args.dataset_bin)
+        print(f"[prod] dataset {dataset.dataset_size} examples loaded from "
+              f"{args.dataset_bin} in {time.perf_counter()-t0:.0f}s",
+              file=sys.stderr)
+    else:
+        dataset, variants = build_ont_dataset(
+            work_dir, args.seed, args.genome_kb, args.coverage,
+            args.variant_spacing, platform=args.platform,
+        )
+        if args.dataset_bin:
+            from clair_tpu.data.bins import write_bin
+
+            write_bin(args.dataset_bin, dataset)
+        print(f"[prod] dataset {dataset.dataset_size} examples "
+              f"({len(variants)} truth variants) in "
+              f"{time.perf_counter()-t0:.0f}s", file=sys.stderr)
 
     model_config = ModelConfig()
     t0 = time.perf_counter()

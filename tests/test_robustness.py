@@ -97,3 +97,64 @@ def test_overlap_filter_unit_semantics():
     second_del = variant(103, "TTT", "T", 400)
     kept = filter_overlapping_variants([deletion, second_del])
     assert [v.position for v in kept] == [103]
+
+
+def _inflate_bam(path):
+    import gzip
+
+    return gzip.open(path, "rb").read()
+
+
+def _record_region_offset(data):
+    import struct
+
+    assert data[:4] == b"BAM\x01"
+    l_text = struct.unpack_from("<i", data, 4)[0]
+    off = 8 + l_text
+    n_ref = struct.unpack_from("<i", data, off)[0]
+    off += 4
+    for _ in range(n_ref):
+        l_name = struct.unpack_from("<i", data, off)[0]
+        off += 4 + l_name + 4
+    return off
+
+
+@pytest.mark.parametrize("corruption", ["tiny_block", "cigar_bomb"])
+def test_corrupt_record_framing_fails_loudly_not_oob(tmp_path, corruption):
+    """A record whose claimed geometry leaves its block (torn stream, or a
+    stale .bai seeking mid-record) must abort the native scans with a
+    clean error — never read out of bounds, never return a silently
+    truncated record list (fuzz regression: heap-buffer-overflow in
+    clair_region_open2's field reads when block_size < 16)."""
+    import struct
+
+    from clair_tpu import native
+    from clair_tpu.io.tbi import write_bgzf
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    path = str(tmp_path / "ok.bam")
+    seq = "ACGT" * 30
+    with BamWriter(path, [("chr1", 100000)]) as writer:
+        for i in range(30):
+            writer.write(f"r{i}", 0, i * 50, 60, 0, [(100, "M")], seq[:100])
+    data = bytearray(_inflate_bam(path))
+    off = _record_region_offset(data)
+    if corruption == "tiny_block":
+        struct.pack_into("<i", data, off, 7)  # block_size 7: framing gone
+    else:
+        # n_cigar claiming far more ops than the block holds
+        struct.pack_into("<H", data, off + 4 + 12, 60000)
+    bad = str(tmp_path / "bad.bam")
+    write_bgzf(bad, bytes(data))
+
+    with pytest.raises(RuntimeError):
+        native.scan_window_native(bad, 0, 0, 100_000, 0, 100_000,
+                                  use_index=False)
+    with pytest.raises(RuntimeError):
+        native.RegionScan(bad, 0, 0, 100_000, use_index=False,
+                          counts_region=(0, 100_000))
+    with pytest.raises(RuntimeError):
+        native.events_from_bam_native(bad, 0, use_index=False)
+    assert native.build_bai_native(bad, bad + ".bai") is False
