@@ -296,7 +296,7 @@ def _bind_symbols(lib) -> None:
         ctypes.c_char_p, ctypes.c_int64,
         ctypes.c_char_p, ctypes.c_int32,
         ctypes.c_char_p, ctypes.c_int64,
-        ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_int64,
         ctypes.POINTER(_CramSliceOut),
     ]
     lib.clair_cram_free_slice.argtypes = [ctypes.POINTER(_CramSliceOut)]
@@ -466,7 +466,7 @@ def cram_decode_slice(spec: bytes, core: bytes, externals, ref_buf: bytes):
     rc = lib.clair_cram_decode_slice(
         spec, len(spec), core, len(core),
         bytes(meta), len(externals), ext_data, len(ext_data),
-        ref_buf, ctypes.byref(out),
+        ref_buf, len(ref_buf), ctypes.byref(out),
     )
     if rc == 2:
         return 2, (out.need_lo, out.need_hi)

@@ -585,8 +585,11 @@ struct RefWindow {
         }
         // FASTA-backed: the prefetched span is the source of truth where
         // it covers; past the contig end pads N; anything else must be
-        // refetched by the caller (rc 2)
-        if (pos0 >= start && pos0 + n <= start + len) return buf + (pos0 - start);
+        // refetched by the caller (rc 2). Subtraction form: a corrupt
+        // alignment position near INT64_MAX would wrap `pos0 + n` and
+        // pass an additive bounds check (fuzz regression: OOB read in
+        // fill_to's memcpy).
+        if (pos0 >= start && n <= start + len - pos0) return buf + (pos0 - start);
         bool covers_contig_end =
             contig_len >= 0 && start + len >= contig_len;
         if (pos0 >= start && covers_contig_end) {
@@ -877,7 +880,8 @@ int clair_cram_decode_slice(const uint8_t* spec_buf, int64_t spec_len,
                             const uint8_t* core, int64_t core_len,
                             const uint8_t* ext_meta, int32_t n_ext,
                             const uint8_t* ext_data, int64_t ext_total,
-                            const uint8_t* ref_buf, CramSliceOut* out) {
+                            const uint8_t* ref_buf, int64_t ref_len,
+                            CramSliceOut* out) {
     using namespace cramdec;
     std::memset(out, 0, sizeof(*out));
     try {
@@ -901,7 +905,11 @@ int clair_cram_decode_slice(const uint8_t* spec_buf, int64_t spec_len,
         RefWindow ref;
         ref.buf = ref_buf;
         ref.start = spec.ref_buf_start;
-        ref.len = spec.ref_buf_len;
+        // the window length must come from the caller's actual buffer,
+        // never the spec blob: the blob carries file-derived (hostile)
+        // fields, and a forged ref_buf_len would move every bounds check
+        // past the real allocation
+        ref.len = std::min<int64_t>(spec.ref_buf_len, ref_len);
         ref.contig_len = spec.contig_len;
         ref.pad_mode = spec.ref_pad_mode;
 

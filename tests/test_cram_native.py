@@ -366,3 +366,44 @@ def test_fetch_packed_multi_slice_concat(tmp_path):
     scan = RegionScan.from_packed(packed, 0, 0, 5_000)
     assert scan is not None and scan.n_records == n
     scan.close()
+
+
+def test_forged_ref_len_in_spec_cannot_widen_the_window(tmp_path):
+    """The spec blob carries file-derived (hostile) fields next to the
+    ref-window geometry; the decoder must size its reference window from
+    the caller's actual buffer, never the blob (fuzz regression: a forged
+    ref_buf_len moved every bounds check past the real allocation and
+    fill_to's memcpy read out of bounds)."""
+    import struct
+
+    cram_path, fasta_path, _ = _build_cram(tmp_path, _mixed_records())
+
+    captured = []
+    orig = native.cram_decode_slice
+
+    def capture(spec, core, externals, ref_buf):
+        captured.append((bytes(spec), bytes(core),
+                         [(c, bytes(d)) for c, d in externals],
+                         bytes(ref_buf)))
+        return orig(spec, core, externals, ref_buf)
+
+    native.cram_decode_slice = capture
+    try:
+        with CramReader(cram_path, fasta=fasta_path) as reader:
+            baseline = list(reader)
+    finally:
+        native.cram_decode_slice = orig
+    assert baseline and captured
+
+    spec, core, externals, ref_buf = captured[0]
+    # head: <IBiqqqqq -> magic(4) flags(1) ref_seq_id(4) start(8)
+    # n_records(8) ref_buf_start(8) ref_buf_len(8) contig_len(8)
+    forged = bytearray(spec)
+    struct.pack_into("<q", forged, 4 + 1 + 4 + 8 + 8 + 8, 1 << 40)
+    rc, payload = orig(bytes(forged), core, externals, ref_buf)
+    # clamped to the real buffer: the decode behaves exactly as unforged
+    rc0, payload0 = orig(spec, core, externals, ref_buf)
+    assert rc == rc0
+    if rc == 0:
+        assert np.array_equal(payload["pos"], payload0["pos"])
+        assert np.array_equal(payload["seq"], payload0["seq"])

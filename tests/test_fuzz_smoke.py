@@ -17,7 +17,8 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.parametrize("tier,iters", [("codec", 4), ("container", 4)])
+@pytest.mark.parametrize("tier,iters", [("codec", 4), ("container", 4),
+                                        ("slice", 4)])
 def test_fuzz_smoke_survives(tier, iters):
     from clair_tpu import native
 

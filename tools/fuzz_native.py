@@ -171,9 +171,17 @@ def fuzz_containers(native, rs, iters: int):
     build_bai(bam, bam + ".bai")
     cram = os.path.join(tmp, "g.cram")
     bam_to_cram(bam, cram, fa)
+    # 3.1 archive profile: rANS Nx16 externals, tok3 names, fqzcomp quals
+    # — corrupt blocks route through the native 3.1 codec decoders
+    cram31 = os.path.join(tmp, "g31.cram")
+    bam_to_cram(bam, cram31, fa, version=(3, 1), fqzcomp_quals=True)
     bam_bytes = open(bam, "rb").read()
     bai_bytes = open(bam + ".bai", "rb").read()
     cram_bytes = open(cram, "rb").read()
+    cram31_bytes = open(cram31, "rb").read()
+    with CramReader(cram, fasta=fa) as sane:
+        assert sum(1 for _ in sane.fetch("chr1", 0, 8000)) > 0, \
+            "valid CRAM failed to decode: fuzz would be vacuous"
     fasta = FastaReader(fa)
     centers = np.arange(100, 7900, 83, dtype=np.int64)
 
@@ -192,7 +200,7 @@ def fuzz_containers(native, rs, iters: int):
 
     def try_cram(path):
         try:
-            r = CramReader(path, fasta_path=fa)
+            r = CramReader(path, fasta=fa)
             _quiet(r.fetch_packed, "chr1", 0, 8000)
             try:
                 for _ in r.fetch("chr1", 0, 8000):
@@ -218,16 +226,90 @@ def fuzz_containers(native, rs, iters: int):
         with open(bad_cram, "wb") as fh:
             fh.write(_mutate(rs, cram_bytes, max_ops=12))
         try_cram(bad_cram)
-    print(f"[fuzz] containers: survived ({iters} mutated files x 3 reads)",
+        with open(bad_cram, "wb") as fh:
+            fh.write(_mutate(rs, cram31_bytes, max_ops=12))
+        try_cram(bad_cram)
+    print(f"[fuzz] containers: survived ({iters} mutated files x 4 reads)",
           flush=True)
-    return iters * 3
+    return iters * 4
+
+
+def fuzz_slices(native, rs, iters: int):
+    """Mutate the native CRAM slice decoder's direct inputs (spec blob,
+    core bitstream, external blocks, reference window). The container
+    tier rarely reaches clair_cram.cpp — block CRCs reject most random
+    container corruption first — so this tier captures real post-CRC
+    (spec, core, externals, ref) tuples from valid 3.0/3.1 files and
+    corrupts each component past the checksums."""
+    from clair_tpu.io.bai import build_bai
+    from clair_tpu.io.cram import CramReader, bam_to_cram
+    from clair_tpu.utils.simulate import (
+        plant_variants, random_reference, simulate_bam, write_fasta,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="fuzz_slice_")
+    ref = random_reference(rs, 8000)
+    variants = plant_variants(rs, ref, n_variants=8, spacing=600)
+    bam = os.path.join(tmp, "g.bam")
+    fa = os.path.join(tmp, "g.fa")
+    simulate_bam(bam, ref, variants, rs, coverage=20)
+    write_fasta(fa, ref)
+    build_bai(bam, bam + ".bai")
+
+    captured = []
+    orig = native.cram_decode_slice
+
+    def capture(spec, core, externals, ref_buf):
+        captured.append((bytes(spec), bytes(core),
+                         [(c, bytes(d)) for c, d in externals],
+                         bytes(ref_buf)))
+        return orig(spec, core, externals, ref_buf)
+
+    native.cram_decode_slice = capture
+    try:
+        for version, fqz in (((3, 0), False), ((3, 1), True)):
+            cram = os.path.join(tmp, f"g{version[1]}.cram")
+            bam_to_cram(bam, cram, fa, version=version, fqzcomp_quals=fqz)
+            r = CramReader(cram, fasta=fa)
+            try:
+                r.fetch_packed("chr1", 0, 8000)
+            finally:
+                r.close()
+    finally:
+        native.cram_decode_slice = orig
+    if not captured:
+        print("[fuzz] slices: nothing captured (native path not taken?)",
+              flush=True)
+        return 0
+
+    calls = 0
+    for spec, core, externals, ref_buf in captured:
+        for _ in range(iters):
+            which = rs.randint(4)
+            m_spec, m_core, m_ext, m_ref = spec, core, externals, ref_buf
+            if which == 0:
+                m_spec = _mutate(rs, spec)
+            elif which == 1:
+                m_core = _mutate(rs, core)
+            elif which == 2 and externals:
+                i = rs.randint(len(externals))
+                m_ext = list(externals)
+                m_ext[i] = (m_ext[i][0], _mutate(rs, m_ext[i][1]))
+            else:
+                m_ref = _mutate(rs, ref_buf) if ref_buf else ref_buf
+            _quiet(orig, m_spec, m_core, m_ext, m_ref)
+            calls += 1
+    print(f"[fuzz] slices: survived ({len(captured)} slices x {iters})",
+          flush=True)
+    return calls
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--iters", type=int, default=40)
-    parser.add_argument("--tier", choices=("codec", "container", "both"),
+    parser.add_argument("--tier", choices=("codec", "container", "slice",
+                                           "both", "all"),
                         default="both")
     parser.add_argument("--lib", default=None,
                         help="alternate libclair_native.so (ASAN build)")
@@ -244,10 +326,12 @@ def main():
 
     rs = np.random.RandomState(args.seed)
     calls = 0
-    if args.tier in ("codec", "both"):
+    if args.tier in ("codec", "both", "all"):
         calls += fuzz_codecs(native, rs, args.iters)
-    if args.tier in ("container", "both"):
+    if args.tier in ("container", "both", "all"):
         calls += fuzz_containers(native, rs, max(1, args.iters // 2))
+    if args.tier in ("slice", "all"):
+        calls += fuzz_slices(native, rs, args.iters * 6)
     print(f"[fuzz] DONE seed={args.seed} calls~{calls}", flush=True)
     return 0
 
