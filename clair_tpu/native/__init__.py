@@ -791,6 +791,21 @@ class RegionScan:
         cig_lens, cig_lens_p = as_c("cig_lens", np.int32, ctypes.c_int32)
         cig_off, cig_off_p = as_c("cig_off", np.int64, ctypes.c_int64)
 
+        # the offset tables index the seq/cigar blobs in C with no blob
+        # lengths: reject non-monotonic tables or extents past the blobs
+        # (defense in depth — the CRAM slice decoder builds them
+        # monotonic by construction)
+        if n > 0 and (
+            seq_off.shape[0] <= n or cig_off.shape[0] <= n
+            or np.any(np.diff(seq_off[: n + 1]) < 0)
+            or np.any(np.diff(cig_off[: n + 1]) < 0)
+            or seq_off[0] < 0 or cig_off[0] < 0
+            or int(seq_off[n]) > int(arrays["seq"].shape[0])
+            or int(cig_off[n]) > int(arrays["cig_ops"].shape[0])
+            or int(cig_off[n]) > int(arrays["cig_lens"].shape[0])
+        ):
+            return None
+
         cached = None
         region_start = region_length = 0
         counts_ptr = None

@@ -1027,6 +1027,15 @@ void* clair_region_from_packed(
   CountsAcc acc{counts_out, region_start, region_length};
   RegionHandle* handle = new RegionHandle();
   handle->records.reserve((size_t)n);
+  // offsets must be monotonic: a negative span would wrap the size_t
+  // arithmetic below (the Python wrapper validates extents against the
+  // blob lengths; this guards direct callers)
+  for (int64_t i = 0; i < n; i++) {
+    if (cig_off[i + 1] < cig_off[i] || seq_off[i + 1] < seq_off[i]) {
+      delete handle;
+      return nullptr;
+    }
+  }
   size_t upper = 0;
   for (int64_t i = 0; i < n; i++)
     upper += 4 + 33 + 4 * (size_t)(cig_off[i + 1] - cig_off[i]) +
