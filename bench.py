@@ -645,6 +645,12 @@ def main():
             pipeline_tps = min(device, decode_ont)
         else:
             pipeline_tps = decode_ont
+        # the documented bf16 opt-in (--dtype bfloat16; decode decisions
+        # guarded f32-identical by tests/test_bf16.py) lifts the device leg,
+        # so its steady-state pipeline rate is recorded alongside
+        if device_ok and st["device_forward_tps_bf16"] > 0:
+            st["pipeline_tps_bf16_opt_in"] = min(
+                st["device_forward_tps_bf16"], decode_ont)
         cpu_tps = cpu_tps_box[0] or 2500.0
         stages = {k: (round(v, 3) if isinstance(v, float) else v)
                   for k, v in st.items()}
