@@ -672,6 +672,14 @@ def main():
 
     wd = _Watchdog(_finish)
 
+    # the budgets are sized against healthy-link device stages (~40 s
+    # worst-case compile); in CPU-fallback mode the same stages run the
+    # whole model on one (possibly loaded) core, where overrunning a
+    # device-sized budget means "slow", not "wedged" — triple them so a
+    # healthy fallback run is not killed into a partial artifact
+    def budget(seconds: float) -> float:
+        return seconds if device_ok else seconds * 3
+
     if device_ok:
         wd.enter("device_forward_f32", 1200)
         st["device_forward_tps_f32"] = device_throughput(params, config)
@@ -681,13 +689,13 @@ def main():
     # event-indexed recovery sources): the HEADLINE decode leg — the
     # reference is an ONT caller first.  The forward that produces the
     # probabilities touches the device, so these stay under the watchdog.
-    wd.enter("decode_ont", 1800)
+    wd.enter("decode_ont", budget(1800))
     decode_ont_tps, ont_indel_frac = decode_window_throughput(
         params_ont, config, ont_bam, ont_fa, minimum_af=0.2
     )
     st["host_decode_tps_ont_real"] = decode_ont_tps
     st["ont_indel_winner_fraction"] = ont_indel_frac
-    wd.enter("decode_clean", 1800)
+    wd.enter("decode_clean", budget(1800))
     decode_clean_tps, clean_indel_frac = decode_window_throughput(
         params_ilmn, config, clean_bam, clean_fa, minimum_af=0.2
     )
@@ -701,7 +709,7 @@ def main():
     except Exception as exc:
         print(f"[bench] train feed stage failed ({exc})", file=sys.stderr)
     try:
-        wd.enter("wgs_ont_host_ceiling", 2400)
+        wd.enter("wgs_ont_host_ceiling", budget(2400))
         st["wgs_ont_host_ceiling_mbp_per_min"] = wgs_host_ceiling(
             params_ont, config, ont_bam, ont_fa, ont_len / 1e6,
             minimum_af=0.2,
@@ -709,7 +717,7 @@ def main():
     except Exception as exc:
         print(f"[bench] host-ceiling stage failed ({exc})", file=sys.stderr)
     try:
-        wd.enter("wgs_ont_e2e", 2400)
+        wd.enter("wgs_ont_e2e", budget(2400))
         st["wgs_ont_end_to_end_mbp_per_min"] = wgs_throughput(
             params_ont, config, ont_bam, ont_fa, ont_len / 1e6,
             minimum_af=0.2, out_name="ont.vcf",
@@ -717,7 +725,7 @@ def main():
     except Exception as exc:
         print(f"[bench] ONT wgs stage failed ({exc})", file=sys.stderr)
     try:
-        wd.enter("wgs_clean_e2e", 2400)
+        wd.enter("wgs_clean_e2e", budget(2400))
         st["wgs_end_to_end_mbp_per_min"] = wgs_throughput(
             params_ilmn, config, clean_bam, clean_fa, clean_len / 1e6,
             minimum_af=0.2, out_name="clean.vcf",
@@ -730,7 +738,7 @@ def main():
     try:
         from clair_tpu.io.cram import bam_to_cram
 
-        wd.enter("wgs_ont_host_ceiling_cram", 2400)
+        wd.enter("wgs_ont_host_ceiling_cram", budget(2400))
         ont_cram = os.path.join(tmp, "ont_bench.cram")
         bam_to_cram(ont_bam, ont_cram, ont_fa)
         st["wgs_ont_host_ceiling_cram_mbp_per_min"] = wgs_host_ceiling(
@@ -755,11 +763,15 @@ def main():
     )
 
     try:
-        wd.enter("cpu_baseline", 1800)
+        wd.enter("cpu_baseline", budget(1800))
         cpu_tps_box[0] = cpu_baseline_throughput()
-        wd.clear()
     except Exception as exc:
         print(f"[bench] cpu baseline failed ({exc}); using recorded value", file=sys.stderr)
+    finally:
+        # must clear even on failure: nothing re-arms after this stage, so
+        # a leftover deadline would fire mid-_finish and print a second,
+        # contradictory artifact line
+        wd.clear()
     _finish()
 
 

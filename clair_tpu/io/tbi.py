@@ -17,7 +17,7 @@ import zlib
 from typing import Dict, Iterator, List, Optional, Tuple
 
 from clair_tpu.io.bai import LINEAR_SHIFT, reg2bin, _merge_chunks
-from clair_tpu.io.bgzf import block_offsets, parse_block_header
+from clair_tpu.io.bgzf import parse_block_header
 
 TBI_MAGIC = b"TBI\x01"
 BGZF_EOF = bytes.fromhex(
@@ -111,64 +111,105 @@ def bgzip_file(src_path: str, dst_path: Optional[str] = None,
     return dst_path
 
 
+def _iter_bgzf_blocks(fh, read_size: int = 1 << 20):
+    """Yield ``(compressed_offset, inflated_bytes)`` per BGZF member,
+    reading the stream incrementally (constant memory; a block is at most
+    64 KiB compressed)."""
+    buf = bytearray()
+    pos = 0   # parse cursor within buf
+    base = 0  # file offset of buf[0]
+
+    def ensure(n: int) -> bool:
+        while len(buf) - pos < n:
+            chunk = fh.read(read_size)
+            if not chunk:
+                return False
+            buf.extend(chunk)
+        return True
+
+    while True:
+        if pos >= read_size:  # compact so buf stays ~one read_size
+            del buf[:pos]
+            base += pos
+            pos = 0
+        if not ensure(12):
+            if len(buf) - pos:
+                raise ValueError("truncated BGZF stream (partial header)")
+            return
+        (xlen,) = struct.unpack_from("<H", buf, pos + 10)
+        if not ensure(12 + xlen):
+            raise ValueError("truncated BGZF stream (partial extra field)")
+        size = parse_block_header(buf, pos)
+        if not ensure(size):
+            raise ValueError("truncated BGZF stream (partial block)")
+        yield base + pos, zlib.decompress(bytes(buf[pos:pos + size]), 15 + 16)
+        pos += size
+
+
 def build_tbi(vcf_gz_path: str, tbi_path: Optional[str] = None) -> str:
-    """Index a coordinate-sorted bgzipped VCF (tabix VCF preset)."""
+    """Index a coordinate-sorted bgzipped VCF (tabix VCF preset).
+
+    Streams block by block — one inflated block plus any carried partial
+    line resident at a time — so indexing a WGS-scale .vcf.gz costs
+    constant memory, not compressed+uncompressed copies of the file."""
     tbi_path = tbi_path or vcf_gz_path + ".tbi"
-    with open(vcf_gz_path, "rb") as fh:
-        raw = fh.read()
-
-    # inflate with a block table for virtual-offset resolution
-    parts: List[bytes] = []
-    table: List[Tuple[int, int]] = []  # (uncompressed_start, compressed_offset)
-    position = 0
-    for offset, size in block_offsets(raw):
-        part = zlib.decompress(raw[offset:offset + size], 15 + 16)
-        table.append((position, offset))
-        parts.append(part)
-        position += len(part)
-    data = b"".join(parts)
-
-    def voffset_of(upos: int) -> int:
-        lo, hi = 0, len(table)
-        while lo < hi:
-            mid = (lo + hi) // 2
-            if table[mid][0] <= upos:
-                lo = mid + 1
-            else:
-                hi = mid
-        ustart, coffset = table[lo - 1]
-        return (coffset << 16) | (upos - ustart)
 
     names: List[str] = []
     name_index: Dict[str, int] = {}
     bins: List[Dict[int, List[Tuple[int, int]]]] = []
     linear: List[Dict[int, int]] = []
 
-    cursor = 0
-    n = len(data)
-    while cursor < n:
-        nl = data.find(b"\n", cursor)
-        line_end = n if nl == -1 else nl + 1
-        line = data[cursor:line_end]
-        if line and line[0] != META_CHAR:
-            columns = line.split(b"\t", 4)
-            if len(columns) >= 4:
-                ctg = columns[0].decode("ascii")
-                pos0 = int(columns[1]) - 1
-                end0 = pos0 + max(len(columns[3]), 1)
-                if ctg not in name_index:
-                    name_index[ctg] = len(names)
-                    names.append(ctg)
-                    bins.append({})
-                    linear.append({})
-                r = name_index[ctg]
-                v_beg = voffset_of(cursor)
-                v_end = voffset_of(line_end)
-                bins[r].setdefault(reg2bin(pos0, end0), []).append((v_beg, v_end))
-                for window in range(pos0 >> LINEAR_SHIFT, ((end0 - 1) >> LINEAR_SHIFT) + 1):
-                    if window not in linear[r] or v_beg < linear[r][window]:
-                        linear[r][window] = v_beg
-        cursor = line_end
+    def add_line(line: bytes, v_beg: int, v_end: int) -> None:
+        if not line or line[0] == META_CHAR:
+            return
+        columns = line.split(b"\t", 4)
+        if len(columns) < 4:
+            return
+        ctg = columns[0].decode("ascii")
+        pos0 = int(columns[1]) - 1
+        end0 = pos0 + max(len(columns[3]), 1)
+        if ctg not in name_index:
+            name_index[ctg] = len(names)
+            names.append(ctg)
+            bins.append({})
+            linear.append({})
+        r = name_index[ctg]
+        bins[r].setdefault(reg2bin(pos0, end0), []).append((v_beg, v_end))
+        for window in range(pos0 >> LINEAR_SHIFT, ((end0 - 1) >> LINEAR_SHIFT) + 1):
+            if window not in linear[r] or v_beg < linear[r][window]:
+                linear[r][window] = v_beg
+
+    # carry: the partial line left by the previous block (never contains
+    # a newline), and the virtual offset where it started
+    carry = b""
+    carry_voff = 0
+    end_voff = 0
+    with open(vcf_gz_path, "rb") as fh:
+        for coff, part in _iter_bgzf_blocks(fh):
+            end_voff = coff << 16 | len(part)
+            if not part:
+                continue
+            buf = carry + part
+            lc = len(carry)
+            cursor = 0
+            while True:
+                nl = buf.find(b"\n", cursor)
+                if nl == -1:
+                    break
+                line_end = nl + 1  # > lc: carry never holds a newline
+                v_beg = (carry_voff if cursor == 0 and lc > 0
+                         else coff << 16 | (cursor - lc))
+                add_line(buf[cursor:line_end], v_beg, coff << 16 | (line_end - lc))
+                cursor = line_end
+            if cursor == 0:
+                carry = buf
+                if lc == 0:
+                    carry_voff = coff << 16
+            else:
+                carry = buf[cursor:]
+                carry_voff = coff << 16 | (cursor - lc)
+    if carry:  # final line without a trailing newline
+        add_line(carry, carry_voff, end_voff)
 
     payload = bytearray()
     payload += TBI_MAGIC

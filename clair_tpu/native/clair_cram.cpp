@@ -23,6 +23,7 @@
 #include <cstdint>
 #include <cstring>
 #include <memory>
+#include <stdexcept>
 #include <unordered_map>
 #include <vector>
 
@@ -118,9 +119,11 @@ struct BitReader {
     }
 
     int64_t read_bits(int n) {
-        int64_t v = 0;
-        for (int i = 0; i < n; i++) v = (v << 1) | read_bit();
-        return v;
+        // unsigned accumulator: n is file-derived, and once a hostile
+        // width pushes the top bit in, (v << 1) on a signed value is UB
+        uint64_t v = 0;
+        for (int i = 0; i < n; i++) v = (v << 1) | (uint64_t)read_bit();
+        return (int64_t)v;
     }
 };
 
@@ -572,12 +575,20 @@ struct RefWindow {
             tmp.clear();
             return tmp.data();
         }
+        // Every arithmetic form below subtracts before it compares:
+        // pos0 (alignment position), start and contig_len all derive
+        // from file bytes, so ANY additive expression over them
+        // (`pos0 + n`, `start + len`) can signed-overflow — UB that can
+        // also wrap past a bounds check (fuzz regression: OOB read in
+        // fill_to's memcpy). `pos0 >= start` is always established
+        // before `pos0 - start` is formed, and len is bounded by the
+        // caller's real buffer, so the differences cannot overflow.
         if (pad_mode) {
-            int64_t lo = pos0 - start;
-            if (lo < 0 || lo >= len) {
+            if (pos0 < start || pos0 - start >= len) {
                 tmp.assign(n, 'N');
                 return tmp.data();
             }
+            int64_t lo = pos0 - start;
             int64_t have = std::min<int64_t>(n, len - lo);
             tmp.assign(n, 'N');
             std::memcpy(tmp.data(), buf + lo, have);
@@ -585,13 +596,12 @@ struct RefWindow {
         }
         // FASTA-backed: the prefetched span is the source of truth where
         // it covers; past the contig end pads N; anything else must be
-        // refetched by the caller (rc 2). Subtraction form: a corrupt
-        // alignment position near INT64_MAX would wrap `pos0 + n` and
-        // pass an additive bounds check (fuzz regression: OOB read in
-        // fill_to's memcpy).
-        if (pos0 >= start && n <= start + len - pos0) return buf + (pos0 - start);
+        // refetched by the caller (rc 2)
+        if (pos0 >= start && pos0 - start <= len && n <= len - (pos0 - start))
+            return buf + (pos0 - start);
         bool covers_contig_end =
-            contig_len >= 0 && start + len >= contig_len;
+            contig_len >= 0 &&
+            (start >= contig_len || len >= contig_len - start);
         if (pos0 >= start && covers_contig_end) {
             int64_t lo = pos0 - start;
             int64_t have = lo < len ? std::min<int64_t>(n, len - lo) : 0;
@@ -599,7 +609,8 @@ struct RefWindow {
             if (have > 0) std::memcpy(tmp.data(), buf + lo, have);
             return tmp.data();
         }
-        throw RefNeeded{std::min(pos0, start), pos0 + n};
+        int64_t hi = pos0 <= INT64_MAX - n ? pos0 + n : INT64_MAX;
+        throw RefNeeded{std::min(pos0, start), hi};
     }
 };
 
@@ -637,14 +648,23 @@ static int decode_slice(const Spec& spec, Streams& streams,
     const bool multi_ref = spec.ref_seq_id == -2;
     int64_t prev_ap = spec.ap_start;
     const int64_t n_records = spec.n_records;
+    // throw, never return: the caller ignores this function's status and
+    // publishes spec.n_records as the record count, so an early return
+    // would advertise records the holder does not contain
+    if (n_records < 0) throw std::runtime_error("negative n_records");
 
-    h.pos.reserve(n_records);
-    h.mapq.reserve(n_records);
-    h.flag.reserve(n_records);
-    h.refid.reserve(n_records);
-    h.seq_off.reserve(n_records + 1);
-    h.cig_off.reserve(n_records + 1);
-    h.name_off.reserve(n_records + 1);
+    // n_records is file-derived: reserve() with a forged huge value
+    // would attempt a petabyte allocation up front (fuzz finding). Cap
+    // the HINT only — the vectors still grow to any genuine size, and a
+    // forged count fails later when the record streams run dry.
+    const int64_t hint = std::min<int64_t>(n_records, 1 << 20);
+    h.pos.reserve(hint);
+    h.mapq.reserve(hint);
+    h.flag.reserve(hint);
+    h.refid.reserve(hint);
+    h.seq_off.reserve(hint + 1);
+    h.cig_off.reserve(hint + 1);
+    h.name_off.reserve(hint + 1);
     h.seq_off.push_back(0);
     h.cig_off.push_back(0);
     h.name_off.push_back(0);
@@ -910,6 +930,11 @@ int clair_cram_decode_slice(const uint8_t* spec_buf, int64_t spec_len,
         // fields, and a forged ref_buf_len would move every bounds check
         // past the real allocation
         ref.len = std::min<int64_t>(spec.ref_buf_len, ref_len);
+        if (ref.len < 0) ref.len = 0;
+        // a negative window start is never valid (and would overflow the
+        // subtraction forms in RefWindow::window): degrade to an empty
+        // window so lookups N-pad or raise RefNeeded instead
+        if (ref.start < 0) { ref.start = 0; ref.len = 0; }
         ref.contig_len = spec.contig_len;
         ref.pad_mode = spec.ref_pad_mode;
 

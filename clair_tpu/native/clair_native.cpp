@@ -819,9 +819,11 @@ int clair_build_bai(const char* bam_path, const char* bai_path) {
     uint8_t l_read_name = rec[8];
     uint16_t n_cigar = read_le<uint16_t>(rec + 12);
     // a negative/absurd position would index the linear table with a
-    // huge size_t (multi-GB resize); spec keeps mapped pos in [0, 2^31)
-    if (pos < 0 || pos > (1ll << 31)) continue;
-    if (ref_id >= 0 && ref_id < n_ref) {
+    // huge size_t (multi-GB resize); spec keeps mapped pos in [0, 2^31).
+    // Skip ONLY the index insertion (not the whole loop body): a sorted
+    // BAM's unmapped tail (pos = -1) can be GBs, and skipping the
+    // discard_before trim below would hold all of it inflated in memory
+    if (pos >= 0 && pos <= (1ll << 31) && ref_id >= 0 && ref_id < n_ref) {
       const uint8_t* cigar_p = rec + 32 + l_read_name;
       int64_t span = 0;
       for (int k = 0; k < n_cigar; k++) {
@@ -1075,13 +1077,26 @@ void* clair_region_from_packed(
       delete handle;
       return nullptr;
     }
+    int64_t qlen = 0;
     for (int64_t j = 0; j < nc; j++) {
       // BAM packs op length into 28 bits; a longer (or negative) op
-      // cannot be expressed and must not silently wrap
-      if (cig_lens[c0 + j] < 0 || cig_lens[c0 + j] >= (1 << 28)) {
+      // cannot be expressed and must not silently wrap; an op code past
+      // X has no defined query/ref semantics
+      uint8_t op = cig_ops[c0 + j];
+      if (cig_lens[c0 + j] < 0 || cig_lens[c0 + j] >= (1 << 28) || op > 8) {
         delete handle;
         return nullptr;
       }
+      if (kConsumesQueryOp[op]) qlen += cig_lens[c0 + j];
+    }
+    // the scans index the synthesized record's seq array by cumulative
+    // query-consumed cigar length, so the spec invariant (M/I/S/=/X
+    // lengths sum to the seq length) must hold HERE — check_record
+    // guards only the BGZF walks, and a mismatched packed record would
+    // read past the seq blob (heap OOB for the final record)
+    if (nc > 0 && qlen != seq_off[i + 1] - seq_off[i]) {
+      delete handle;
+      return nullptr;
     }
     if (start >= 0) {
       int64_t ref_len = 0;

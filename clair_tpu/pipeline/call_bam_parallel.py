@@ -17,7 +17,7 @@ import logging
 import os
 import sys
 import time
-from typing import Iterator, List, Optional, Set, TextIO, Tuple
+from typing import Dict, Iterator, List, Optional, Set, TextIO, Tuple
 
 from clair_tpu.io.fasta import FastaReader
 from clair_tpu.pipeline.call_bam import CallBamConfig, call_bam
@@ -430,6 +430,11 @@ def call_bam_windows_threaded(
         if failures == 0:
             from clair_tpu.io.tbi import bgzip_file, build_tbi
 
+            if appending:
+                # retried windows appended AFTER later-coordinate rows;
+                # build_tbi requires coordinate-sorted input, so an
+                # unsorted stream would get a silently wrong index
+                _sort_vcf_file(output_path)
             bgzip_file(output_path, gz_path, remove_src=True)
             build_tbi(gz_path)
         else:
@@ -438,6 +443,33 @@ def call_bam_windows_threaded(
                 "re-run will produce %s", output_path, gz_path,
             )
     return total
+
+
+def _sort_vcf_file(path: str) -> None:
+    """Re-sort a resumed plain-text VCF/gVCF into genome order in place
+    (contig order from the ##contig header lines, then POS; stable, so
+    same-position rows keep their emitted order). Holds the body lines in
+    memory — bounded by the VCF itself (~100s of MB for a WGS VCF), and
+    only the resumed-run path pays it."""
+    header: List[str] = []
+    body: List[str] = []
+    with open(path) as fh:
+        for line in fh:
+            (header if line.startswith("#") else body).append(line)
+    contig_rank: Dict[str, int] = {}
+    for line in header:
+        if line.startswith("##contig=<ID="):
+            name = line[len("##contig=<ID="):].split(",", 1)[0].split(">", 1)[0]
+            contig_rank.setdefault(name, len(contig_rank))
+
+    def key(row: str):
+        chrom, pos, _ = row.split("\t", 2)
+        return (contig_rank.get(chrom, len(contig_rank)), chrom, int(pos))
+
+    body.sort(key=key)
+    with open(path, "w") as fh:
+        fh.writelines(header)
+        fh.writelines(body)
 
 
 def merge_vcfs(paths: List[str], output_path: str) -> None:

@@ -173,3 +173,72 @@ def test_merge_vcfs_gz(tmp_path):
     merge_vcfs([a, b], gz)
     assert _read_bgzf_text(gz) == open(plain).read()
     assert os.path.isfile(gz + ".tbi")
+
+
+def test_sort_vcf_file_orders_by_contig_then_pos(tmp_path):
+    from clair_tpu.pipeline.call_bam_parallel import _sort_vcf_file
+
+    path = str(tmp_path / "u.vcf")
+    header = ("##fileformat=VCFv4.2\n"
+              "##contig=<ID=chr2,length=1000>\n"
+              "##contig=<ID=chr1,length=1000>\n"
+              "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n")
+    rows = [
+        "chr1\t500\t.\tA\tT\t60\tPASS\t.\tGT\t0/1\n",
+        "chr2\t100\t.\tC\tG\t60\tPASS\t.\tGT\t0/1\n",
+        "chr1\t30\t.\tG\tC\t60\tPASS\t.\tGT\t0/1\n",  # resumed append
+        "chr2\t700\t.\tT\tA\t60\tPASS\t.\tGT\t0/1\n",
+    ]
+    with open(path, "w") as fh:
+        fh.write(header + "".join(rows))
+    _sort_vcf_file(path)
+    lines = open(path).read().splitlines()
+    assert lines[:4] == header.splitlines()
+    body = [l.split("\t")[:2] for l in lines[4:]]
+    # header contig order (chr2 first), then POS numerically
+    assert body == [["chr2", "100"], ["chr2", "700"],
+                    ["chr1", "30"], ["chr1", "500"]]
+
+
+def test_threaded_runner_gz_resume_sorts_appended_rows(tiny_genome, tmp_path):
+    """Retried windows append AFTER later-coordinate rows; the gz path
+    must re-sort before compressing, or the tabix index over the
+    unsorted stream would silently misresolve queries."""
+    from tests.test_pipeline_e2e import OraclePredictor
+
+    from clair_tpu.pipeline.call_bam import CallBamConfig
+    from clair_tpu.pipeline.call_bam_parallel import call_bam_windows_threaded
+
+    bam, fa, ref, variants = tiny_genome
+    base = CallBamConfig(
+        bam_path=bam, fasta_path=fa, contig="chr1",
+        minimum_af=0.2, minimum_coverage=4,
+    )
+
+    class FailFirstWindow:
+        """Delegates to the oracle but fails the first window seen."""
+
+        def __init__(self):
+            self._inner = OraclePredictor()
+            self._failed = False
+
+        def predict_async(self, x):
+            if not self._failed:
+                self._failed = True
+                raise RuntimeError("injected window failure")
+            return self._inner.predict_async(x)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    gz = str(tmp_path / "s.vcf.gz")
+    joblog = str(tmp_path / "s.joblog")
+    kwargs = dict(output_path=gz, chunk_size=2_000, joblog_path=joblog)
+    call_bam_windows_threaded(base, FailFirstWindow(), **kwargs)
+    assert not os.path.isfile(gz)  # left plain for --resume
+    call_bam_windows_threaded(base, OraclePredictor(), resume=True, **kwargs)
+    assert os.path.isfile(gz) and os.path.isfile(gz + ".tbi")
+    body = [l for l in _read_bgzf_text(gz).splitlines()
+            if l and not l.startswith("#")]
+    positions = [int(l.split("\t")[1]) for l in body]
+    assert positions and positions == sorted(positions)

@@ -407,3 +407,75 @@ def test_forged_ref_len_in_spec_cannot_widen_the_window(tmp_path):
     if rc == 0:
         assert np.array_equal(payload["pos"], payload0["pos"])
         assert np.array_equal(payload["seq"], payload0["seq"])
+
+
+def test_forged_window_geometry_fields_fail_cleanly(tmp_path):
+    """ref_buf_start and contig_len are as file-derived (hostile) as the
+    ref_buf_len the decoder already distrusts: a negative or near-
+    INT64_MAX value must not wrap the window bounds checks (the additive
+    `start + len` forms were UB) — any rc is acceptable, but never a
+    crash or an out-of-bounds window."""
+    import struct
+
+    cram_path, fasta_path, _ = _build_cram(tmp_path, _mixed_records())
+
+    captured = []
+    orig = native.cram_decode_slice
+
+    def capture(spec, core, externals, ref_buf):
+        captured.append((bytes(spec), bytes(core),
+                         [(c, bytes(d)) for c, d in externals],
+                         bytes(ref_buf)))
+        return orig(spec, core, externals, ref_buf)
+
+    native.cram_decode_slice = capture
+    try:
+        with CramReader(cram_path, fasta=fasta_path) as reader:
+            list(reader)
+    finally:
+        native.cram_decode_slice = orig
+    assert captured
+
+    spec, core, externals, ref_buf = captured[0]
+    off_start = 4 + 1 + 4 + 8 + 8          # ref_buf_start
+    off_contig = 4 + 1 + 4 + 8 + 8 + 8 + 8  # contig_len
+    for offset, value in [
+        (off_start, -1), (off_start, -(1 << 62)),
+        (off_start, (1 << 63) - 2), (off_contig, (1 << 63) - 2),
+        (off_contig, -(1 << 62)),
+    ]:
+        forged = bytearray(spec)
+        struct.pack_into("<q", forged, offset, value)
+        native.cram_decode_slice(bytes(forged), core, externals, ref_buf)
+
+
+def test_from_packed_rejects_seq_cigar_mismatch():
+    """The scans index the synthesized record's seq by cumulative query-
+    consumed cigar length; a packed record whose cigar consumes more
+    query bases than its seq span would read past the seq blob (the
+    check_record gate covers only BGZF walks). from_packed must return
+    None so callers fall back to the Python engine."""
+    from clair_tpu.native import RegionScan, available
+
+    if not available():
+        pytest.skip("native lib unavailable")
+    arrays = {
+        "pos": np.array([100], dtype=np.int64),
+        "mapq": np.array([60], dtype=np.int32),
+        "flag": np.array([0], dtype=np.int32),
+        "refid": np.array([0], dtype=np.int32),
+        "seq": np.frombuffer(b"A" * 100, dtype=np.uint8),
+        "seq_off": np.array([0, 100], dtype=np.int64),
+        "cig_ops": np.zeros(1, dtype=np.uint8),      # 200M over 100 bases
+        "cig_lens": np.array([200], dtype=np.int32),
+        "cig_off": np.array([0, 1], dtype=np.int64),
+    }
+    assert RegionScan.from_packed(arrays, 0, 0, 1_000_000) is None
+    # an op code past X (no defined query/ref semantics) is also rejected
+    arrays["cig_ops"] = np.full(1, 9, dtype=np.uint8)
+    arrays["cig_lens"] = np.array([100], dtype=np.int32)
+    assert RegionScan.from_packed(arrays, 0, 0, 1_000_000) is None
+    # the consistent sibling opens
+    arrays["cig_ops"] = np.zeros(1, dtype=np.uint8)
+    scan = RegionScan.from_packed(arrays, 0, 0, 1_000_000)
+    assert scan is not None and scan.n_records == 1

@@ -158,3 +158,29 @@ def test_corrupt_record_framing_fails_loudly_not_oob(tmp_path, corruption):
     with pytest.raises(RuntimeError):
         native.events_from_bam_native(bad, 0, use_index=False)
     assert native.build_bai_native(bad, bad + ".bai") is False
+
+
+def test_build_bai_with_unmapped_tail(tmp_path):
+    """Coordinate-sorted BAMs conventionally end with a tail of unmapped
+    records (ref_id = -1, pos = -1). The builder must keep trimming its
+    inflate buffer across that tail (a `continue` once skipped the trim,
+    unbounding memory on WGS files) and the produced index must still
+    resolve the mapped records."""
+    from clair_tpu.io.bai import BaiIndex
+    from clair_tpu.native import available, build_bai_native
+
+    if not available():
+        pytest.skip("native lib unavailable")
+    path = str(tmp_path / "tail.bam")
+    seq = "ACGT" * 30
+    with BamWriter(path, [("chr1", 100000)]) as writer:
+        for i in range(20):
+            writer.write(f"r{i}", 0, i * 50, 60, 0, [(100, "M")], seq[:100])
+        for i in range(200):  # the unmapped tail
+            writer.write(f"u{i}", -1, -1, 0, 4, [], seq[:50])
+    bai_path = path + ".bai"
+    assert build_bai_native(path, bai_path)
+    assert BaiIndex(bai_path).min_virtual_offset(0, 0) is not None
+    with BamReader(path) as reader:
+        got = list(reader.fetch("chr1", 0, 2000, min_mapq=1))
+    assert len(got) == 20
