@@ -147,3 +147,26 @@ def test_lazy_fetch_survives_partial_block_headers(tmp_path):
     for chunk in (7, 18, 19, 255, 300):
         got = list(lines_from_voffset(str(path), 0, chunk_size=chunk))
         assert got == expected, f"chunk_size={chunk}"
+
+
+def test_streaming_index_over_tiny_blocks(tmp_path):
+    """Force lines to straddle many BGZF members (512-byte blocks): the
+    streaming builder's carry/virtual-offset bookkeeping must index them
+    identically to the full scan."""
+    rs = np.random.RandomState(11)
+    rows = [
+        _vcf_row("chr1", int(p), "A", "T", "0/1")
+        for p in np.sort(rs.choice(np.arange(100, 500_000), 800, replace=False))
+    ]
+    path = str(tmp_path / "tiny_blocks.vcf.gz")
+    write_bgzf(path, (HEADER + "".join(rows)).encode("ascii"), block_size=512)
+    build_tbi(path)
+    import shutil
+
+    plain = tmp_path / "plain.vcf.gz"
+    shutil.copy(path, plain)
+    for ctg, start, end in (("chr1", 1, 1000), ("chr1", 200_000, 300_000),
+                            ("chr1", 490_000, 500_000)):
+        indexed = [v.line() for v in truth_variants_from_vcf(path, ctg, start, end)]
+        full = [v.line() for v in truth_variants_from_vcf(str(plain), ctg, start, end)]
+        assert indexed == full, (ctg, start, end)
