@@ -265,13 +265,15 @@ static int64_t read_int(const Codec& c, Streams& s) {
         case CK_HUFFMAN: {
             if (c.huff_const) return c.huff_const_value;
             int length = 0;
-            int64_t code = 0;
+            // unsigned accumulator: code lengths are file-derived, and a
+            // hostile length walks the top bit in (signed << would be UB)
+            uint64_t code = 0;
             for (const HuffCode& h : c.huff) {
                 while (length < h.length) {
-                    code = (code << 1) | s.core.read_bit();
+                    code = (code << 1) | (uint64_t)s.core.read_bit();
                     length++;
                 }
-                if (code == h.code) return h.symbol;
+                if (code == (uint64_t)h.code) return h.symbol;
             }
             throw Malformed{};
         }
@@ -282,7 +284,8 @@ static int64_t read_int(const Codec& c, Streams& s) {
             while (s.core.read_bit() == 0) {
                 if (++n > 63) throw Malformed{};
             }
-            return (((int64_t)1 << n) | s.core.read_bits(n)) - c.offset;
+            return (int64_t)(((uint64_t)1 << n) | (uint64_t)s.core.read_bits(n))
+                   - c.offset;
         }
         case CK_SUBEXP: {
             int count = 0;
@@ -295,7 +298,8 @@ static int64_t read_int(const Codec& c, Streams& s) {
             } else {
                 int n = count + c.nbits_or_k - 1;
                 if (n > 62) throw Malformed{};
-                v = ((int64_t)1 << n) | s.core.read_bits(n);
+                v = (int64_t)(((uint64_t)1 << n)
+                              | (uint64_t)s.core.read_bits(n));
             }
             return v - c.offset;
         }
