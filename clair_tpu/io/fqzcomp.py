@@ -6,8 +6,10 @@ coder descended from the fqzcomp FASTQ compressor; the reference reads
 such archives via samtools
 (/root/reference/dataPrepScripts/CreateTensor.py:136). Implemented from
 the hts-specs CRAMcodecs description in the repo's codec style
-(io/rans4x16.py, io/arith.py, io/tok3.py): pure Python, both
-directions, round-trip + structural tests.
+(io/rans4x16.py, io/arith.py, io/tok3.py): pure Python both directions
+as the reference implementation, with a native decoder
+(native/clair_fqzcomp.cpp, ~130x) tried first on decompress —
+round-trip, structural, and native-equivalence tests.
 
 The model: quality strings are smooth — the best predictor of a quality
 value is the few values before it, its position along the read, and how
@@ -173,6 +175,15 @@ def decompress(data: bytes, out_size: int = None) -> bytes:
     """Decode one fqzcomp stream; record lengths come from the stream."""
     if len(data) < 9:
         raise ValueError("truncated fqzcomp stream")
+    if out_size is not None:
+        try:  # native decoder (clair_fqzcomp.cpp): same grammar, C speed
+            from clair_tpu import native
+
+            out = native.fqzcomp_decompress(bytes(data), out_size)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     version, gflags, _max_sym, qbits, qshift, pbits, dbits = \
         struct.unpack_from("<BBBBBBB", data, 0)
     if version != _VERSION:

@@ -290,6 +290,11 @@ def _bind_symbols(lib) -> None:
         ctypes.c_char_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
     ]
+    lib.clair_fqzcomp_decompress.restype = ctypes.c_int
+    lib.clair_fqzcomp_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
     lib.clair_cram_decode_slice.restype = ctypes.c_int
     lib.clair_cram_decode_slice.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
@@ -417,6 +422,21 @@ def arith_decompress(data: bytes, raw_size: int):
         return None
     out = ctypes.create_string_buffer(raw_size)
     rc = lib.clair_arith_decompress(
+        data, len(data),
+        ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)), raw_size,
+    )
+    return out.raw if rc == 0 else None
+
+
+def fqzcomp_decompress(data: bytes, raw_size: int):
+    """Native fqzcomp quality-block (CRAM 3.1) decode. Returns the raw
+    quality bytes, or None when the library is unavailable or the stream
+    is malformed / unsupported (callers fall back to the Python codec)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(raw_size)
+    rc = lib.clair_fqzcomp_decompress(
         data, len(data),
         ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)), raw_size,
     )

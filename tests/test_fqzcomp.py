@@ -182,3 +182,76 @@ def test_cram31_archive_profile_round_trip(tmp_path):
     assert len(decoded) == len(originals)
     for a, b in zip(originals, decoded):
         _records_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# native decoder (clair_fqzcomp.cpp)
+# ---------------------------------------------------------------------------
+
+def test_native_decoder_matches_python(monkeypatch):
+    """Every stream the encoder can produce decodes byte-identically
+    through the native decoder AND the pure-Python reference (context
+    hash, model update, and range-coder rules must mirror exactly)."""
+    from clair_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rs = np.random.RandomState(13)
+    cases = []
+    # smooth ONT-like walks, one and many records
+    q = _smooth_quals(rs, 50_000)
+    cases.append((q, None))
+    lengths = []
+    rem = len(q)
+    while rem > 0:
+        ln = int(min(rem, rs.randint(200, 1500)))
+        lengths.append(ln)
+        rem -= ln
+    cases.append((q, lengths))
+    # binned Illumina alphabet
+    binned = bytes(rs.choice([2, 12, 23, 37], 30_000,
+                             p=[.05, .15, .3, .5]).astype(np.uint8))
+    cases.append((binned, [100] * 300))
+    # constant, tiny, random-byte, and full-alphabet streams
+    cases.append((bytes([30]) * 10_000, [250] * 40))
+    cases.append((b"\x28", [1]))
+    cases.append((bytes(rs.randint(0, 256, 8_000, dtype=np.uint8)), None))
+    cases.append((bytes(range(256)) * 10, None))
+    for data, lengths in cases:
+        stream = fqzcomp.compress(data, lengths)
+        nat = native.fqzcomp_decompress(stream, len(data))
+        assert nat == data, (len(data), lengths and len(lengths))
+        # pure-Python reference on the same bytes
+        monkeypatch.setattr(native, "fqzcomp_decompress",
+                            lambda *_a, **_k: None)
+        assert fqzcomp.decompress(stream, len(data)) == data
+        monkeypatch.undo()
+
+
+def test_native_decoder_rejects_malformed():
+    """Truncated/forged streams return None from the native decoder (the
+    public path then raises via the Python reference) — never a crash."""
+    from clair_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rs = np.random.RandomState(14)
+    data = _smooth_quals(rs, 5_000)
+    stream = bytearray(fqzcomp.compress(data, [500] * 10))
+    assert native.fqzcomp_decompress(bytes(stream), len(data)) == data
+    # wrong promised size
+    assert native.fqzcomp_decompress(bytes(stream), len(data) - 7) is None
+    # forged version / gflags / qshift
+    for off, val in ((0, 4), (1, 1), (4, 9)):
+        bad = bytearray(stream)
+        bad[off] = val
+        assert native.fqzcomp_decompress(bytes(bad), len(data)) is None
+    # hostile context geometry
+    bad = bytearray(stream)
+    bad[3] = 200  # qbits
+    bad[4] = 200  # qshift (keep == qbits so the geometry check is hit)
+    assert native.fqzcomp_decompress(bytes(bad), len(data)) is None
+    # truncations through the body
+    for cut in (3, 8, len(stream) // 2):
+        out = native.fqzcomp_decompress(bytes(stream[:cut]), len(data))
+        assert out is None or out != data  # never a crash; typically None

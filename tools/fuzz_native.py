@@ -103,6 +103,7 @@ def _quiet(fn, *args):
 
 def fuzz_codecs(native, rs, iters: int, sizes=(1, 2, 7, 100, 4096, 65536)):
     from clair_tpu.io import arith as m_arith
+    from clair_tpu.io import fqzcomp as m_fqz
     from clair_tpu.io import rans as m_rans
     from clair_tpu.io import rans4x16 as m_r16
     from clair_tpu.io import tok3 as m_tok3
@@ -129,11 +130,22 @@ def fuzz_codecs(native, rs, iters: int, sizes=(1, 2, 7, 100, 4096, 65536)):
         return m_tok3.encode_names(names + b"\n",
                                    use_arith=bool(rs.randint(2)))
 
+    def enc_fqz(data):
+        lengths = None
+        if len(data) > 3 and rs.randint(2):
+            lengths, rem = [], len(data)
+            while rem > 0:
+                ln = int(min(rem, rs.randint(1, 400)))
+                lengths.append(ln)
+                rem -= ln
+        return m_fqz.compress(data, lengths)
+
     codecs = [
         ("rans4x8", enc_rans, native.rans_decompress),
         ("rans4x16", enc_r16, native.rans4x16_decompress),
         ("arith", enc_arith, native.arith_decompress),
         ("tok3", enc_tok3, native.tok3_decode),
+        ("fqzcomp", enc_fqz, native.fqzcomp_decompress),
     ]
     calls = 0
     for name, enc, dec in codecs:
