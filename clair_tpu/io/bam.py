@@ -61,6 +61,11 @@ class BamRecord:
     cigar_ops: np.ndarray    # (n,) uint8 op codes
     cigar_lens: np.ndarray   # (n,) int32
     seq: np.ndarray          # (l_seq,) uint8 ASCII bases
+    # per-base qualities, raw phred (NOT +33): None when the source had
+    # none ('*' quals, or a skip_quals CRAM read). The calling pipeline
+    # ignores qualities (count-based pileup, like the reference); this
+    # field exists so bam2cram/cram2bam round-trip losslessly.
+    qual: Optional[np.ndarray] = None
 
     @property
     def is_reverse(self) -> bool:
@@ -260,6 +265,12 @@ def _decode_record(data: bytes) -> BamRecord:
     codes[0::2] = packed >> 4
     codes[1::2] = packed & 0xF
     seq = SEQ_CODE_TO_BASE[codes[:l_seq]]
+    offset += (l_seq + 1) // 2
+    qual = None
+    if l_seq and offset + l_seq <= len(data):
+        quals = np.frombuffer(data, dtype=np.uint8, count=l_seq, offset=offset)
+        if quals.min() != 0xFF:  # an all-0xFF run is BAM's '*' (missing)
+            qual = quals.copy()
     return BamRecord(
         ref_id=ref_id,
         pos=pos,
@@ -269,6 +280,7 @@ def _decode_record(data: bytes) -> BamRecord:
         cigar_ops=cigar_ops,
         cigar_lens=cigar_lens,
         seq=seq,
+        qual=qual,
     )
 
 
@@ -318,8 +330,12 @@ class BamWriter:
         flag: int,
         cigar: List[Tuple[int, str]],
         seq: str,
-        qual: int = 30,
+        qual=30,
     ) -> None:
+        """``qual``: an int writes that constant for every base (the
+        historical default); bytes/ndarray of length l_seq writes real
+        per-base raw-phred values; None writes the BAM '*' convention
+        (an all-0xFF run)."""
         name_raw = read_name.encode("ascii") + b"\x00"
         cigar_raw = b"".join(
             struct.pack("<I", (length << 4) | CIGAR_OP_TO_CODE[op]) for length, op in cigar
@@ -331,7 +347,16 @@ class BamWriter:
         packed = bytes(
             (codes[i] << 4) | codes[i + 1] for i in range(0, len(codes), 2)
         )
-        quals = bytes([qual] * l_seq)
+        if qual is None:
+            quals = b"\xff" * l_seq
+        elif isinstance(qual, int):
+            quals = bytes([qual] * l_seq)
+        else:
+            quals = bytes(bytearray(qual))
+            if len(quals) != l_seq:
+                raise ValueError(
+                    f"per-base quals length {len(quals)} != l_seq {l_seq}"
+                )
         record = (
             struct.pack(
                 "<iiBBHHHiiii",

@@ -976,6 +976,7 @@ def decode_slice_records(
     read_bb = _codec_method("BB", "read_bytes")
     read_qq = _codec_method("QQ", "read_bytes")
     qs_noop = qq_noop = False
+    collect_quals = not skip_quals
     if skip_quals:
         _, qs_noop, qq_noop = qual_skip_info(header)
         if qs_noop:
@@ -1036,6 +1037,7 @@ def decode_slice_records(
 
         cigar_ops: List[List[int]] = []
         seq = bytearray(b"N" * rl)
+        qual = bytearray(b"\xff" * rl) if collect_quals else None
         mapq = 0
         if not (bf & 4):  # mapped
             fn = read_fn(streams)
@@ -1090,7 +1092,9 @@ def decode_slice_records(
                     rc += 1
                 elif fc == 66:                     # 'B' base + qual
                     seq[qc - 1] = read_ba(streams)
-                    read_qs(streams)
+                    qv = read_qs(streams)
+                    if qual is not None:
+                        qual[qc - 1] = qv
                     if cigar_ops and cigar_ops[-1][0] == op_m:
                         cigar_ops[-1][1] += 1
                     else:
@@ -1166,27 +1170,39 @@ def decode_slice_records(
                         else:
                             cigar_ops.append([op_p, n])
                 elif fc == 81:                     # 'Q' single qual
-                    read_qs(streams)
+                    qv = read_qs(streams)
+                    if qual is not None and 0 <= qc - 1 < rl:
+                        qual[qc - 1] = qv
                 elif fc == 113:                    # 'q' qual run
-                    read_qq(streams)
+                    qq = read_qq(streams)
+                    if qual is not None and qq and qc >= 1:
+                        ncp = min(len(qq), rl - (qc - 1))
+                        if ncp > 0:
+                            qual[qc - 1: qc - 1 + ncp] = qq[:ncp]
                 else:
                     raise ValueError(f"unknown CRAM feature code {chr(fc)!r}")
             fill_to(rl + 1)
             mapq = read_mq(streams)
             if cf & CF_QS_ARRAY and not qs_noop:
-                _read_byte_run(codecs["QS"], streams, rl)
+                run = _read_byte_run(codecs["QS"], streams, rl)
+                if qual is not None:
+                    qual[:rl] = run
         else:
             # CF_NO_SEQ records carry no base bytes at all (htslib writes
             # nothing for SEQ '*' reads); reading BA would desync the stream
             if not (cf & CF_NO_SEQ):
                 _read_bases_into(codecs["BA"], streams, seq, rl)
             if cf & CF_QS_ARRAY and not qs_noop:
-                _read_byte_run(codecs["QS"], streams, rl)
+                run = _read_byte_run(codecs["QS"], streams, rl)
+                if qual is not None:
+                    qual[:rl] = run
         if cf & CF_NO_SEQ:
             seq = bytearray(b"N" * rl)
 
         ops = np.array([o for o, _ in cigar_ops], dtype=np.uint8)
         lens = np.array([n for _, n in cigar_ops], dtype=np.int32)
+        if qual is not None and (not rl or min(qual) == 0xFF):
+            qual = None  # an all-0xFF run is 'missing' (BAM '*')
         records.append(
             BamRecord(
                 ref_id=ref_id,
@@ -1197,6 +1213,8 @@ def decode_slice_records(
                 cigar_ops=ops,
                 cigar_lens=lens,
                 seq=np.frombuffer(bytes(seq), dtype=np.uint8),
+                qual=(np.frombuffer(bytes(qual), dtype=np.uint8)
+                      if qual is not None else None),
             )
         )
 
@@ -1345,7 +1363,8 @@ def _native_decode_arrays(
         0x43524D31,
         (1 if header.ap_delta else 0)
         | (2 if header.read_names_included else 0)
-        | (4 if ref_pad_mode else 0),
+        | (4 if ref_pad_mode else 0)
+        | (0 if skip_quals else 8),
         slice_header.ref_seq_id,
         slice_header.start,
         slice_header.n_records,
@@ -1361,8 +1380,8 @@ def _native_decode_arrays(
 def _concat_packed(parts):
     """Concatenate per-slice packed-array payloads into one (offsets are
     rebased); an empty part list yields a valid zero-record payload."""
-    value_keys = ("pos", "mapq", "flag", "refid", "seq", "cig_ops",
-                  "cig_lens")
+    value_keys = ["pos", "mapq", "flag", "refid", "seq", "cig_ops",
+                  "cig_lens"]
     if not parts:
         return {
             "pos": np.empty(0, np.int64), "mapq": np.empty(0, np.int32),
@@ -1374,6 +1393,8 @@ def _concat_packed(parts):
         }
     if len(parts) == 1:
         return parts[0]
+    if all("qual" in p for p in parts):
+        value_keys = value_keys + ["qual"]  # parallel to seq/seq_off
     out = {k: np.concatenate([p[k] for p in parts]) for k in value_keys}
     for key in ("seq_off", "cig_off"):
         base = 0
@@ -1401,6 +1422,7 @@ def _records_from_arrays(
     cig_off = arrays["cig_off"]
     names = arrays["names"]
     name_off = arrays["name_off"]
+    qual = arrays.get("qual")
     counter = slice_header.record_counter
     records = []
     for i in range(n):
@@ -1412,6 +1434,11 @@ def _records_from_arrays(
         )
         s0, s1 = int(seq_off[i]), int(seq_off[i + 1])
         c0, c1 = int(cig_off[i]), int(cig_off[i + 1])
+        rec_qual = None
+        if qual is not None and s1 > s0:
+            q = qual[s0:s1]
+            if int(q.min()) != 0xFF:  # all-0xFF = missing (BAM '*')
+                rec_qual = q
         records.append(
             BamRecord(
                 ref_id=int(refid[i]),
@@ -1422,6 +1449,7 @@ def _records_from_arrays(
                 cigar_ops=cig_ops[c0:c1],
                 cigar_lens=cig_lens[c0:c1],
                 seq=seq[s0:s1],
+                qual=rec_qual,
             )
         )
     return records
@@ -1962,6 +1990,8 @@ class CramWriter:
                 elif c == "B":
                     streams.put_byte("BA", payload)
                     streams.put_byte("QS", _DEFAULT_QUAL)
+                    # ('B' is never emitted by _features; the QS byte
+                    # here keeps stream sync for any future emitter)
                 elif c == "I":
                     streams.put_stop_bytes("IN", payload)
                 elif c == "S":
@@ -1975,11 +2005,20 @@ class CramWriter:
                 elif c == "P":
                     streams.put_int("PD", payload)
             streams.core.write_bits(rec.mapq & 0xFF, 8)  # MQ: beta(0,8)
-            streams.put_bytes("QS", bytes([_DEFAULT_QUAL]) * rl)
+            streams.put_bytes("QS", self._qual_bytes(rec, rl))
         else:
             streams.put_bytes("BA", rec.seq.tobytes())
-            streams.put_bytes("QS", bytes([_DEFAULT_QUAL]) * rl)
+            streams.put_bytes("QS", self._qual_bytes(rec, rl))
         return ap
+
+    @staticmethod
+    def _qual_bytes(rec: BamRecord, rl: int) -> bytes:
+        """The record's real per-base qualities when present (lossless
+        bam2cram), the historical constant otherwise."""
+        qual = getattr(rec, "qual", None)
+        if qual is not None and len(qual) == rl:
+            return bytes(bytearray(qual))
+        return b"\xff" * rl  # spec convention for missing ('*') quals
 
     def _features(self, rec: BamRecord):
         """(in-read 1-based position, feature code, payload) triples from
@@ -2135,8 +2174,9 @@ def _serialize_compression_block() -> bytes:
 # ---------------------------------------------------------------------------
 
 def bam_to_cram(bam_path: str, cram_path: str, fasta, **writer_kwargs) -> int:
-    """Convert BAM -> CRAM (lossy only in what BamRecord drops: per-base
-    quals, tags, mate pointers). Returns the record count."""
+    """Convert BAM -> CRAM (per-base qualities are preserved through the
+    QS series; lossy only in what BamRecord drops: tags and mate
+    pointers). Returns the record count."""
     from clair_tpu.io.bam import BamReader
 
     n = 0
@@ -2150,11 +2190,13 @@ def bam_to_cram(bam_path: str, cram_path: str, fasta, **writer_kwargs) -> int:
 
 
 def cram_to_bam(cram_path: str, bam_path: str, fasta) -> int:
-    """Convert CRAM -> BAM through the record model. Returns the count."""
+    """Convert CRAM -> BAM through the record model (qualities decoded
+    and preserved; a record without them writes BAM's '*' convention).
+    Returns the count."""
     from clair_tpu.io.bam import BamWriter
 
     n = 0
-    with CramReader(cram_path, fasta=fasta) as cram:
+    with CramReader(cram_path, fasta=fasta, skip_quals=False) as cram:
         with BamWriter(bam_path, cram.references,
                        header_text=cram.header_text) as out:
             for rec in cram:
@@ -2163,6 +2205,7 @@ def cram_to_bam(cram_path: str, bam_path: str, fasta) -> int:
                     [(int(l), CIGAR_OPS[o]) for o, l in
                      zip(rec.cigar_ops, rec.cigar_lens)],
                     rec.seq_str(),
+                    qual=rec.qual,
                 )
                 n += 1
     return n

@@ -59,6 +59,7 @@ class _CramSliceOut(ctypes.Structure):
         ("cig_off", ctypes.POINTER(ctypes.c_int64)),
         ("names", ctypes.POINTER(ctypes.c_char)),
         ("name_off", ctypes.POINTER(ctypes.c_int64)),
+        ("qual", ctypes.POINTER(ctypes.c_uint8)),
         ("need_lo", ctypes.c_int64),
         ("need_hi", ctypes.c_int64),
         ("holder", ctypes.c_void_p),
@@ -519,6 +520,9 @@ def cram_decode_slice(spec: bytes, core: bytes, externals, ref_buf: bytes):
             if n and int(name_off[-1]) else b"",
             "name_off": name_off,
         }
+        if out.qual:  # present only when the spec requested qualities
+            arrays["qual"] = arr(out.qual, int(seq_off[-1]) if n else 0,
+                                 np.uint8)
     finally:
         lib.clair_cram_free_slice(ctypes.byref(out))
     return 0, arrays

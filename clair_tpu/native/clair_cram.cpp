@@ -466,6 +466,7 @@ struct Spec {
     bool ap_delta;
     bool names_included;
     bool ref_pad_mode;  // embedded / no-ref: out-of-window reads give N
+    bool want_quals;    // surface per-base qualities (flags & 8)
     int32_t ref_seq_id;
     int64_t ap_start;
     int64_t n_records;
@@ -484,6 +485,7 @@ static void parse_spec(const uint8_t* data, int64_t len, Spec& spec) {
     spec.ap_delta = flags & 1;
     spec.names_included = flags & 2;
     spec.ref_pad_mode = flags & 4;
+    spec.want_quals = flags & 8;
     spec.ref_seq_id = s.i32();
     spec.ap_start = s.i64();
     spec.n_records = s.i64();
@@ -524,6 +526,8 @@ struct Holder {
     std::vector<int64_t> cig_off;
     std::vector<char> names;
     std::vector<int64_t> name_off;
+    std::vector<uint8_t> qual;  // parallel to seq (seq_off indexes both);
+                                // empty unless the spec sets want_quals
 };
 
 }  // namespace cramdec
@@ -543,6 +547,8 @@ struct CramSliceOut {
     int64_t* cig_off;   // n_records + 1
     char* names;        // zero-length name => synthesize in Python
     int64_t* name_off;  // n_records + 1
+    uint8_t* qual;      // raw phred, 0xFF = missing; NULL unless requested
+                        // (shares seq_off: qual length == seq length)
     int64_t need_lo;    // rc == 2: reference span required
     int64_t need_hi;
     void* holder;
@@ -675,6 +681,7 @@ static int decode_slice(const Spec& spec, Streams& streams,
 
     std::vector<std::pair<int64_t, int64_t>> downstream;  // (rec_i, nf)
     std::vector<uint8_t> seq;
+    std::vector<uint8_t> qual;
     std::vector<uint8_t> scratch;
     std::vector<std::pair<uint8_t, int64_t>> cigar;
 
@@ -726,6 +733,7 @@ static int decode_slice(const Spec& spec, Streams& streams,
 
         cigar.clear();
         seq.assign(rl, 'N');
+        if (spec.want_quals) qual.assign(rl, 0xFF);  // 0xFF = missing
         int32_t mapq = 0;
 
         if (!(bf & 4)) {  // mapped
@@ -771,7 +779,8 @@ static int decode_slice(const Spec& spec, Streams& streams,
                     case 'B': {  // base + qual
                         if (qc - 1 >= rl) throw Malformed{};
                         seq[qc - 1] = (uint8_t)read_byte(c_ba, streams);
-                        read_byte(c_qs, streams);
+                        int qv = read_byte(c_qs, streams);
+                        if (spec.want_quals) qual[qc - 1] = (uint8_t)qv;
                         push_op(OP_M, 1);
                         qc++;
                         rc++;
@@ -847,12 +856,21 @@ static int decode_slice(const Spec& spec, Streams& streams,
                         if (n > 0) push_op(OP_P, n);
                         break;
                     }
-                    case 'Q':
-                        read_byte(c_qs, streams);
+                    case 'Q': {
+                        int qv = read_byte(c_qs, streams);
+                        if (spec.want_quals && qc >= 1 && qc - 1 < rl)
+                            qual[qc - 1] = (uint8_t)qv;
                         break;
+                    }
                     case 'q': {
                         scratch.clear();
-                        read_bytes(c_qq, streams, scratch);
+                        int64_t nb = read_bytes(c_qq, streams, scratch);
+                        if (spec.want_quals && qc >= 1 && nb > 0) {
+                            int64_t ncp = std::min<int64_t>(nb, rl - (qc - 1));
+                            if (ncp > 0)
+                                std::memcpy(qual.data() + (qc - 1),
+                                            scratch.data(), ncp);
+                        }
                         break;
                     }
                     default:
@@ -861,11 +879,21 @@ static int decode_slice(const Spec& spec, Streams& streams,
             }
             fill_to(rl + 1);
             mapq = (int32_t)read_int(c_mq, streams);
-            if (cf & CF_QS_ARRAY) skip_byte_run(c_qs, streams, rl);
+            if (cf & CF_QS_ARRAY) {
+                if (spec.want_quals)
+                    read_byte_run_into(c_qs, streams, qual.data(), rl);
+                else
+                    skip_byte_run(c_qs, streams, rl);
+            }
         } else {
             if (!(cf & CF_NO_SEQ))
                 read_byte_run_into(c_ba, streams, seq.data(), rl);
-            if (cf & CF_QS_ARRAY) skip_byte_run(c_qs, streams, rl);
+            if (cf & CF_QS_ARRAY) {
+                if (spec.want_quals)
+                    read_byte_run_into(c_qs, streams, qual.data(), rl);
+                else
+                    skip_byte_run(c_qs, streams, rl);
+            }
             if (cf & CF_NO_SEQ) seq.assign(rl, 'N');
         }
 
@@ -874,6 +902,8 @@ static int decode_slice(const Spec& spec, Streams& streams,
         h.flag.push_back((int32_t)flag);
         h.refid.push_back(ref_id);
         h.seq.insert(h.seq.end(), seq.begin(), seq.end());
+        if (spec.want_quals)
+            h.qual.insert(h.qual.end(), qual.begin(), qual.end());
         h.seq_off.push_back((int64_t)h.seq.size());
         for (auto& [op, n] : cigar) {
             h.cig_ops.push_back(op);
@@ -958,6 +988,7 @@ int clair_cram_decode_slice(const uint8_t* spec_buf, int64_t spec_len,
         out->cig_off = h.cig_off.data();
         out->names = h.names.data();
         out->name_off = h.name_off.data();
+        out->qual = h.qual.empty() ? nullptr : h.qual.data();
         out->holder = holder.release();
         return 0;
     } catch (cramdec::RefNeeded& r) {

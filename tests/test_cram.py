@@ -569,3 +569,115 @@ def test_embedded_reference_decodes_without_fasta(tmp_path):
     assert len(decoded) == len(originals)
     for a, b in zip(originals, decoded):
         _records_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# per-base quality fidelity (bam2cram / cram2bam lossless round trip)
+# ---------------------------------------------------------------------------
+
+def _qual_records(rs):
+    """(write args, quals) pairs: varied real quals + one '*' record."""
+    recs = []
+    for i, (pos, cig, seqlen) in enumerate(
+        [(5, [(60, "M")], 60), (40, [(30, "M"), (5, "I"), (25, "M")], 60),
+         (80, [(10, "S"), (50, "M")], 60)]
+    ):
+        seq = "".join(rs.choice(list("ACGT"), seqlen))
+        qual = rs.randint(0, 60, seqlen).astype(np.uint8)
+        recs.append((f"q{i}", pos, 0, cig, seq, 60, qual))
+    seq = "".join(rs.choice(list("ACGT"), 40))
+    recs.append(("star", 120, 0, [(40, "M")], seq, 60, None))  # '*' quals
+    return recs
+
+
+def _write_qual_bam(tmp_path, recs, name="qin.bam"):
+    bam_path = os.path.join(str(tmp_path), name)
+    with BamWriter(bam_path, [("chr1", len(REF))]) as writer:
+        for (rname, pos, flag, cigar, seq, mapq, qual) in recs:
+            writer.write(rname, 0, pos, mapq, flag, cigar, seq, qual=qual)
+    return bam_path
+
+
+def test_bam_writer_reader_qual_roundtrip(tmp_path):
+    rs = np.random.RandomState(0)
+    recs = _qual_records(rs)
+    bam_path = _write_qual_bam(tmp_path, recs)
+    with BamReader(bam_path) as reader:
+        got = list(reader)
+    assert len(got) == len(recs)
+    for rec, (_, _, _, _, _, _, qual) in zip(got, recs):
+        if qual is None:
+            assert rec.qual is None
+        else:
+            assert rec.qual is not None
+            assert np.array_equal(rec.qual, qual)
+
+
+@pytest.mark.parametrize("writer_kwargs", [
+    {},                                        # CRAM 3.0
+    {"version": (3, 1)},                       # 3.1 (rANS Nx16 + tok3)
+    {"version": (3, 1), "fqzcomp_quals": True},  # archive profile
+    {"embed_reference": True},
+])
+def test_qual_roundtrip_bam_cram_bam(tmp_path, writer_kwargs):
+    """bam2cram -> cram2bam preserves per-base qualities exactly; a
+    record with '*' (missing) quals stays missing."""
+    rs = np.random.RandomState(3)
+    recs = _qual_records(rs)
+    fasta_path = _write_ref(tmp_path)
+    bam_path = _write_qual_bam(tmp_path, recs)
+    cram_path = os.path.join(str(tmp_path), "q.cram")
+    out_bam = os.path.join(str(tmp_path), "qout.bam")
+    assert bam_to_cram(bam_path, cram_path, fasta_path, **writer_kwargs) \
+        == len(recs)
+    assert cram_to_bam(cram_path, out_bam, fasta_path) == len(recs)
+    with BamReader(bam_path) as a, BamReader(out_bam) as b:
+        for ra, rb in zip(a, b):
+            _records_equal(ra, rb)
+            if ra.qual is None:
+                assert rb.qual is None, ra.read_name
+            else:
+                assert rb.qual is not None, ra.read_name
+                assert np.array_equal(ra.qual, rb.qual), ra.read_name
+
+
+def test_qual_native_matches_python_decoder(tmp_path, monkeypatch):
+    """The native slice decoder's quality arrays must match the Python
+    reference decoder record for record."""
+    import clair_tpu.io.cram as cram_mod
+
+    rs = np.random.RandomState(4)
+    recs = _qual_records(rs)
+    fasta_path = _write_ref(tmp_path)
+    bam_path = _write_qual_bam(tmp_path, recs)
+    cram_path = os.path.join(str(tmp_path), "qn.cram")
+    bam_to_cram(bam_path, cram_path, fasta_path)
+
+    with CramReader(cram_path, fasta=fasta_path, skip_quals=False) as r:
+        native_recs = list(r)
+    monkeypatch.setattr(cram_mod, "_native_decode_arrays",
+                        lambda *a, **k: (-1, None))
+    with CramReader(cram_path, fasta=fasta_path, skip_quals=False) as r:
+        python_recs = list(r)
+    assert len(native_recs) == len(python_recs) == len(recs)
+    for rn, rp in zip(native_recs, python_recs):
+        _records_equal(rn, rp)
+        if rp.qual is None:
+            assert rn.qual is None, rp.read_name
+        else:
+            assert rn.qual is not None, rp.read_name
+            assert np.array_equal(rn.qual, rp.qual), rp.read_name
+
+
+def test_skip_quals_reader_attaches_no_quals(tmp_path):
+    """The calling path (skip_quals=True, the default) must never carry
+    quality arrays — blocks stay compressed and records stay lean."""
+    rs = np.random.RandomState(5)
+    recs = _qual_records(rs)
+    fasta_path = _write_ref(tmp_path)
+    bam_path = _write_qual_bam(tmp_path, recs)
+    cram_path = os.path.join(str(tmp_path), "qs.cram")
+    bam_to_cram(bam_path, cram_path, fasta_path)
+    with CramReader(cram_path, fasta=fasta_path) as r:
+        for rec in r:
+            assert rec.qual is None
