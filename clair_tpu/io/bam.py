@@ -66,6 +66,13 @@ class BamRecord:
     # ignores qualities (count-based pileup, like the reference); this
     # field exists so bam2cram/cram2bam round-trip losslessly.
     qual: Optional[np.ndarray] = None
+    # mate pointers + template length (BAM next_refID / next_pos / tlen)
+    # and the raw BAM-layout tag blob — carried for lossless conversions;
+    # the calling pipeline reads none of them
+    next_ref_id: int = -1
+    next_pos: int = -1
+    tlen: int = 0
+    tags: bytes = b""
 
     @property
     def is_reverse(self) -> bool:
@@ -252,7 +259,7 @@ def _decode_record(data: bytes) -> BamRecord:
     ref_id, pos, l_read_name, mapq, _bin, n_cigar_op, flag, l_seq = struct.unpack_from(
         "<iiBBHHHi", data, 0
     )
-    # skip next_refID, next_pos, tlen (3 x int32) after the first 20 bytes
+    next_ref_id, next_pos, tlen = struct.unpack_from("<iii", data, 20)
     offset = 32
     read_name = data[offset: offset + l_read_name - 1].decode("ascii")
     offset += l_read_name
@@ -271,6 +278,8 @@ def _decode_record(data: bytes) -> BamRecord:
         quals = np.frombuffer(data, dtype=np.uint8, count=l_seq, offset=offset)
         if quals.min() != 0xFF:  # an all-0xFF run is BAM's '*' (missing)
             qual = quals.copy()
+    offset += l_seq
+    tags = bytes(data[offset:]) if offset < len(data) else b""
     return BamRecord(
         ref_id=ref_id,
         pos=pos,
@@ -281,6 +290,10 @@ def _decode_record(data: bytes) -> BamRecord:
         cigar_lens=cigar_lens,
         seq=seq,
         qual=qual,
+        next_ref_id=next_ref_id,
+        next_pos=next_pos,
+        tlen=tlen,
+        tags=tags,
     )
 
 
@@ -331,6 +344,10 @@ class BamWriter:
         cigar: List[Tuple[int, str]],
         seq: str,
         qual=30,
+        next_ref_id: int = -1,
+        next_pos: int = -1,
+        tlen: int = 0,
+        tags: bytes = b"",
     ) -> None:
         """``qual``: an int writes that constant for every base (the
         historical default); bytes/ndarray of length l_seq writes real
@@ -363,9 +380,9 @@ class BamWriter:
                 ref_id, pos, len(name_raw), mapq,
                 4680,  # bin: unused by our reader
                 len(cigar), flag, l_seq,
-                -1, -1, 0,
+                next_ref_id, next_pos, tlen,
             )
-            + name_raw + cigar_raw + packed + quals
+            + name_raw + cigar_raw + packed + quals + tags
         )
         self._buffer += struct.pack("<i", len(record)) + record
         if len(self._buffer) >= self._flush_threshold:

@@ -889,6 +889,34 @@ def serialize_slice_header(h: SliceHeader) -> bytes:
 # Tag value sizing (to consume EXTERNAL-coded fixed-size tag values)
 # ---------------------------------------------------------------------------
 
+def _capture_tag_value(codec, typ: str, s: SliceStreams) -> bytes:
+    """Read one tag value and return its BAM-layout bytes (what
+    _consume_tag_value discards)."""
+    if hasattr(codec, "read_bytes") and not isinstance(codec, ExternalCodec):
+        return bytes(codec.read_bytes(s, None))
+    if not isinstance(codec, ExternalCodec):
+        raise ValueError(
+            f"unsupported tag value encoding {type(codec).__name__}"
+        )
+    cursor = s.ext[codec.cid]
+    if typ in ("A", "c", "C"):
+        return bytes(cursor.read(1))
+    if typ in ("s", "S"):
+        return bytes(cursor.read(2))
+    if typ in ("i", "I", "f"):
+        return bytes(cursor.read(4))
+    if typ in ("Z", "H"):
+        return bytes(cursor.read_until(0)) + b"\x00"
+    if typ == "B":
+        sub = cursor.read(1)
+        count_raw = cursor.read(4)
+        (count,) = struct.unpack("<I", count_raw)
+        size = {"c": 1, "C": 1, "s": 2, "S": 2,
+                "i": 4, "I": 4, "f": 4}[chr(sub[0])]
+        return bytes(sub) + bytes(count_raw) + bytes(cursor.read(count * size))
+    raise ValueError(f"unknown tag type {typ}")
+
+
 def _consume_tag_value(codec, typ: str, s: SliceStreams) -> None:
     if hasattr(codec, "read_bytes") and not isinstance(codec, ExternalCodec):
         codec.read_bytes(s, None)
@@ -929,12 +957,14 @@ def decode_slice_records(
     ref_fetch,
     name_prefix: str = "cram",
     skip_quals: bool = False,
+    collect_tags: bool = False,
 ) -> List[BamRecord]:
     """Decode one slice's records. ``ref_fetch(ref_id, start0, length)``
     returns uppercase reference bytes (or None when RR=false).
     ``skip_quals``: quality reads become no-ops for series
     qual_skip_info() proved exclusive, so their blocks may arrive
-    undecompressed (empty)."""
+    undecompressed (empty). ``collect_tags``: rebuild each record's
+    BAM-layout tag blob instead of discarding the values (conversions)."""
     codecs = header.codecs
     sub = header.substitution_matrix
     multi_ref = slice_header.ref_seq_id == -2
@@ -1016,13 +1046,14 @@ def decode_slice_records(
         else:
             name = f"{name_prefix}.{slice_header.record_counter + rec_i}"
         flag = bf
+        mate_ref, mate_pos, mate_tlen = -1, -1, 0
         if cf & CF_DETACHED:
             mf = codecs["MF"].read_int(streams)
             if not names_included:
                 name = read_rn(streams).decode("ascii")
-            codecs["NS"].read_int(streams)
-            codecs["NP"].read_int(streams)
-            codecs["TS"].read_int(streams)
+            mate_ref = codecs["NS"].read_int(streams)
+            mate_pos = codecs["NP"].read_int(streams) - 1  # NP is 1-based
+            mate_tlen = codecs["TS"].read_int(streams)
             if mf & MF_MATE_REVERSE:
                 flag |= 0x20
             if mf & MF_MATE_UNMAPPED:
@@ -1031,9 +1062,14 @@ def decode_slice_records(
             downstream.append((rec_i, codecs["NF"].read_int(streams)))
 
         tl = read_tl(streams)
+        rec_tags = b""
         for (tag, typ) in tag_lines[tl]:
             key = (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(typ)
-            _consume_tag_value(tag_codecs[key], typ, streams)
+            if collect_tags:
+                val = _capture_tag_value(tag_codecs[key], typ, streams)
+                rec_tags += tag.encode("ascii") + typ.encode("ascii") + val
+            else:
+                _consume_tag_value(tag_codecs[key], typ, streams)
 
         cigar_ops: List[List[int]] = []
         seq = bytearray(b"N" * rl)
@@ -1215,6 +1251,10 @@ def decode_slice_records(
                 seq=np.frombuffer(bytes(seq), dtype=np.uint8),
                 qual=(np.frombuffer(bytes(qual), dtype=np.uint8)
                       if qual is not None else None),
+                next_ref_id=mate_ref,
+                next_pos=mate_pos,
+                tlen=mate_tlen,
+                tags=rec_tags,
             )
         )
 
@@ -1230,6 +1270,19 @@ def decode_slice_records(
                 b.flag |= 0x20
             if a.flag & 0x4:
                 b.flag |= 0x8
+            # mate pointers + computed TLEN (htslib semantics: leftmost
+            # start to rightmost end, leftmost record positive; 0 across
+            # contigs; ties keep the earlier record positive)
+            a.next_ref_id, a.next_pos = b.ref_id, b.pos
+            b.next_ref_id, b.next_pos = a.ref_id, a.pos
+            if a.ref_id == b.ref_id and a.pos >= 0 and b.pos >= 0:
+                lo = min(a.pos, b.pos)
+                hi = max(a.reference_end, b.reference_end)
+                span = hi - lo
+                if a.pos <= b.pos:
+                    a.tlen, b.tlen = span, -span
+                else:
+                    a.tlen, b.tlen = -span, span
     return records
 
 
@@ -1395,6 +1448,9 @@ def _concat_packed(parts):
         return parts[0]
     if all("qual" in p for p in parts):
         value_keys = value_keys + ["qual"]  # parallel to seq/seq_off
+    for extra in ("next_ref", "next_pos", "tlen"):
+        if all(extra in p for p in parts):
+            value_keys = value_keys + [extra]
     out = {k: np.concatenate([p[k] for p in parts]) for k in value_keys}
     for key in ("seq_off", "cig_off"):
         base = 0
@@ -1423,6 +1479,9 @@ def _records_from_arrays(
     names = arrays["names"]
     name_off = arrays["name_off"]
     qual = arrays.get("qual")
+    next_ref = arrays.get("next_ref")
+    next_pos_a = arrays.get("next_pos")
+    tlen_a = arrays.get("tlen")
     counter = slice_header.record_counter
     records = []
     for i in range(n):
@@ -1450,6 +1509,9 @@ def _records_from_arrays(
                 cigar_lens=cig_lens[c0:c1],
                 seq=seq[s0:s1],
                 qual=rec_qual,
+                next_ref_id=int(next_ref[i]) if next_ref is not None else -1,
+                next_pos=int(next_pos_a[i]) if next_pos_a is not None else -1,
+                tlen=int(tlen_a[i]) if tlen_a is not None else 0,
             )
         )
     return records
@@ -1467,16 +1529,21 @@ class CramReader:
 
     def __init__(self, path: str, fasta=None, verify_crc: bool = True,
                  use_native: Optional[bool] = None,
-                 skip_quals: bool = True):
+                 skip_quals: bool = True,
+                 collect_tags: bool = False):
         """``skip_quals`` (default on): quality blocks whose series are
         provably exclusive (qual_skip_info) are never decompressed —
         ``BamRecord`` carries no qualities, and on real-world 3.1
         archives the QS blocks (fqzcomp/arith-coded, the largest series)
         dominate decode time. Pass False to force full decoding (e.g.
-        integrity sweeps that want every CRC AND every codec exercised)."""
+        integrity sweeps that want every CRC AND every codec exercised).
+        ``collect_tags``: rebuild each record's BAM-layout tag blob
+        (conversions); tag-bearing slices then decode through the Python
+        reference decoder, which is the only one that captures values."""
         self.path = path
         self.verify_crc = verify_crc
         self._skip_quals = skip_quals
+        self._collect_tags = collect_tags
         self._use_native = (
             USE_NATIVE_RECORDS if use_native is None else use_native
         )
@@ -1716,7 +1783,13 @@ class CramReader:
         for comp, sh, core, external, skipping in self._slice_blocks(
             header, body
         ):
-            if self._use_native:
+            use_native = self._use_native
+            if self._collect_tags and any(comp.tag_lines):
+                # the file carries tags and the caller wants them: the
+                # native decoder skips tag values, so capturing needs
+                # the Python reference decoder
+                use_native = False
+            if use_native:
                 records = self._native_slice(comp, sh, core, external,
                                              skipping)
                 if records is not None:
@@ -1766,6 +1839,7 @@ class CramReader:
             yield from decode_slice_records(
                 comp, sh, SliceStreams(core, external), ref_fetch,
                 skip_quals=skipping,
+                collect_tags=self._collect_tags,
             )
 
     def __iter__(self) -> Iterator[BamRecord]:
@@ -1838,8 +1912,47 @@ _W_IDS = {
     "BF": 1, "CF": 2, "RL": 3, "AP": 4, "RG": 5, "RN": 6, "MF": 7, "NS": 8,
     "NP": 9, "TS": 10, "NF": 11, "FN": 12, "FC": 13, "FP": 14, "DL": 15,
     "BA": 16, "BS": 17, "IN": 18, "SC": 19, "HC": 20, "PD": 21, "RS": 22,
-    "QS": 23,
+    "QS": 23, "TL": 24,
 }
+
+_B_SUB_SIZE = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}
+
+
+def _split_bam_tags(blob: bytes):
+    """Parse a BAM-layout tag blob into (tag, typ, value-bytes) triples
+    (value bytes stay in BAM layout: Z/H keep the trailing NUL, B keeps
+    its sub-type + count prefix). Raises on torn blobs — a converter
+    must fail loudly, not silently truncate a record's tags."""
+    out = []
+    i, n = 0, len(blob)
+    while i < n:
+        if i + 3 > n:
+            raise ValueError("torn BAM tag blob")
+        tag = blob[i: i + 2].decode("ascii")
+        typ = chr(blob[i + 2])
+        i += 3
+        if typ in ("A", "c", "C"):
+            size = 1
+        elif typ in ("s", "S"):
+            size = 2
+        elif typ in ("i", "I", "f"):
+            size = 4
+        elif typ in ("Z", "H"):
+            end = blob.index(0, i)
+            size = end - i + 1
+        elif typ == "B":
+            if i + 5 > n:
+                raise ValueError("torn BAM B-array tag")
+            sub = chr(blob[i])
+            (count,) = struct.unpack_from("<I", blob, i + 1)
+            size = 5 + count * _B_SUB_SIZE[sub]
+        else:
+            raise ValueError(f"unknown BAM tag type {typ!r}")
+        if i + size > n:
+            raise ValueError("torn BAM tag blob")
+        out.append((tag, typ, blob[i: i + size]))
+        i += size
+    return out
 
 _DEFAULT_QUAL = 30
 
@@ -1863,6 +1976,12 @@ class _EncStreams:
     def put_bytes(self, series: str, data: bytes) -> None:
         self.ext[_W_IDS[series]] += data
 
+    def put_tag(self, key: int, data: bytes) -> None:
+        buf = self.ext.get(key)
+        if buf is None:
+            buf = self.ext[key] = bytearray()
+        buf += data
+
 
 def _writer_encoding_map() -> Dict[str, bytes]:
     enc: Dict[str, bytes] = {}
@@ -1876,6 +1995,20 @@ def _writer_encoding_map() -> Dict[str, bytes]:
     enc["TL"] = _encode_huffman_const(0)   # constant: no tags
     enc["MQ"] = _encode_beta(0, 8)         # core-block bits
     return enc
+
+
+def _serialize_compression_block(tag_lines=None, tag_keys=()) -> bytes:
+    h = CompressionHeader()
+    h.codecs = _writer_encoding_map()
+    if tag_lines and (len(tag_lines) > 1 or tag_lines[0]):
+        h.tag_lines = tag_lines
+        # per-record line selector becomes a real series; each distinct
+        # (tag, typ) gets an external stream whose content id is the
+        # spec-conventional 3-byte key
+        h.codecs["TL"] = _encode_external(_W_IDS["TL"])
+        # writer-side CompressionHeader carries SERIALIZED encodings
+        h.tag_codecs = {key: _encode_external(key) for key in tag_keys}
+    return serialize_compression_header(h)
 
 
 class CramWriter:
@@ -1952,7 +2085,8 @@ class CramWriter:
         return self._fasta.fetch(name, start0, min(end0, length)).upper().encode("ascii")
 
     def _encode_record(self, rec: BamRecord, streams: _EncStreams,
-                       prev_ap: int) -> int:
+                       prev_ap: int, tl_index: int = 0,
+                       rec_tags=None) -> int:
         mapped = not (rec.flag & 4)
         ap = rec.pos + 1
         cf = CF_QS_ARRAY
@@ -1972,10 +2106,17 @@ class CramWriter:
             if rec.flag & 0x8:
                 mf |= MF_MATE_UNMAPPED
             streams.put_int("MF", mf)
-            streams.put_int("NS", -1)
-            streams.put_int("NP", 0)
-            streams.put_int("TS", 0)
-        # TL: constant-huffman 0 (no bits)
+            streams.put_int("NS", getattr(rec, "next_ref_id", -1))
+            streams.put_int("NP", getattr(rec, "next_pos", -1) + 1)
+            streams.put_int("TS", getattr(rec, "tlen", 0))
+        if rec_tags is None:
+            pass  # TL: constant-huffman 0 (no bits), tagless slice
+        else:
+            streams.put_int("TL", tl_index)
+            for (tag, typ, val) in rec_tags:
+                streams.put_tag(
+                    (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(typ), val
+                )
         if mapped:
             features = self._features(rec)
             streams.put_int("FN", len(features))
@@ -2080,16 +2221,38 @@ class CramWriter:
         start = records[0].pos + 1
         end = max(r.pos + max(r.reference_length, 1) for r in records)
         span = max(end - start + 1, 1)
+        # tag-line dictionary over the slice: line 0 stays the empty line
+        # (the tagless TL default); records with tags select their line
+        parsed_tags = []
+        line_index = {(): 0}
+        tag_lines = [[]]
+        tag_keys = set()
+        for rec in records:
+            triples = _split_bam_tags(getattr(rec, "tags", b"") or b"")
+            parsed_tags.append(triples)
+            line = tuple((t, y) for (t, y, _v) in triples)
+            if line not in line_index:
+                line_index[line] = len(tag_lines)
+                tag_lines.append(list(line))
+            for (t, y, _v) in triples:
+                tag_keys.add((ord(t[0]) << 16) | (ord(t[1]) << 8) | ord(y))
+        has_tags = len(tag_lines) > 1
+
         streams = _EncStreams()
         prev_ap = start
         qs_lengths = []
         qs_buf = streams.ext[_W_IDS["QS"]]
-        for rec in records:
+        for rec, triples in zip(records, parsed_tags):
             qs_before = len(qs_buf)
-            prev_ap = self._encode_record(rec, streams, prev_ap)
+            tl_index = line_index[tuple((t, y) for (t, y, _v) in triples)]
+            prev_ap = self._encode_record(
+                rec, streams, prev_ap, tl_index,
+                triples if has_tags else None,
+            )
             qs_lengths.append(len(qs_buf) - qs_before)
 
-        comp_payload = _serialize_compression_block()
+        comp_payload = _serialize_compression_block(
+            tag_lines if has_tags else None, sorted(tag_keys))
         comp_block = write_block(
             Block(METHOD_RAW, CT_COMPRESSION_HEADER, 0, comp_payload)
         )
@@ -2163,12 +2326,6 @@ class CramWriter:
         self.close()
 
 
-def _serialize_compression_block() -> bytes:
-    h = CompressionHeader()
-    h.codecs = _writer_encoding_map()
-    return serialize_compression_header(h)
-
-
 # ---------------------------------------------------------------------------
 # Converters
 # ---------------------------------------------------------------------------
@@ -2196,7 +2353,8 @@ def cram_to_bam(cram_path: str, bam_path: str, fasta) -> int:
     from clair_tpu.io.bam import BamWriter
 
     n = 0
-    with CramReader(cram_path, fasta=fasta, skip_quals=False) as cram:
+    with CramReader(cram_path, fasta=fasta, skip_quals=False,
+                    collect_tags=True) as cram:
         with BamWriter(bam_path, cram.references,
                        header_text=cram.header_text) as out:
             for rec in cram:
@@ -2206,6 +2364,10 @@ def cram_to_bam(cram_path: str, bam_path: str, fasta) -> int:
                      zip(rec.cigar_ops, rec.cigar_lens)],
                     rec.seq_str(),
                     qual=rec.qual,
+                    next_ref_id=rec.next_ref_id,
+                    next_pos=rec.next_pos,
+                    tlen=rec.tlen,
+                    tags=rec.tags,
                 )
                 n += 1
     return n

@@ -60,6 +60,9 @@ class _CramSliceOut(ctypes.Structure):
         ("names", ctypes.POINTER(ctypes.c_char)),
         ("name_off", ctypes.POINTER(ctypes.c_int64)),
         ("qual", ctypes.POINTER(ctypes.c_uint8)),
+        ("next_ref", ctypes.POINTER(ctypes.c_int32)),
+        ("next_pos", ctypes.POINTER(ctypes.c_int64)),
+        ("tlen", ctypes.POINTER(ctypes.c_int64)),
         ("need_lo", ctypes.c_int64),
         ("need_hi", ctypes.c_int64),
         ("holder", ctypes.c_void_p),
@@ -523,6 +526,9 @@ def cram_decode_slice(spec: bytes, core: bytes, externals, ref_buf: bytes):
         if out.qual:  # present only when the spec requested qualities
             arrays["qual"] = arr(out.qual, int(seq_off[-1]) if n else 0,
                                  np.uint8)
+        arrays["next_ref"] = arr(out.next_ref, n, np.int32)
+        arrays["next_pos"] = arr(out.next_pos, n, np.int64)
+        arrays["tlen"] = arr(out.tlen, n, np.int64)
     finally:
         lib.clair_cram_free_slice(ctypes.byref(out))
     return 0, arrays

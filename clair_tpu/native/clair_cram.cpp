@@ -528,6 +528,11 @@ struct Holder {
     std::vector<int64_t> name_off;
     std::vector<uint8_t> qual;  // parallel to seq (seq_off indexes both);
                                 // empty unless the spec sets want_quals
+    // mate pointers + template length (BAM next_refID/next_pos/tlen):
+    // from NS/NP/TS on detached records, computed for downstream pairs
+    std::vector<int32_t> next_ref;
+    std::vector<int64_t> next_pos;
+    std::vector<int64_t> tlen;
 };
 
 }  // namespace cramdec
@@ -549,6 +554,9 @@ struct CramSliceOut {
     int64_t* name_off;  // n_records + 1
     uint8_t* qual;      // raw phred, 0xFF = missing; NULL unless requested
                         // (shares seq_off: qual length == seq length)
+    int32_t* next_ref;  // mate pointers (BAM next_refID / next_pos / tlen)
+    int64_t* next_pos;
+    int64_t* tlen;
     int64_t need_lo;    // rc == 2: reference span required
     int64_t need_hi;
     void* holder;
@@ -708,6 +716,8 @@ static int decode_slice(const Spec& spec, Streams& streams,
             h.names.insert(h.names.end(), scratch.begin(), scratch.end());
         }
         int64_t flag = bf;
+        int32_t mate_ref = -1;
+        int64_t mate_pos = -1, mate_tlen = 0;
         if (cf & CF_DETACHED) {
             int64_t mf = read_int(c_mf, streams);
             if (!spec.names_included) {
@@ -715,9 +725,9 @@ static int decode_slice(const Spec& spec, Streams& streams,
                 read_bytes(c_rn, streams, scratch);
                 h.names.insert(h.names.end(), scratch.begin(), scratch.end());
             }
-            read_int(c_ns, streams);
-            read_int(c_np, streams);
-            read_int(c_ts, streams);
+            mate_ref = (int32_t)read_int(c_ns, streams);
+            mate_pos = read_int(c_np, streams) - 1;  // NP is 1-based
+            mate_tlen = read_int(c_ts, streams);
             if (mf & MF_MATE_REVERSE) flag |= 0x20;
             if (mf & MF_MATE_UNMAPPED) flag |= 0x8;
         } else if (cf & CF_MATE_DOWNSTREAM) {
@@ -901,6 +911,9 @@ static int decode_slice(const Spec& spec, Streams& streams,
         h.mapq.push_back(mapq);
         h.flag.push_back((int32_t)flag);
         h.refid.push_back(ref_id);
+        h.next_ref.push_back(mate_ref);
+        h.next_pos.push_back(mate_pos);
+        h.tlen.push_back(mate_tlen);
         h.seq.insert(h.seq.end(), seq.begin(), seq.end());
         if (spec.want_quals)
             h.qual.insert(h.qual.end(), qual.begin(), qual.end());
@@ -914,6 +927,15 @@ static int decode_slice(const Spec& spec, Streams& streams,
     }
 
     // mate bits from the downstream mate (both directions, as in Python)
+    auto ref_end = [&](int64_t r) {
+        int64_t span = 0;
+        for (int64_t k = h.cig_off[r]; k < h.cig_off[r + 1]; k++) {
+            uint8_t op = h.cig_ops[k];
+            if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+                span += h.cig_lens[k];
+        }
+        return h.pos[r] + span;
+    };
     for (auto& [i, nf] : downstream) {
         int64_t j = i + nf + 1;
         if (j < n_records && j >= 0) {
@@ -921,6 +943,25 @@ static int decode_slice(const Spec& spec, Streams& streams,
             if (h.flag[j] & 0x4) h.flag[i] |= 0x8;
             if (h.flag[i] & 0x10) h.flag[j] |= 0x20;
             if (h.flag[i] & 0x4) h.flag[j] |= 0x8;
+            // mate pointers + computed TLEN (htslib semantics: leftmost
+            // start to rightmost end; leftmost signs positive, ties keep
+            // the earlier record positive; 0 across contigs)
+            h.next_ref[i] = h.refid[j];
+            h.next_pos[i] = h.pos[j];
+            h.next_ref[j] = h.refid[i];
+            h.next_pos[j] = h.pos[i];
+            if (h.refid[i] == h.refid[j] && h.pos[i] >= 0 && h.pos[j] >= 0) {
+                int64_t lo = std::min(h.pos[i], h.pos[j]);
+                int64_t hi = std::max(ref_end(i), ref_end(j));
+                int64_t span = hi - lo;
+                if (h.pos[i] <= h.pos[j]) {
+                    h.tlen[i] = span;
+                    h.tlen[j] = -span;
+                } else {
+                    h.tlen[i] = -span;
+                    h.tlen[j] = span;
+                }
+            }
         }
     }
     return 0;
@@ -989,6 +1030,9 @@ int clair_cram_decode_slice(const uint8_t* spec_buf, int64_t spec_len,
         out->names = h.names.data();
         out->name_off = h.name_off.data();
         out->qual = h.qual.empty() ? nullptr : h.qual.data();
+        out->next_ref = h.next_ref.data();
+        out->next_pos = h.next_pos.data();
+        out->tlen = h.tlen.data();
         out->holder = holder.release();
         return 0;
     } catch (cramdec::RefNeeded& r) {

@@ -681,3 +681,120 @@ def test_skip_quals_reader_attaches_no_quals(tmp_path):
     with CramReader(cram_path, fasta=fasta_path) as r:
         for rec in r:
             assert rec.qual is None
+
+
+# ---------------------------------------------------------------------------
+# mate-pointer + tag fidelity (full lossless bam2cram / cram2bam)
+# ---------------------------------------------------------------------------
+
+def _tagged_paired_records(rs):
+    """Paired records with real mate pointers, tlen, and a mixed tag set
+    (int, string, float, char, B-array), plus a tagless unpaired one."""
+    import struct as _struct
+
+    def tags(*triples):
+        out = b""
+        for tag, typ, val in triples:
+            out += tag.encode() + typ.encode() + val
+        return out
+
+    seq1 = "".join(rs.choice(list("ACGT"), 50))
+    seq2 = "".join(rs.choice(list("ACGT"), 50))
+    t1 = tags(("NM", "i", _struct.pack("<i", 3)),
+               ("MD", "Z", b"10A39\x00"),
+               ("AS", "c", b"\x28"),
+               ("XS", "f", _struct.pack("<f", 1.5)))
+    t2 = tags(("NM", "i", _struct.pack("<i", 0)),
+               ("MD", "Z", b"50\x00"),
+               ("ZB", "B", b"c\x03\x00\x00\x00\x01\x02\x03"))
+    # flags: paired+proper (0x1|0x2), mate strands
+    recs = [
+        ("p1", 10, 0x1 | 0x2 | 0x40, [(50, "M")], seq1, 60,
+         rs.randint(5, 40, 50).astype(np.uint8), 0, 200, 240, t1),
+        ("p2", 200, 0x1 | 0x2 | 0x10 | 0x80, [(50, "M")], seq2, 55,
+         rs.randint(5, 40, 50).astype(np.uint8), 0, 10, -240, t2),
+        ("solo", 300, 0, [(40, "M")],
+         "".join(rs.choice(list("ACGT"), 40)), 50,
+         rs.randint(5, 40, 40).astype(np.uint8), -1, -1, 0, b""),
+    ]
+    return recs
+
+
+def _write_full_bam(tmp_path, recs, name="fin.bam"):
+    bam_path = os.path.join(str(tmp_path), name)
+    with BamWriter(bam_path, [("chr1", len(REF))]) as writer:
+        for (rname, pos, flag, cigar, seq, mapq, qual,
+             nref, npos, tlen, tags) in recs:
+            writer.write(rname, 0, pos, mapq, flag, cigar, seq, qual=qual,
+                         next_ref_id=nref, next_pos=npos, tlen=tlen,
+                         tags=tags)
+    return bam_path
+
+
+def test_bam_reader_mates_and_tags_roundtrip(tmp_path):
+    rs = np.random.RandomState(8)
+    recs = _tagged_paired_records(rs)
+    bam_path = _write_full_bam(tmp_path, recs)
+    with BamReader(bam_path) as reader:
+        got = list(reader)
+    for rec, src in zip(got, recs):
+        (_, _, _, _, _, _, _, nref, npos, tlen, tags) = src
+        assert rec.next_ref_id == nref
+        assert rec.next_pos == npos
+        assert rec.tlen == tlen
+        assert rec.tags == tags
+
+
+@pytest.mark.parametrize("writer_kwargs", [
+    {},                                        # CRAM 3.0
+    {"version": (3, 1)},                       # 3.1 codec set
+    {"version": (3, 1), "fqzcomp_quals": True},
+    {"embed_reference": True},
+])
+def test_full_fidelity_bam_cram_bam(tmp_path, writer_kwargs):
+    """bam2cram -> cram2bam preserves seq, quals, mate pointers, tlen,
+    AND the BAM tag blob byte for byte."""
+    rs = np.random.RandomState(9)
+    recs = _tagged_paired_records(rs)
+    fasta_path = _write_ref(tmp_path)
+    bam_path = _write_full_bam(tmp_path, recs)
+    cram_path = os.path.join(str(tmp_path), "f.cram")
+    out_bam = os.path.join(str(tmp_path), "fout.bam")
+    assert bam_to_cram(bam_path, cram_path, fasta_path, **writer_kwargs) \
+        == len(recs)
+    assert cram_to_bam(cram_path, out_bam, fasta_path) == len(recs)
+    with BamReader(bam_path) as a, BamReader(out_bam) as b:
+        for ra, rb in zip(a, b):
+            _records_equal(ra, rb)
+            assert rb.next_ref_id == ra.next_ref_id, ra.read_name
+            assert rb.next_pos == ra.next_pos, ra.read_name
+            assert rb.tlen == ra.tlen, ra.read_name
+            assert rb.tags == ra.tags, ra.read_name
+            if ra.qual is None:
+                assert rb.qual is None
+            else:
+                assert np.array_equal(ra.qual, rb.qual)
+
+
+def test_tagged_cram_still_decodes_native_when_tags_not_requested(tmp_path):
+    """A tag-bearing CRAM read WITHOUT collect_tags must keep the native
+    fast path (tag values are skipped in C) and produce the same records
+    minus the tag blobs."""
+    rs = np.random.RandomState(10)
+    recs = _tagged_paired_records(rs)
+    fasta_path = _write_ref(tmp_path)
+    bam_path = _write_full_bam(tmp_path, recs)
+    cram_path = os.path.join(str(tmp_path), "fn.cram")
+    bam_to_cram(bam_path, cram_path, fasta_path)
+    with CramReader(cram_path, fasta=fasta_path) as r:
+        fast = list(r)
+    with CramReader(cram_path, fasta=fasta_path, collect_tags=True,
+                    skip_quals=False) as r:
+        full = list(r)
+    assert len(fast) == len(full) == len(recs)
+    for rf, rt in zip(fast, full):
+        _records_equal(rf, rt)
+        assert rf.tags == b""      # skipped
+        assert rf.next_ref_id == rt.next_ref_id
+        assert rf.next_pos == rt.next_pos
+        assert rf.tlen == rt.tlen

@@ -198,3 +198,111 @@ def test_region_fetch_spans_slices(tmp_path):
     with CramReader(path) as cram:
         got = [r.read_name for r in cram.fetch("chr1", 900, 1300)]
     assert got == ["h1", "h2"]
+
+
+# ---------------------------------------------------------------------------
+# downstream-mate resolution (CF_MATE_DOWNSTREAM pairs, the layout real
+# aligners' CRAMs use for pairs inside one slice)
+# ---------------------------------------------------------------------------
+
+PAIR_RECORDS = [  # (cf, nf, flag, pos0, rl, name)
+    (0x4, 0, 0x1 | 0x2 | 0x40, 99, 50, "m1"),       # mate is next record
+    (0x0, 0, 0x1 | 0x2 | 0x10 | 0x80, 299, 50, "m2"),
+    (0x0, 0, 0x0, 600, 30, "solo"),
+]
+
+
+def _build_pair_cram(path: str) -> None:
+    core = BitWriter()
+    rn = bytearray()
+    nf = bytearray()
+    for (cf, nfv, flag, pos0, rl, name) in PAIR_RECORDS:
+        _put_gamma(core, flag, offset=1)       # BF: gamma(1)
+        core.write_bits(cf, 3)                 # CF: beta(0, 3)
+        _put_subexp(core, rl, offset=0, k=3)   # RL: subexp(0, 3)
+        core.write_bits(pos0 + 1, 16)          # AP: beta(0, 16)
+        rn += name.encode("ascii") + b"\x00"
+        if cf & 0x4:
+            nf += itf8_encode(nfv)             # NF: external itf8
+        core.write_bits(60, 8)                 # MQ: beta(0, 8)
+
+    start = min(p for (_, _, _, p, _, _) in PAIR_RECORDS) + 1
+    end = max(p + rl for (_, _, _, p, rl, _) in PAIR_RECORDS)
+    blocks = [
+        write_block(Block(METHOD_RAW, CT_CORE, 0, core.getvalue())),
+        write_block(Block(METHOD_RAW, CT_EXTERNAL, 30, bytes(rn))),
+        write_block(Block(METHOD_RAW, CT_EXTERNAL, 50, bytes(nf))),
+    ]
+    sh = SliceHeader(
+        ref_seq_id=0, start=start, span=end - start + 1,
+        n_records=len(PAIR_RECORDS), record_counter=0,
+        n_blocks=len(blocks), content_ids=[30, 50],
+    )
+    slice_bytes = write_block(
+        Block(METHOD_RAW, CT_SLICE_HEADER, 0, serialize_slice_header(sh))
+    ) + b"".join(blocks)
+
+    h = CompressionHeader()
+    h.read_names_included = True
+    h.ap_delta = False
+    h.reference_required = False
+    h.codecs = {
+        "BF": _encode_gamma_spec(1),
+        "CF": _encode_beta(0, 3),
+        "RL": _encode_subexp_spec(0, 3),
+        "AP": _encode_beta(0, 16),
+        "RG": _encode_huffman_const(0),
+        "RN": _encode_byte_array_stop(0, 30),
+        "NF": _encode_external(50),
+        "TL": _encode_huffman_const(0),
+        "FN": _encode_huffman_const(0),
+        "MQ": _encode_beta(0, 8),
+    }
+    comp_block = write_block(
+        Block(METHOD_RAW, CT_COMPRESSION_HEADER, 0,
+              serialize_compression_header(h))
+    )
+    body = comp_block + slice_bytes
+    container = ContainerHeader(
+        length=len(body), ref_seq_id=0, start=start,
+        span=end - start + 1, n_records=len(PAIR_RECORDS),
+        record_counter=0,
+        n_bases=sum(rl for (_, _, _, _, rl, _) in PAIR_RECORDS),
+        n_blocks=2 + 3, landmarks=[len(comp_block)],
+    )
+    header_text = "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:500000\n"
+    payload = np.int32(len(header_text)).tobytes() + header_text.encode()
+    fh_block = write_block(Block(METHOD_RAW, CT_FILE_HEADER, 0, payload))
+    with open(path, "wb") as fh:
+        fh.write(CRAM_MAGIC + bytes([3, 0]) + b"handmade".ljust(20, b"\x00"))
+        fh.write(write_container_header(
+            ContainerHeader(len(fh_block), 0, 0, 0, 0, 0, 0, 1, [0])
+        ))
+        fh.write(fh_block)
+        fh.write(write_container_header(container))
+        fh.write(body)
+        fh.write(EOF_CONTAINER)
+
+
+def _check_pair_records(records):
+    assert [r.read_name for r in records] == ["m1", "m2", "solo"]
+    m1, m2, solo = records
+    assert (m1.next_ref_id, m1.next_pos) == (0, 299)
+    assert (m2.next_ref_id, m2.next_pos) == (0, 99)
+    # span: 99 .. 299+50 -> 250; leftmost positive
+    assert m1.tlen == 250 and m2.tlen == -250
+    # mate strand/unmapped bits propagated both ways
+    assert m1.flag & 0x20          # mate reverse (m2 is reverse)
+    assert not m2.flag & 0x20      # m1 is forward
+    assert (solo.next_ref_id, solo.next_pos, solo.tlen) == (-1, -1, 0)
+
+
+def test_downstream_mates_resolve(tmp_path):
+    path = str(tmp_path / "pairs.cram")
+    _build_pair_cram(path)
+    with CramReader(path) as reader:           # native-first path
+        native_records = list(reader)
+    with CramReader(path, use_native=False) as reader:
+        python_records = list(reader)
+    _check_pair_records(native_records)
+    _check_pair_records(python_records)
