@@ -1116,6 +1116,94 @@ def cmd_bam2cram(argv):
     print(f"wrote {args.cram_fn} ({n} records)", file=sys.stderr)
 
 
+def cmd_view(argv):
+    """samtools-view stand-in over the framework's own stacks: BAM / CRAM
+    / SAM in, SAM text (default) or BAM out, optional region filter."""
+    parser = argparse.ArgumentParser(
+        prog="view",
+        description="View/convert alignments (BAM/CRAM/SAM -> SAM or BAM) "
+                    "without samtools",
+    )
+    parser.add_argument("--input_fn", required=True,
+                        help="input .bam / .cram / .sam(.gz)")
+    parser.add_argument("--output_fn", default=None,
+                        help="output path; .bam writes BAM, anything else "
+                             "(or stdout) writes SAM text")
+    parser.add_argument("--ref_fn", default=None,
+                        help="reference FASTA (required for most CRAMs)")
+    parser.add_argument("--region", default=None,
+                        help="ctg[:start-end], 1-based inclusive (BAM/CRAM)")
+    args = parser.parse_args(argv)
+
+    from clair_tpu.io.bam import BamReader
+    from clair_tpu.io.cram import CramReader, is_cram
+    from clair_tpu.io.sam import SamReader, sam_to_bam, write_sam
+
+    def parse_region(text):
+        if ":" not in text:
+            return text, None, None
+        ctg, span = text.rsplit(":", 1)
+        lo, _, hi = span.partition("-")
+        return ctg, max(int(lo) - 1, 0), int(hi) if hi else None
+
+    path = args.input_fn
+    if path.endswith(".sam") or path.endswith(".sam.gz"):
+        if args.region:
+            parser.error("--region needs indexed input (BAM/CRAM)")
+        if args.output_fn and args.output_fn.endswith(".bam"):
+            n = sam_to_bam(path, args.output_fn)
+        else:
+            with SamReader(path) as reader:
+                out = open(args.output_fn, "w") if args.output_fn else sys.stdout
+                n = write_sam(iter(reader), reader.references, out,
+                              header_text=reader.header_text)
+                if args.output_fn:
+                    out.close()
+        print(f"{n} records", file=sys.stderr)
+        return
+
+    if is_cram(path):
+        reader = CramReader(path, fasta=args.ref_fn, skip_quals=False,
+                            collect_tags=True)
+    else:
+        reader = BamReader(path)
+    try:
+        if args.region:
+            ctg, lo, hi = parse_region(args.region)
+            records = reader.fetch(ctg, lo, hi, exclude_flag=0)
+        else:
+            records = iter(reader)
+        if args.output_fn and args.output_fn.endswith(".bam"):
+            from clair_tpu.io.bam import BamWriter
+            from clair_tpu.io.bam import CIGAR_OPS as _OPS
+
+            with BamWriter(args.output_fn, reader.references,
+                           header_text=reader.header_text) as out:
+                n = 0
+                for rec in records:
+                    out.write(
+                        rec.read_name, rec.ref_id, rec.pos, rec.mapq,
+                        rec.flag,
+                        [(int(l), _OPS[o]) for o, l in
+                         zip(rec.cigar_ops, rec.cigar_lens)],
+                        rec.seq_str(), qual=rec.qual,
+                        next_ref_id=rec.next_ref_id, next_pos=rec.next_pos,
+                        tlen=rec.tlen, tags=rec.tags,
+                    )
+                    n += 1
+        else:
+            out = open(args.output_fn, "w") if args.output_fn else sys.stdout
+            n = write_sam(records, reader.references, out,
+                          header_text=reader.header_text)
+            if args.output_fn:
+                out.close()
+    finally:
+        close = getattr(reader, "close", None)
+        if close:
+            close()
+    print(f"{n} records", file=sys.stderr)
+
+
 def cmd_cram2bam(argv):
     parser = argparse.ArgumentParser(prog="cram2bam")
     parser.add_argument("--cram_fn", required=True)
@@ -1160,6 +1248,8 @@ COMMANDS = {
     "plot_tensor": cmd_plot_tensor,
     "index_vcf": cmd_index_vcf,
     "bam2cram": cmd_bam2cram,
+    "view": cmd_view,
+    "sam2bam": cmd_view,
     "cram2bam": cmd_cram2bam,
     "convert_tf1": cmd_convert_tf1,
 }

@@ -2090,7 +2090,11 @@ class CramWriter:
         mapped = not (rec.flag & 4)
         ap = rec.pos + 1
         cf = CF_QS_ARRAY
-        if rec.flag & 1:
+        if (rec.flag & 1 or getattr(rec, "next_ref_id", -1) >= 0
+                or getattr(rec, "tlen", 0) != 0):
+            # detached = mate data stored explicitly; also for unpaired
+            # records that carry mate pointers (BAM allows it), so the
+            # fields survive the round trip
             cf |= CF_DETACHED
         streams.put_int("BF", rec.flag & ~0x28)  # 0x8/0x20 reconstruct from MF
         streams.put_int("CF", cf)

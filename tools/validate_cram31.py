@@ -84,13 +84,20 @@ def build_fixture(workdir: str, genome_kb: int = 60, coverage: int = 20):
     return bam, fasta
 
 
-def bam_records(bam_path: str):
-    """name/flag/pos/mapq/cigar/seq rows via this repo's reader."""
+def _qual_text(rec) -> str:
+    if rec.qual is None:
+        return "*"
+    return bytes((min(int(q), 93) + 33) for q in rec.qual).decode("ascii")
+
+
+def bam_records(bam_path: str, with_qual: bool = False):
+    """name/flag/pos/mapq/cigar/seq[/qual] rows via this repo's reader."""
     from clair_tpu.io.bam import BamReader
 
     with BamReader(bam_path) as bam:
         return [
             (r.read_name, r.flag, r.pos, r.mapq, r.cigar_str(), r.seq_str())
+            + ((_qual_text(r),) if with_qual else ())
             for r in bam
         ]
 
@@ -102,8 +109,12 @@ def cram_records_ours(cram_path: str, fasta_path: str, skip_quals: bool):
     with FastaReader(fasta_path) as fasta:
         with CramReader(cram_path, fasta=fasta,
                         skip_quals=skip_quals) as reader:
+            # quality text joins the row only on full-decode legs (the
+            # skip legs never decompress the QS blocks by design)
             return [
-                (r.read_name, r.flag, r.pos, r.mapq, r.cigar_str(), r.seq_str())
+                (r.read_name, r.flag, r.pos, r.mapq, r.cigar_str(),
+                 r.seq_str())
+                + (() if skip_quals else (_qual_text(r),))
                 for r in reader
             ]
 
@@ -118,7 +129,8 @@ def sam_records_htslib(samtools: str, path: str, fasta_path: str):
     for line in out.stdout.splitlines():
         f = line.split("\t")
         # SAM POS is 1-based; our records are 0-based
-        rows.append((f[0], int(f[1]), int(f[3]) - 1, int(f[4]), f[5], f[9]))
+        rows.append((f[0], int(f[1]), int(f[3]) - 1, int(f[4]), f[5], f[9],
+                     f[10]))
     return rows
 
 
@@ -173,6 +185,7 @@ def main() -> int:
 
     bam, fasta = build_fixture(args.workdir, args.genome_kb, args.coverage)
     want = bam_records(bam)
+    want_full = bam_records(bam, with_qual=True)  # + QUAL text
     print(f"fixture: {len(want)} records, {args.genome_kb} kb @ "
           f"{args.coverage}x -> {bam}")
     ok = True
@@ -182,11 +195,11 @@ def main() -> int:
         cram = os.path.join(args.workdir, f"ours_{name}.cram")
         write_ours(bam, fasta, cram, extra)
         if args.self_check:
-            got = cram_records_ours(cram, fasta, skip_quals=True)
+            got = cram_records_ours(cram, fasta, skip_quals=False)
         else:
             got = sam_records_htslib(samtools, cram, fasta)
         ok &= compare(f"ours->{'ours' if args.self_check else 'htslib'} "
-                      f"{name}", got, want)
+                      f"{name}", got, want_full)
 
     # direction 2: htslib writer -> our reader
     if not args.self_check:
@@ -205,7 +218,7 @@ def main() -> int:
                 got = cram_records_ours(cram, fasta, skip_quals=skip_quals)
                 ok &= compare(
                     f"htslib->ours {name} skip_quals={skip_quals}",
-                    got, want,
+                    got, want if skip_quals else want_full,
                 )
 
     print("ALL PASS" if ok else "FAILURES above", file=sys.stderr)
