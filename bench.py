@@ -627,6 +627,7 @@ def main():
         "ont_indel_winner_fraction": 0.0,
         "host_decode_tps": 0.0,
         "train_samples_per_sec": 0.0,
+        "train_samples_per_sec_bf16": 0.0,
         "train_feed_samples_per_sec_1thread": 0.0,
         "wgs_ont_end_to_end_mbp_per_min": 0.0,
         "wgs_ont_host_ceiling_mbp_per_min": 0.0,
@@ -703,6 +704,15 @@ def main():
     if device_ok:
         wd.enter("train_step", 1800)
         st["train_samples_per_sec"] = train_throughput(config)  # f32 default
+        # the documented mixed-precision opt-in (TrainingConfig.
+        # train_compute_dtype="bfloat16"; f32 cell-state accumulation +
+        # f32 loss, accuracy re-measured in docs/ROADMAP.md): chip number
+        # recorded alongside so the roofline table stays current
+        wd.enter("train_step_bf16", 1800)
+        try:
+            st["train_samples_per_sec_bf16"] = train_throughput(config_bf16)
+        except Exception as exc:
+            print(f"[bench] bf16 train stage failed ({exc})", file=sys.stderr)
     wd.clear()
     try:
         st["train_feed_samples_per_sec_1thread"] = train_feed_throughput()
