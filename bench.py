@@ -53,8 +53,9 @@ BASELINE_BATCH = 1000
 TRAIN_BATCH = 10_000
 
 
-def _best_positive_sample(sample, tries=5):
-    """Best (smallest) positive differenced timing out of several tries.
+def _positive_samples(sample, tries=5):
+    """All positive differenced timings out of several tries (smallest
+    first).
 
     The remote link occasionally stalls mid-measurement; a stall during the
     1-iteration calibration makes the difference NEGATIVE, so clamping
@@ -62,17 +63,34 @@ def _best_positive_sample(sample, tries=5):
     stall during the N-iteration run only ever makes a sample slower, so
     min() over positives is robust. If every try is poisoned, fall back to
     the N-run mean (round trip included) — pessimistic but sane."""
-    best = float("inf")
+    values = []
     last_total = None
     for _ in range(tries):
         started = time.perf_counter()
         value = sample()
         last_total = time.perf_counter() - started
         if value > 0:
-            best = min(best, value)
-    if best < float("inf"):
-        return best
-    return last_total / 2  # ~ the N-run wall clock per iteration block
+            values.append(value)
+    if not values:
+        return [last_total / 2]  # ~ the N-run wall clock per iteration block
+    return sorted(values)
+
+
+def _best_positive_sample(sample, tries=5):
+    return _positive_samples(sample, tries)[0]
+
+
+def _cpu_seconds() -> float:
+    """Cumulative user+sys CPU seconds of this process and its reaped
+    children. Per-stage deltas land in the artifact so multi-core
+    throughput is derivable on hosts with >1 core even though this harness
+    has one: a stage whose CPU seconds ~= wall seconds is compute-bound
+    (scales with workers); one far below wall is waiting on the link."""
+    import resource
+
+    r = resource.getrusage(resource.RUSAGE_SELF)
+    c = resource.getrusage(resource.RUSAGE_CHILDREN)
+    return r.ru_utime + r.ru_stime + c.ru_utime + c.ru_stime
 
 
 def _load_vendored(name):
@@ -180,8 +198,21 @@ def _synthetic_batch(batch=BATCH):
     return xs, seq
 
 
-def device_throughput(params, config, batch=BATCH) -> float:
-    """Real device forward time via in-jit scan (see module docstring)."""
+# The standing measurement protocol for the device-forward stages, recorded
+# verbatim in the artifact so round-over-round numbers are comparable (a
+# drift under a pinned protocol is a regression; a protocol change must
+# change this string). The step form is the batch-512 'hoisted' BiLSTM
+# (models/bilstm.py picks it statically for B<=512).
+DEVICE_FORWARD_PROTOCOL = (
+    "in-jit lax.scan diff (51-1 iters, best/median of 5), hoisted BiLSTM "
+    f"step form, batch {BATCH}, int16 device-resident input, "
+    "concat-free 4-head forward"
+)
+
+
+def device_throughput(params, config, batch=BATCH):
+    """Real device forward time via in-jit scan (see module docstring).
+    Returns (tensors_per_sec_best, detail dict with best/median ms/batch)."""
     import jax
     import jax.numpy as jnp
 
@@ -210,7 +241,13 @@ def device_throughput(params, config, batch=BATCH) -> float:
         float(loop(params, x, 51))
         return (time.perf_counter() - t0 - t1) / 50
 
-    return batch / _best_positive_sample(sample)
+    samples = _positive_samples(sample)
+    detail = {
+        "ms_per_batch_best": round(samples[0] * 1e3, 4),
+        "ms_per_batch_median": round(samples[len(samples) // 2] * 1e3, 4),
+        "samples": len(samples),
+    }
+    return batch / samples[0], detail
 
 
 def decode_window_throughput(params, config, bam_path, fasta_path,
@@ -335,14 +372,25 @@ def train_throughput(config, batch=TRAIN_BATCH) -> float:
 
 
 def wgs_throughput(params, config, bam_path, fasta_path, genome_mb,
-                   minimum_af=0.2, out_name="calls.vcf") -> float:
+                   minimum_af=0.2, out_name="calls.vcf"):
     """End-to-end WGS calling throughput in Mbp/min over a prebuilt
     flowcell: threaded window runner (pileup + inference + decode + VCF)
-    with the production predictor. Host pileup runs on this machine's
-    cores (nproc=1 in this harness — the number scales with pileup
-    workers)."""
+    with the production predictor, batches kept in flight across window
+    boundaries (call_bam_parallel.WGS_INFLIGHT_DEPTH). Host pileup runs on
+    this machine's cores (nproc=1 in this harness — the number scales with
+    pileup workers).
+
+    Returns (mbp_per_min, decompose dict): the per-batch device-leg
+    latency histogram plus stage-time totals of the BEST run, so when the
+    e2e number moves between artifacts the decomposition says whether the
+    framework or the link moved (the wait_s total IS the exposed link+
+    device time; prepare/decode are host work that overlaps it)."""
     from clair_tpu.pipeline.call_bam import CallBamConfig
-    from clair_tpu.pipeline.call_bam_parallel import call_bam_windows_threaded
+    from clair_tpu.pipeline.call_bam_parallel import (
+        WGS_INFLIGHT_DEPTH,
+        PipelineStats,
+        call_bam_windows_threaded,
+    )
     from clair_tpu.pipeline.call_var import Predictor
 
     predictor = Predictor(params, config)
@@ -356,15 +404,22 @@ def wgs_throughput(params, config, bam_path, fasta_path, genome_mb,
     # wall-clock sample noisy on this harness (observed 5-35 Mbp/min for
     # identical code); the faster run is the one closer to the hardware
     elapsed = float("inf")
+    decompose = {}
     for _ in range(2):
+        stats = PipelineStats()
         start = time.perf_counter()
         call_bam_windows_threaded(
             base, predictor, out,
             chunk_size=250_000, include_all_contigs=True,
-            pileup_workers=workers,
+            pileup_workers=workers, stats=stats,
         )
-        elapsed = min(elapsed, time.perf_counter() - start)
-    return genome_mb / (elapsed / 60.0)
+        wall = time.perf_counter() - start
+        if wall < elapsed:
+            elapsed = wall
+            decompose = stats.summary()
+            decompose["wall_s"] = round(wall, 3)
+            decompose["inflight_depth"] = WGS_INFLIGHT_DEPTH
+    return genome_mb / (elapsed / 60.0), decompose
 
 
 def wgs_host_ceiling(params, config, bam_path, fasta_path, genome_mb,
@@ -635,8 +690,15 @@ def main():
         "wgs_end_to_end_mbp_per_min": 0.0,
         "pileup_workers": os.cpu_count(),
         "device_unreachable_cpu_fallback": not device_ok,
+        "device_forward_protocol": DEVICE_FORWARD_PROTOCOL,
+        # per-stage user+sys CPU seconds (process + children): on a >1-core
+        # host, stages whose cpu_s ~= wall_s scale with workers
+        "stage_cpu_s": {},
     }
     cpu_tps_box = [None]
+
+    def _stage_cpu(name, cpu0):
+        st["stage_cpu_s"][name] = round(_cpu_seconds() - cpu0, 3)
 
     def _finish(wedged=None):
         # steady-state pipeline rate in the headline (ONT) regime
@@ -683,17 +745,21 @@ def main():
 
     if device_ok:
         wd.enter("device_forward_f32", 1200)
-        st["device_forward_tps_f32"] = device_throughput(params, config)
+        st["device_forward_tps_f32"], detail = device_throughput(params, config)
+        st["device_forward_ms_f32"] = detail
         wd.enter("device_forward_bf16", 1200)
-        st["device_forward_tps_bf16"] = device_throughput(params, config_bf16)
+        st["device_forward_tps_bf16"], detail = device_throughput(params, config_bf16)
+        st["device_forward_ms_bf16"] = detail
     # decode over a REAL ONT-regime window (trained ONT checkpoint output +
     # event-indexed recovery sources): the HEADLINE decode leg — the
     # reference is an ONT caller first.  The forward that produces the
     # probabilities touches the device, so these stay under the watchdog.
     wd.enter("decode_ont", budget(1800))
+    cpu0 = _cpu_seconds()
     decode_ont_tps, ont_indel_frac = decode_window_throughput(
         params_ont, config, ont_bam, ont_fa, minimum_af=0.2
     )
+    _stage_cpu("decode_ont", cpu0)
     st["host_decode_tps_ont_real"] = decode_ont_tps
     st["ont_indel_winner_fraction"] = ont_indel_frac
     wd.enter("decode_clean", budget(1800))
@@ -712,34 +778,50 @@ def main():
         try:
             st["train_samples_per_sec_bf16"] = train_throughput(config_bf16)
         except Exception as exc:
+            # null, not 0.0: a failed stage must be distinguishable from a
+            # measured zero for downstream artifact consumers
+            st["train_samples_per_sec_bf16"] = None
+            st["train_step_bf16_failed"] = True
             print(f"[bench] bf16 train stage failed ({exc})", file=sys.stderr)
     wd.clear()
     try:
+        cpu0 = _cpu_seconds()
         st["train_feed_samples_per_sec_1thread"] = train_feed_throughput()
+        _stage_cpu("train_feed", cpu0)
     except Exception as exc:
         print(f"[bench] train feed stage failed ({exc})", file=sys.stderr)
     try:
         wd.enter("wgs_ont_host_ceiling", budget(2400))
+        cpu0 = _cpu_seconds()
         st["wgs_ont_host_ceiling_mbp_per_min"] = wgs_host_ceiling(
             params_ont, config, ont_bam, ont_fa, ont_len / 1e6,
             minimum_af=0.2,
         )
+        _stage_cpu("wgs_ont_host_ceiling", cpu0)
     except Exception as exc:
         print(f"[bench] host-ceiling stage failed ({exc})", file=sys.stderr)
     try:
         wd.enter("wgs_ont_e2e", budget(2400))
-        st["wgs_ont_end_to_end_mbp_per_min"] = wgs_throughput(
-            params_ont, config, ont_bam, ont_fa, ont_len / 1e6,
-            minimum_af=0.2, out_name="ont.vcf",
+        cpu0 = _cpu_seconds()
+        st["wgs_ont_end_to_end_mbp_per_min"], st["wgs_ont_e2e_decompose"] = (
+            wgs_throughput(
+                params_ont, config, ont_bam, ont_fa, ont_len / 1e6,
+                minimum_af=0.2, out_name="ont.vcf",
+            )
         )
+        _stage_cpu("wgs_ont_e2e", cpu0)
     except Exception as exc:
         print(f"[bench] ONT wgs stage failed ({exc})", file=sys.stderr)
     try:
         wd.enter("wgs_clean_e2e", budget(2400))
-        st["wgs_end_to_end_mbp_per_min"] = wgs_throughput(
-            params_ilmn, config, clean_bam, clean_fa, clean_len / 1e6,
-            minimum_af=0.2, out_name="clean.vcf",
+        cpu0 = _cpu_seconds()
+        st["wgs_end_to_end_mbp_per_min"], st["wgs_e2e_decompose"] = (
+            wgs_throughput(
+                params_ilmn, config, clean_bam, clean_fa, clean_len / 1e6,
+                minimum_af=0.2, out_name="clean.vcf",
+            )
         )
+        _stage_cpu("wgs_clean_e2e", cpu0)
     except Exception as exc:
         print(f"[bench] clean wgs stage failed ({exc})", file=sys.stderr)
     # CRAM-input host ceiling: same flowcell through the packed-array

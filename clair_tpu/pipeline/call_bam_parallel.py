@@ -25,6 +25,68 @@ from clair_tpu.utils.intervals import BedIntervals
 
 logger = logging.getLogger(__name__)
 
+# batches kept in flight across window boundaries in the threaded WGS
+# runner (the producer->consumer queue bound). The consumer fetches
+# results GROUPED — one stacked device->host transfer per group (a
+# transfer costs a ~250 ms round trip on the remote link regardless of
+# size), and while it blocks on that round trip the producer keeps
+# dispatching, so up to this many batches accumulate to ride the next
+# fetch. The TPU-native answer to the reference's 3-thread software
+# pipeline (/root/reference/clair/call_var.py:1331-1353).
+WGS_INFLIGHT_DEPTH = 32
+
+
+@dataclasses.dataclass
+class PipelineStats:
+    """Per-batch device-leg latency decomposition for the threaded WGS
+    runner. ``dispatch_s`` is the host-side cost of padding + enqueueing a
+    batch (predict_async), ``fetch_s`` each grouped blocking device->host
+    transfer (~one link round trip), ``wait_s`` the same time amortized
+    per batch, ``decode_s`` the host lattice decode + VCF row emission, and
+    ``prepare_s`` per-window host pileup wall seconds (on pool threads, so
+    they overlap the rest)."""
+
+    dispatch_s: List[float] = dataclasses.field(default_factory=list)
+    fetch_s: List[float] = dataclasses.field(default_factory=list)
+    wait_s: List[float] = dataclasses.field(default_factory=list)
+    decode_s: List[float] = dataclasses.field(default_factory=list)
+    prepare_s: List[float] = dataclasses.field(default_factory=list)
+
+    def summary(self) -> Dict[str, float]:
+        import numpy as np
+
+        def pct(values, q):
+            return round(float(np.percentile(values, q)) * 1e3, 3) if values else 0.0
+
+        return {
+            "batches": len(self.wait_s),
+            "windows": len(self.prepare_s),
+            "fetches": len(self.fetch_s),
+            "fetch_ms_p50": pct(self.fetch_s, 50),
+            "fetch_ms_p99": pct(self.fetch_s, 99),
+            "device_wait_ms_p50": pct(self.wait_s, 50),
+            "device_wait_ms_p90": pct(self.wait_s, 90),
+            "device_wait_ms_p99": pct(self.wait_s, 99),
+            "device_wait_s_total": round(sum(self.fetch_s), 3),
+            "dispatch_s_total": round(sum(self.dispatch_s), 3),
+            "decode_s_total": round(sum(self.decode_s), 3),
+            "prepare_s_total": round(sum(self.prepare_s), 3),
+        }
+
+
+@dataclasses.dataclass
+class _WindowState:
+    """Decode-side bookkeeping for one window's batches in the global
+    in-flight queue."""
+
+    window: Tuple[str, int, int]
+    work: object  # WindowWork, or None when prepare failed
+    started: float
+    batches: int = 0
+    sites: int = 0
+    failed: Optional[str] = None
+    began: bool = False
+
 
 class JobLog:
     """Per-window failure audit + resume manifest.
@@ -306,10 +368,19 @@ def call_bam_windows_threaded(
     joblog_path: Optional[str] = None,
     num_shards: int = 1,
     shard_id: int = 0,
+    inflight_depth: Optional[int] = None,
+    stats: Optional[PipelineStats] = None,
 ) -> int:
     """Single-process WGS runner: ONE predictor owns the device while
     window pileups run on a thread pool (numpy releases the GIL in the hot
     loops). Windows are consumed in genome order into one merged VCF.
+
+    Batches stay in flight ACROSS window boundaries (bounded queue of
+    ``inflight_depth``, default WGS_INFLIGHT_DEPTH): dispatching window
+    k+1's batches proceeds while window k's results are still crossing the
+    link, so per-batch round trips overlap host pileup and decode instead
+    of serializing at every window edge. Pass a PipelineStats to record the
+    per-batch latency decomposition.
 
     This is the preferred topology for a host attached to one chip — the
     process-pool mode exists for multi-chip hosts where each worker can own
@@ -323,8 +394,7 @@ def call_bam_windows_threaded(
     import concurrent.futures
     import sys
 
-    from clair_tpu.io.vcf import VcfWriter
-    from clair_tpu.pipeline.call_bam import call_window, prepare_window
+    from clair_tpu.pipeline.call_bam import prepare_window
 
     gz_path = None
     if output_path and output_path.endswith(".gz"):
@@ -376,48 +446,250 @@ def call_bam_windows_threaded(
 
     total = 0
     failures = 0
-    with concurrent.futures.ThreadPoolExecutor(pileup_workers) as pool:
-        pending = []  # (window, future)
-        cursor = 0
+    depth = WGS_INFLIGHT_DEPTH if inflight_depth is None else max(1, inflight_depth)
+    ensemble = getattr(base_config, "output_for_ensemble", False)
 
-        def submit_next():
-            nonlocal cursor
-            if cursor >= len(windows):
-                return
-            contig, start, end = windows[cursor]
-            cursor += 1
-            config = dataclasses.replace(
-                base_config, contig=contig, ctg_start=start, ctg_end=end
-            )
-            pending.append(
-                ((contig, start, end), pool.submit(prepare_window, config))
-            )
+    import queue as queue_mod
+    import threading
 
-        for _ in range(min(pileup_workers + prefetch, len(windows))):
-            submit_next()
-        while pending:
-            window, future = pending.pop(0)
-            started = time.perf_counter()
-            try:
-                work = future.result()
-                submit_next()
-                sites = call_window(work, predictor, writer)
-                output_fh.flush()
-            except Exception as exc:
-                submit_next()
-                failures += 1
-                joblog.record(
-                    window, "failed", error=f"{type(exc).__name__}: {exc}",
-                    elapsed=time.perf_counter() - started,
-                )
-                logger.error("window %s:%d-%d FAILED: %s", *window, exc)
-                continue
+    from clair_tpu.data.tensor_stream import LazyTensorInfos
+    from clair_tpu.pipeline.call_var import _decode_batch, write_ensemble_rows
+
+    class _PreGathered:
+        """gather() shim: the consumer fetches probabilities itself (to
+        time the device wait separately from decode), so _decode_batch
+        receives them pre-split."""
+
+        @staticmethod
+        def gather(out, n):
+            return out
+
+    def _timed_prepare(config):
+        t0 = time.perf_counter()
+        work = prepare_window(config)
+        return work, time.perf_counter() - t0
+
+    gather_group = getattr(predictor, "gather_group", None)
+    if gather_group is None:
+        def gather_group(outs, ns):
+            return [predictor.gather(o, n) for o, n in zip(outs, ns)]
+    # the WGS runner fetches results grouped (one stacked transfer per
+    # group); an eager per-batch host copy would ship every result over
+    # the link a second time
+    had_eager = getattr(predictor, "eager_host_copy", None)
+    if had_eager is not None:
+        predictor.eager_host_copy = False
+
+    # Producer (this thread): window iteration, pileup futures, device
+    # dispatch. Consumer thread: grouped device->host fetch, decode, VCF,
+    # joblog. The bounded queue is the in-flight batch budget: while the
+    # consumer blocks ~a link round trip per grouped fetch, the producer
+    # keeps dispatching, and whatever accumulates in the queue rides the
+    # NEXT fetch — group sizes adapt to the link's actual latency.
+    work_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
+    _DONE = object()
+    fatal: List[BaseException] = []
+
+    current: List[Optional[_WindowState]] = [None]  # consumer-side cursor
+
+    def finish_window(ws: _WindowState) -> None:
+        nonlocal total, failures
+        elapsed = time.perf_counter() - ws.started
+        fasta = getattr(ws.work, "_fasta_to_close", None)
+        if fasta is not None:
+            fasta.close()
+        if ws.failed is not None:
+            failures += 1
+            joblog.record(ws.window, "failed", error=ws.failed, elapsed=elapsed)
+            logger.error("window %s:%d-%d FAILED: %s", *ws.window, ws.failed)
+        else:
             joblog.record(
-                window, "ok", sites=sites, output=output_path,
-                elapsed=time.perf_counter() - started,
+                ws.window, "ok", sites=ws.sites, output=output_path,
+                elapsed=elapsed,
             )
-            logger.info("window %s:%d-%d -> %d sites", *window, sites)
-            total += sites
+            logger.info("window %s:%d-%d -> %d sites", *ws.window, ws.sites)
+            total += ws.sites
+
+    def close_current() -> None:
+        ws = current[0]
+        if ws is None:
+            return
+        if ws.began:
+            try:
+                writer.end_window()
+            except Exception as exc:
+                ws.failed = ws.failed or f"{type(exc).__name__}: {exc}"
+        finish_window(ws)
+        try:
+            output_fh.flush()
+        except Exception:
+            pass
+        current[0] = None
+
+    def process_group(entries) -> None:
+        to_fetch = [
+            i for i, (ws, batch) in enumerate(entries)
+            if batch is not None and ws.failed is None
+        ]
+        probs_by_index = {}
+        fetch_elapsed = 0.0
+        if to_fetch:
+            t0 = time.perf_counter()
+            try:
+                gathered = gather_group(
+                    [entries[i][1][2] for i in to_fetch],
+                    [entries[i][1][3] for i in to_fetch],
+                )
+                probs_by_index = dict(zip(to_fetch, gathered))
+            except Exception as exc:
+                err = f"{type(exc).__name__}: {exc}"
+                for i in to_fetch:
+                    ws = entries[i][0]
+                    ws.failed = ws.failed or err
+            fetch_elapsed = time.perf_counter() - t0
+            if stats is not None:
+                stats.fetch_s.append(fetch_elapsed)
+        for i, (ws, batch) in enumerate(entries):
+            if ws is not current[0]:
+                close_current()
+                current[0] = ws
+                if ws.failed is None and ws.work is not None:
+                    try:
+                        writer.begin_window(ws.work)
+                        ws.began = True
+                    except Exception as exc:
+                        ws.failed = f"{type(exc).__name__}: {exc}"
+            if batch is None or ws.failed is not None or i not in probs_by_index:
+                continue
+            infos, x, out, n, dispatch_elapsed = batch
+            try:
+                t1 = time.perf_counter()
+                if ensemble:
+                    infos_list = [
+                        (infos.contig, int(infos.positions[k]),
+                         infos.sequences[k])
+                        for k in range(n)
+                    ]
+                    write_ensemble_rows(
+                        x, infos_list, probs_by_index[i], n, writer._fh
+                    )
+                else:
+                    _decode_batch(
+                        (infos, x, probs_by_index[i], n), _PreGathered,
+                        ws.work.output_config, writer, ws.work.indel_sources,
+                        None,
+                    )
+                t2 = time.perf_counter()
+                if stats is not None:
+                    stats.dispatch_s.append(dispatch_elapsed)
+                    stats.wait_s.append(fetch_elapsed / len(to_fetch))
+                    stats.decode_s.append(t2 - t1)
+                ws.sites += n
+            except Exception as exc:
+                ws.failed = f"{type(exc).__name__}: {exc}"
+
+    def consume() -> None:
+        done = False
+        while not done:
+            item = work_q.get()
+            if item is _DONE:
+                break
+            group = [item]
+            while True:
+                try:
+                    nxt = work_q.get_nowait()
+                except queue_mod.Empty:
+                    break
+                if nxt is _DONE:
+                    done = True
+                    break
+                group.append(nxt)
+            process_group(group)
+        close_current()
+
+    def consumer_main() -> None:
+        try:
+            consume()
+        except BaseException as exc:  # keep the producer from deadlocking
+            fatal.append(exc)
+            while work_q.get() is not _DONE:
+                pass
+
+    consumer = threading.Thread(
+        target=consumer_main, name="wgs-decode", daemon=True
+    )
+    consumer.start()
+
+    try:
+        with concurrent.futures.ThreadPoolExecutor(max(1, pileup_workers)) as pool:
+            pending = []  # (window, future)
+            cursor = 0
+
+            def submit_next():
+                nonlocal cursor
+                if cursor >= len(windows):
+                    return
+                contig, start, end = windows[cursor]
+                cursor += 1
+                config = dataclasses.replace(
+                    base_config, contig=contig, ctg_start=start, ctg_end=end
+                )
+                pending.append(
+                    ((contig, start, end), pool.submit(_timed_prepare, config))
+                )
+
+            for _ in range(min(pileup_workers + prefetch, len(windows))):
+                submit_next()
+            while pending and not fatal:
+                window, future = pending.pop(0)
+                started = time.perf_counter()
+                try:
+                    work, prepare_elapsed = future.result()
+                except Exception as exc:
+                    submit_next()
+                    work_q.put((
+                        _WindowState(
+                            window, None, started,
+                            failed=f"{type(exc).__name__}: {exc}",
+                        ),
+                        None,
+                    ))
+                    continue
+                submit_next()
+                if stats is not None:
+                    stats.prepare_s.append(prepare_elapsed)
+                ws = _WindowState(window, work, started)
+                if len(work.tensors) == 0:
+                    # zero-candidate window: still bracket it so gVCF emits
+                    # its reference blocks and the joblog records the window
+                    work_q.put((ws, None))
+                    continue
+                batch_size = predictor.batch_size
+                for off in range(0, len(work.tensors), batch_size):
+                    x = work.tensors[off:off + batch_size]
+                    infos = LazyTensorInfos(
+                        work.config.contig,
+                        work.centers[off:off + len(x)],
+                        work.sequences[off:off + len(x)],
+                    )
+                    t0 = time.perf_counter()
+                    try:
+                        out, n = predictor.predict_async(x)
+                    except Exception as exc:
+                        ws.failed = f"{type(exc).__name__}: {exc}"
+                        work_q.put((ws, None))
+                        break
+                    ws.batches += 1
+                    work_q.put(
+                        (ws, (infos, x, out, n, time.perf_counter() - t0))
+                    )
+    finally:
+        work_q.put(_DONE)
+        consumer.join()
+        if had_eager is not None:
+            predictor.eager_host_copy = had_eager
+    if fatal:
+        raise fatal[0]
     if output_path:
         output_fh.close()
     joblog.close()

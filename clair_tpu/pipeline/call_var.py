@@ -49,6 +49,10 @@ class Predictor:
     params: dict
     config: ModelConfig
     batch_size: int = PREDICT_BATCH_SIZE
+    # start a per-batch device->host copy at dispatch time (helps the
+    # depth-1 gather paths); the grouped-fetch WGS runner turns it off so
+    # the link carries each result once, inside the stacked fetch
+    eager_host_copy: bool = True
 
     def __post_init__(self):
         import jax
@@ -58,6 +62,7 @@ class Predictor:
         from clair_tpu.utils.jaxcache import enable as enable_jax_cache
 
         enable_jax_cache()
+        self._stack_fns = {}
 
         # one (B, 90) output instead of four arrays: a single device->host
         # transfer per batch (each fetch pays a full round trip on remote
@@ -90,15 +95,37 @@ class Predictor:
         # np.asarray in gather() pays a full round trip per batch; kicking
         # the transfer at dispatch overlaps it with the host decode of the
         # previous batch (measured 4.0 -> 2.8 s on the ONT e2e bench)
-        try:
-            out.copy_to_host_async()
-        except (AttributeError, RuntimeError):
-            pass
+        if self.eager_host_copy:
+            try:
+                out.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
         return out, n
 
     def gather(self, out, n: int):
         """Fetch the (B, 90) output once and split into the 4 head arrays."""
         return split_label_vector(np.asarray(out)[:n])
+
+    def gather_group(self, outs, ns):
+        """Fetch k batch outputs in ONE device->host transfer.
+
+        On the remote TPU link a transfer costs a ~250 ms round trip
+        regardless of size (measured: per-batch gathers stay ~250 ms even
+        with 24 batches in flight and async host copies started), so the
+        WGS runner stacks the pending (B, 90) outputs on-device — one tiny
+        jitted jnp.stack per group size — and pays the round trip once per
+        group instead of once per batch. Returns the per-batch split head
+        arrays, in order."""
+        if len(outs) == 1:
+            return [self.gather(outs[0], ns[0])]
+        import jax.numpy as jnp
+
+        fn = self._stack_fns.get(len(outs))
+        if fn is None:
+            fn = self._jax.jit(lambda *xs: jnp.stack(xs))
+            self._stack_fns[len(outs)] = fn
+        stacked = np.asarray(fn(*outs))
+        return [split_label_vector(stacked[i][:n]) for i, n in enumerate(ns)]
 
 
 @dataclass
@@ -119,6 +146,7 @@ class ShardedPredictor(Predictor):
         from clair_tpu.utils.jaxcache import enable as enable_jax_cache
 
         enable_jax_cache()
+        self._stack_fns = {}
         if self.mesh is None:
             raise ValueError("ShardedPredictor needs a mesh")
         data_size = self.mesh.shape["data"]
@@ -150,10 +178,11 @@ class ShardedPredictor(Predictor):
             x_int = np.concatenate([x_int, pad], axis=0)
         x_dev = self._jax.device_put(x_int, self._x_sharding)
         out = self._fn(self.params, x_dev)
-        try:
-            out.copy_to_host_async()
-        except (AttributeError, RuntimeError):
-            pass
+        if self.eager_host_copy:
+            try:
+                out.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
         return out, n
 
 
