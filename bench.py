@@ -176,6 +176,29 @@ def _make_ont_bam(tmp, genome_kb=400, coverage=35):
     return bam_path, fasta_path, length
 
 
+def _make_ont_highcov_bam(tmp, genome_kb=100, coverage=550):
+    """BASELINE config-5 regime (578x HG002HD): the same ONT error model
+    at ~550x coverage over a smaller genome (total base-event volume stays
+    comparable to the 400 kb / 35x standard flowcell, so the stage budget
+    holds). The per-start-position depth cap and dense pileup columns are
+    what this regime uniquely exercises (tests/test_highcov.py proves the
+    cap semantics; this stage records the throughput)."""
+    from clair_tpu.io.bai import build_bai
+    from clair_tpu.utils.simulate import simulate_ont_fast, write_fasta
+
+    rs = np.random.RandomState(9)
+    length = genome_kb * 1000
+    fasta_path = os.path.join(tmp, "ont_hc_ref.fa")
+    bam_path = os.path.join(tmp, "ont_hc.bam")
+    reference, _variants = simulate_ont_fast(
+        bam_path, rs, length=length, coverage=coverage,
+        mean_read_length=700.0,
+    )
+    write_fasta(fasta_path, reference)
+    build_bai(bam_path, bam_path + ".bai")
+    return bam_path, fasta_path, length
+
+
 def _synthetic_batch(batch=BATCH):
     """Realistic candidate tensors: ~60x depth sites, 1/3 alt support."""
     from clair_tpu.data.tensor_stream import normalize_channels
@@ -685,6 +708,7 @@ def main():
         "train_samples_per_sec_bf16": 0.0,
         "train_feed_samples_per_sec_1thread": 0.0,
         "wgs_ont_end_to_end_mbp_per_min": 0.0,
+        "wgs_ont_highcov_mbp_per_min": 0.0,
         "wgs_ont_host_ceiling_mbp_per_min": 0.0,
         "wgs_ont_host_ceiling_cram_mbp_per_min": 0.0,
         "wgs_end_to_end_mbp_per_min": 0.0,
@@ -812,6 +836,22 @@ def main():
         _stage_cpu("wgs_ont_e2e", cpu0)
     except Exception as exc:
         print(f"[bench] ONT wgs stage failed ({exc})", file=sys.stderr)
+    try:
+        # high-coverage regime (BASELINE config 5, 578x HG002HD): ~550x
+        # over a small genome — Mbp/min is naturally ~10x lower than the
+        # 35x stage because every megabase carries ~16x the base events
+        wd.enter("wgs_ont_highcov", budget(2400))
+        hc_bam, hc_fa, hc_len = _make_ont_highcov_bam(tmp)
+        cpu0 = _cpu_seconds()
+        st["wgs_ont_highcov_mbp_per_min"], st["wgs_ont_highcov_decompose"] = (
+            wgs_throughput(
+                params_ont, config, hc_bam, hc_fa, hc_len / 1e6,
+                minimum_af=0.2, out_name="ont_hc.vcf",
+            )
+        )
+        _stage_cpu("wgs_ont_highcov", cpu0)
+    except Exception as exc:
+        print(f"[bench] highcov wgs stage failed ({exc})", file=sys.stderr)
     try:
         wd.enter("wgs_clean_e2e", budget(2400))
         cpu0 = _cpu_seconds()
