@@ -988,6 +988,31 @@ def cmd_ensemble(argv):
     combine_ensemble(sys.stdin, sys.stdout, args.minimum_count_to_output)
 
 
+def cmd_merge_gvcf(argv):
+    parser = argparse.ArgumentParser(
+        prog="merge_gvcf",
+        description="GLnexus-style joint genotyping over single-sample "
+                    "gVCFs (post/gvcf_merge.py): site unification, "
+                    "genotype lifting, reference filling from blocks",
+    )
+    parser.add_argument("inputs", nargs="+", help="gVCF paths (.vcf/.gz)")
+    parser.add_argument("--output_fn", help="joint VCF path (default stdout)")
+    parser.add_argument("--sample_names",
+                        help="comma-separated names overriding the headers")
+    args = parser.parse_args(argv)
+
+    from clair_tpu.post.gvcf_merge import merge_gvcfs
+
+    names = args.sample_names.split(",") if args.sample_names else None
+    if names and len(names) != len(args.inputs):
+        parser.error("--sample_names count must match inputs")
+    if args.output_fn:
+        with open(args.output_fn, "w") as fh:
+            merge_gvcfs(args.inputs, fh, sample_names=names)
+    else:
+        merge_gvcfs(args.inputs, sys.stdout, sample_names=names)
+
+
 def cmd_plot_tensor(argv):
     from clair_tpu.plot_tensor import main as plot_main
 
@@ -1245,6 +1270,7 @@ COMMANDS = {
     "variables": cmd_variables,
     "overlap_variant": cmd_overlap_variant,
     "ensemble": cmd_ensemble,
+    "merge_gvcf": cmd_merge_gvcf,
     "plot_tensor": cmd_plot_tensor,
     "index_vcf": cmd_index_vcf,
     "bam2cram": cmd_bam2cram,
