@@ -154,3 +154,125 @@ def test_full_size_round_trip_through_real_tensorflow(tmp_path):
 
 def repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+GPU_FIXTURE_DIR = os.path.join(
+    os.path.dirname(__file__), "fixtures", "tf_real_gpu"
+)
+
+
+def test_vendored_real_tf_gpu_blob_fixture_parses_and_converts(tmp_path):
+    """Real-TF bytes in the GPU training path's layout: CudnnLSTM opaque
+    blobs instead of cudnn_compatible_lstm_cell kernels (ref
+    model.py:281-296) — the layout the published ONT model most likely
+    carries. The pure-Python reader + layout autodetect + strict audit +
+    conversion must work on it with no TF installed.
+
+    Fixture generation (TF 2.21, one-off): params = init_params(
+    PRNGKey(43), ModelConfig(lstm1_num_units=4, lstm2_num_units=4));
+    non-LSTM vars via tf1_vars_from_params, the two LSTMs packed with
+    cudnn_blob_from_lstm into LSTM{1,2}/cudnn_lstm/opaque_kernel;
+    saved with tf.compat.v1.train.Saver. golden.npz carries an input
+    batch and the four forward heads of the ORIGINAL params.
+    """
+    from clair_tpu.models import forward
+    from clair_tpu.models.audit import LAYOUT_CUDNN, detect_layout
+    from clair_tpu.models.checkpoint import load_checkpoint
+    from clair_tpu.models.convert_tf1 import convert_tf1_checkpoint
+    from clair_tpu.io.tfckpt import load_variables
+    from clair_tpu.params import ModelConfig
+
+    config = ModelConfig(lstm1_num_units=4, lstm2_num_units=4)
+    prefix = os.path.join(GPU_FIXTURE_DIR, "model")
+
+    tf_vars = load_variables(prefix)
+    assert detect_layout(tf_vars) == LAYOUT_CUDNN
+    assert "LSTM1/cudnn_lstm/opaque_kernel" in tf_vars
+    # blob length: bidirectional 1-layer, 8 W/R matrices + 16 bias vecs
+    feat, h = config.feature_dim, 4
+    assert tf_vars["LSTM1/cudnn_lstm/opaque_kernel"].shape == (
+        2 * (4 * h * feat + 4 * h * h) + 2 * 8 * h,
+    )
+
+    out = str(tmp_path / "converted.ckpt")
+    report = convert_tf1_checkpoint(prefix, out, config, strict=True)
+    assert report.ok
+
+    golden = np.load(os.path.join(GPU_FIXTURE_DIR, "golden.npz"))
+    params, _ = load_checkpoint(out)
+    heads = [np.asarray(a) for a in forward(params, golden["x"], config)]
+    for i, head in enumerate(heads):
+        np.testing.assert_allclose(
+            head, golden[f"head{i}"], rtol=1e-5, atol=1e-6,
+            err_msg=f"head {i} drifted from the GPU-layout fixture golden",
+        )
+
+
+@pytest.mark.skipif(not _HAVE_TF, reason="tensorflow not installed")
+def test_full_size_gpu_blob_round_trip_through_real_tensorflow(tmp_path):
+    """Full-size GPU-blob layout through real TF: the production param
+    tree packs into CudnnLSTM opaque blobs, a real Saver writes the
+    triplet, and our reader + strict audit + conversion recover every
+    leaf bit-exact (the blob pack/unpack is an exact inverse pair)."""
+    script = textwrap.dedent(
+        """
+        import os, sys
+        import numpy as np
+        sys.path.insert(0, %r)
+        from clair_tpu.models.checkpoint import load_checkpoint
+        from clair_tpu.models.convert_tf1 import (
+            cudnn_blob_from_lstm, tf1_vars_from_params,
+            convert_tf1_checkpoint)
+        from clair_tpu.params import ModelConfig
+
+        config = ModelConfig()
+        params, _ = load_checkpoint(
+            os.path.join(%r, "examples", "ont_production.ckpt"))
+        tf_vars = {
+            k: v for k, v in tf1_vars_from_params(params).items()
+            if "/bidirectional_rnn/" not in k
+        }
+        tf_vars["LSTM1/cudnn_lstm/opaque_kernel"] = cudnn_blob_from_lstm(
+            params["lstm1"], config.feature_dim, config.lstm1_num_units)
+        tf_vars["LSTM2/cudnn_lstm/opaque_kernel"] = cudnn_blob_from_lstm(
+            params["lstm2"], 2 * config.lstm1_num_units,
+            config.lstm2_num_units)
+
+        import tensorflow as tf
+        tf.compat.v1.disable_eager_execution()
+        d = %r
+        prefix = os.path.join(d, "model")
+        g = tf.Graph()
+        with g.as_default():
+            hs = [tf.compat.v1.get_variable(
+                      n, initializer=tf.constant(np.asarray(v, np.float32)))
+                  for n, v in tf_vars.items()]
+            saver = tf.compat.v1.train.Saver(var_list=hs)
+            with tf.compat.v1.Session() as sess:
+                sess.run(tf.compat.v1.global_variables_initializer())
+                saver.save(sess, prefix, write_meta_graph=False)
+
+        out_ckpt = os.path.join(d, "converted.ckpt")
+        report = convert_tf1_checkpoint(prefix, out_ckpt, strict=True)
+        assert report.ok
+        conv, _ = load_checkpoint(out_ckpt)
+
+        def leaves(tree):
+            if isinstance(tree, dict):
+                for k in sorted(tree):
+                    yield from leaves(tree[k])
+            else:
+                yield np.asarray(tree, np.float32)
+        for a, b in zip(leaves(params), leaves(conv)):
+            assert np.array_equal(a, b)
+        print("GPU_BLOB_OK", len(tf_vars))
+        """
+    ) % (repo_root(), repo_root(), str(tmp_path))
+    env = dict(os.environ)
+    env.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+    result = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True,
+        text=True, timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    assert "GPU_BLOB_OK 532" in result.stdout
