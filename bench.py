@@ -706,6 +706,7 @@ def main():
         "host_decode_tps": 0.0,
         "train_samples_per_sec": 0.0,
         "train_samples_per_sec_bf16": 0.0,
+        "train_samples_per_sec_stream_bf16": None,  # null until measured
         "train_feed_samples_per_sec_1thread": 0.0,
         "wgs_ont_end_to_end_mbp_per_min": 0.0,
         "wgs_ont_highcov_mbp_per_min": 0.0,
@@ -807,6 +808,21 @@ def main():
             st["train_samples_per_sec_bf16"] = None
             st["train_step_bf16_failed"] = True
             print(f"[bench] bf16 train stage failed ({exc})", file=sys.stderr)
+        # the PRODUCTION train path: bf16 compute + the streaming-grid
+        # Pallas BiLSTM (train_model auto-enables the kernel on single-
+        # device TPU runs; ops/pallas_bilstm_stream.py)
+        wd.enter("train_step_stream_bf16", 1800)
+        try:
+            st["train_samples_per_sec_stream_bf16"] = train_throughput(
+                dataclasses.replace(
+                    config_bf16, use_pallas_stream_bilstm=True
+                )
+            )
+        except Exception as exc:
+            st["train_samples_per_sec_stream_bf16"] = None
+            st["train_step_stream_bf16_failed"] = True
+            print(f"[bench] stream-kernel train stage failed ({exc})",
+                  file=sys.stderr)
     wd.clear()
     try:
         cpu0 = _cpu_seconds()
@@ -887,7 +903,8 @@ def main():
         f"host decode ONT-real {decode_ont_tps:.0f} t/s "
         f"({ont_indel_frac:.0%} indel winners; clean {decode_clean_tps:.0f} "
         f"t/s at {clean_indel_frac:.0%}), "
-        f"train {st['train_samples_per_sec']:.0f} samples/s, "
+        f"train {st['train_samples_per_sec']:.0f} samples/s "
+        f"(stream bf16 {st['train_samples_per_sec_stream_bf16'] or 0:.0f}), "
         f"wgs e2e ONT {st['wgs_ont_end_to_end_mbp_per_min']:.1f} "
         f"(host ceiling {st['wgs_ont_host_ceiling_mbp_per_min']:.1f}) / "
         f"clean {st['wgs_end_to_end_mbp_per_min']:.1f} Mbp/min/core",

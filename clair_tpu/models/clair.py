@@ -112,6 +112,10 @@ def forward_logits(
         from clair_tpu.ops.pallas_bilstm import bilstm_pallas
 
         lstm = bilstm_pallas
+    elif config.use_pallas_stream_bilstm and jax.default_backend() != "cpu":
+        from clair_tpu.ops.pallas_bilstm_stream import bilstm_train_stream
+
+        lstm = bilstm_train_stream
     elif config.use_pallas_train_bilstm and jax.default_backend() != "cpu":
         if compute_dtype != jnp.float32:
             raise ValueError(

@@ -104,6 +104,13 @@ class TrainingConfig:
     # is too noisy to pick by — the demo disables this and keeps the final
     # epoch (measured: +0.03-0.04 site recall at demo scale).
     restore_best: bool = True
+    # streaming-grid Pallas BiLSTM for the train/val steps
+    # (ops/pallas_bilstm_stream.py, measured ~2x over the lax.scan at the
+    # production batch). None = auto: on for single-device TPU training
+    # unless the model config already picked another BiLSTM kernel (a
+    # meshed step is GSPMD-partitioned, where a pallas_call would not
+    # shard on its own); True forces it on; False forces the scan.
+    use_stream_bilstm: Optional[bool] = None
 
 
 @dataclass
@@ -121,6 +128,20 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
     model_config = dataclasses.replace(
         config.model, compute_dtype=config.train_compute_dtype
     )
+    use_stream = config.use_stream_bilstm
+    if use_stream is None:
+        # auto: single-device TPU training only — under a mesh the step is
+        # GSPMD-partitioned and a pallas_call would not shard on its own
+        use_stream = (
+            jax.default_backend() != "cpu"
+            and config.mesh is None
+            and not model_config.use_pallas_bilstm
+            and not model_config.use_pallas_train_bilstm
+        )
+    if use_stream:
+        model_config = dataclasses.replace(
+            model_config, use_pallas_stream_bilstm=True
+        )
     rng = jax.random.PRNGKey(config.seed)
     rng, init_rng = jax.random.split(rng)
 
