@@ -494,8 +494,9 @@ def wgs_host_ceiling(params, config, bam_path, fasta_path, genome_mb,
 
 def train_feed_throughput() -> float:
     """Host epoch-feed samples/s, one decompress thread (zstd block
-    inflate + int16->f32 restore + batch concat). Link-immune; the number
-    the training step's samples/s is gated by per feed thread
+    inflate + batch concat; blocks stay int16-packed as the train loop
+    consumes them — the jitted step casts on device). Link-immune; the
+    number the training step's samples/s is gated by per feed thread
     (TrainingConfig.decompress_workers scales it across spare cores)."""
     from clair_tpu.data.bins import BinDataset, EpochBatches, _pack
 
@@ -515,7 +516,8 @@ def train_feed_throughput() -> float:
         for x, _, _ in EpochBatches(ds, np.arange(n_blocks),
                                     n_train=500 * n_blocks,
                                     train_batch_size=2000,
-                                    decompress_workers=0):
+                                    decompress_workers=0,
+                                    cast_to_float32=False):
             n += len(x)
         return n
 
@@ -829,6 +831,8 @@ def main():
         st["train_feed_samples_per_sec_1thread"] = train_feed_throughput()
         _stage_cpu("train_feed", cpu0)
     except Exception as exc:
+        st["train_feed_samples_per_sec_1thread"] = None
+        st["train_feed_failed"] = True
         print(f"[bench] train feed stage failed ({exc})", file=sys.stderr)
     try:
         wd.enter("wgs_ont_host_ceiling", budget(2400))

@@ -564,6 +564,14 @@ def cmd_train(argv, schedule="adaptive"):
                              "this directory (view with TensorBoard/xprof; "
                              "the reference's TensorBoard summaries were "
                              "stubbed out, model.py:1053-1062)")
+    parser.add_argument("--train_compute_dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="matmul/activation dtype for the train step "
+                             "(master weights, loss and cell state stay "
+                             "float32; default: TrainingConfig default)")
+    parser.add_argument("--no_stream_bilstm", action="store_true",
+                        help="force the lax.scan BiLSTM instead of the "
+                             "streaming-grid Pallas train kernel")
     args = parser.parse_args(argv)
 
     from clair_tpu.params import (
@@ -607,6 +615,9 @@ def cmd_train(argv, schedule="adaptive"):
         hard_max_epochs=args.maxEpoch if schedule == "adaptive" else None,
         mesh=mesh,
         decompress_workers=args.decompress_workers,
+        **({"train_compute_dtype": args.train_compute_dtype}
+           if args.train_compute_dtype else {}),
+        **({"use_stream_bilstm": False} if args.no_stream_bilstm else {}),
     )
     dataset = _load_dataset(args)
     if args.profile_dir:

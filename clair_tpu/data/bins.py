@@ -98,12 +98,12 @@ def _fast_npy(raw: bytes) -> np.ndarray:
         return np.load(_io.BytesIO(raw), allow_pickle=False)
 
 
-def _unpack(blob: bytes) -> np.ndarray:
+def _unpack(blob: bytes, cast: bool = True) -> np.ndarray:
     dctx = getattr(_TLS, "dctx", None)
     if dctx is None:
         dctx = _TLS.dctx = zstandard.ZstdDecompressor()
     out = _fast_npy(dctx.decompress(blob))
-    if out.dtype == np.int16:
+    if cast and out.dtype == np.int16:
         return out.astype(np.float32)
     return out
 
@@ -123,18 +123,18 @@ class BinDataset:
     def n_blocks(self) -> int:
         return len(self.x_blocks)
 
-    def x_block(self, i: int) -> np.ndarray:
-        return self._load(self.x_blocks[i])
+    def x_block(self, i: int, cast: bool = True) -> np.ndarray:
+        return self._load(self.x_blocks[i], cast=cast)
 
-    def y_block(self, i: int) -> np.ndarray:
-        return self._load(self.y_blocks[i])
+    def y_block(self, i: int, cast: bool = True) -> np.ndarray:
+        return self._load(self.y_blocks[i], cast=cast)
 
     def pos_block(self, i: int) -> np.ndarray:
         return self._load(self.pos_blocks[i])
 
-    def _load(self, blob: bytes) -> np.ndarray:
+    def _load(self, blob: bytes, cast: bool = True) -> np.ndarray:
         if self._codec == "zstd":
-            return _unpack(blob)
+            return _unpack(blob, cast=cast)
         if self._codec == "blosc":  # reference-bin compatibility
             import blosc
 
@@ -353,6 +353,12 @@ class EpochBatches:
     # chip fed. None = one worker per spare core (capped at 4; a block is
     # ~3 ms so more buys nothing), 0 = inline serial decode.
     decompress_workers: Optional[int] = None
+    # False: leave int16-packed blocks in their stored dtype — the jitted
+    # train step casts on device. Skips the host astype (the single
+    # costliest feed op after zstd inflate), halves batch-concat bytes,
+    # and halves the host->device transfer. Training uses this; default
+    # True preserves f32 batches for host-side consumers.
+    cast_to_float32: bool = True
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, bool]]:
         import queue
@@ -402,6 +408,7 @@ class EpochBatches:
         thread pool when workers are available (in-order delivery; the
         lookahead bounds memory at ~2 blocks per worker)."""
         ds = self.dataset
+        cast = self.cast_to_float32
         workers = self.decompress_workers
         if workers is None:
             import os
@@ -410,14 +417,14 @@ class EpochBatches:
         if workers <= 0:
             for i in self.block_order:
                 i = int(i)
-                yield ds.x_block(i), ds.y_block(i)
+                yield ds.x_block(i, cast=cast), ds.y_block(i, cast=cast)
             return
 
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         def load(i: int):
-            return ds.x_block(i), ds.y_block(i)
+            return ds.x_block(i, cast=cast), ds.y_block(i, cast=cast)
 
         block_iter = iter(self.block_order)
         with ThreadPoolExecutor(max_workers=workers) as pool:

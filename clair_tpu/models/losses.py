@@ -98,6 +98,10 @@ def total_loss(
     # emits bf16 logits, and a batch-summed focal loss over 10k rows would
     # lose ~8 bits of mantissa to the reduction otherwise
     logits = [lg.astype(jnp.float32) for lg in logits]
+    # the feed may ship labels in their stored int16 packing (bins.py
+    # cast_to_float32=False halves the host->device transfer); the one-hot
+    # counts are small integers, exact in either dtype
+    y = y.astype(jnp.float32)
     labels = [y[..., s[0]:s[1]] for s in spans]
 
     if loss_function == "CrossEntropy":

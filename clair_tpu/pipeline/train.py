@@ -262,6 +262,10 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
             dataset, block_order, n_train,
             config.train_batch_size, config.val_batch_size,
             decompress_workers=config.decompress_workers,
+            # ship int16-packed blocks as stored: the jitted steps cast on
+            # device (forward astype + losses.total_loss y upcast), so the
+            # feed skips its costliest host op and halves the transfer
+            cast_to_float32=False,
         )
         for x, y, is_training in batches:
             weights = None
