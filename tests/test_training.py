@@ -167,6 +167,60 @@ def test_epoch_batches_pooled_decompress_matches_serial():
     it.close()
 
 
+def test_epoch_batches_int16_passthrough_matches_cast_feed():
+    """The train loop consumes blocks in their stored int16 packing
+    (cast_to_float32=False) and casts on device; the batches must be the
+    stored dtype and forward/loss must be bit-identical to an f32 feed."""
+    import jax
+
+    from clair_tpu.models.clair import forward_logits, init_params
+    from clair_tpu.models.losses import total_loss
+
+    rs = np.random.RandomState(3)
+    n, block = 24, 8
+    xs = rs.randint(-120, 120, (n, 33, 8, 4)).astype(np.float32)
+    ys = np.zeros((n, 90), np.float32)
+    ys[:, 0] = 1.0
+    ys[:, 21] = 1.0
+    ys[:, 24 + 16] = 1.0
+    ys[:, 57 + 16] = 1.0
+    blocks = range(0, n, block)
+    ds = BinDataset(
+        n,
+        [_pack(xs[o:o + block]) for o in blocks],
+        [_pack(ys[o:o + block]) for o in blocks],
+        [_pack(np.array([f"chr1:{o + j}" for j in range(block)]))
+         for o in blocks],
+        block,
+    )
+    order = np.arange(ds.n_blocks)
+
+    def collect(cast):
+        return list(EpochBatches(ds, order, n_train=16, train_batch_size=16,
+                                 val_batch_size=8, decompress_workers=0,
+                                 cast_to_float32=cast))
+
+    packed, cast = collect(False), collect(True)
+    assert [b[0].dtype for b in packed] == [np.dtype(np.int16)] * len(packed)
+    assert [b[0].dtype for b in cast] == [np.dtype(np.float32)] * len(cast)
+    for (xp, yp, tp), (xc, yc, tc) in zip(packed, cast):
+        np.testing.assert_array_equal(xp.astype(np.float32), xc)
+        np.testing.assert_array_equal(yp.astype(np.float32), yc)
+        assert tp == tc
+
+    config = ModelConfig(lstm1_num_units=8, lstm2_num_units=8)
+    params = init_params(jax.random.PRNGKey(0), config)
+    fwd = jax.jit(lambda p, x: forward_logits(p, x, config))
+    xi, yi, _ = packed[0]
+    xf, yf, _ = cast[0]
+    logits_i, logits_f = fwd(params, xi), fwd(params, xf)
+    for li, lf in zip(logits_i, logits_f):
+        np.testing.assert_array_equal(np.asarray(li), np.asarray(lf))
+    loss_i = total_loss(logits_i, yi, params)[0]
+    loss_f = total_loss(logits_f, yf, params)[0]
+    np.testing.assert_array_equal(np.asarray(loss_i), np.asarray(loss_f))
+
+
 def test_cyclical_lr_matches_reference_semantics():
     clr = CyclicalLR(step_size=10, max_lr=0.03, mode="tri", min_lr=1e-4)
     values = [clr() for _ in range(40)]
