@@ -232,6 +232,12 @@ DEVICE_FORWARD_PROTOCOL = (
     "concat-free 4-head forward"
 )
 
+TRAIN_STEP_PROTOCOL = (
+    f"in-jit lax.scan of 21-1 full train steps, batch {TRAIN_BATCH}, "
+    "f32 device-resident input, rbg dropout stream (the train_model "
+    "production rng since round 4; threefry measured +4.25 ms/step)"
+)
+
 
 def device_throughput(params, config, batch=BATCH):
     """Real device forward time via in-jit scan (see module docstring).
@@ -370,7 +376,8 @@ def train_throughput(config, batch=TRAIN_BATCH) -> float:
     def loop(params, opt_state, x, y, iters):
         def body(carry, k):
             params, opt_state = carry
-            rng = jax.random.fold_in(jax.random.PRNGKey(2), k)
+            # rbg: the production dropout stream (pipeline/train.py)
+            rng = jax.random.fold_in(jax.random.key(2, impl="rbg"), k)
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, x, y, rng, config, l2, False, None
             )
@@ -718,6 +725,7 @@ def main():
         "pileup_workers": os.cpu_count(),
         "device_unreachable_cpu_fallback": not device_ok,
         "device_forward_protocol": DEVICE_FORWARD_PROTOCOL,
+        "train_step_protocol": TRAIN_STEP_PROTOCOL,
         # per-stage user+sys CPU seconds (process + children): on a >1-core
         # host, stages whose cpu_s ~= wall_s scale with workers
         "stage_cpu_s": {},
@@ -796,11 +804,11 @@ def main():
     st["host_decode_tps"] = decode_clean_tps
     if device_ok:
         wd.enter("train_step", 1800)
-        st["train_samples_per_sec"] = train_throughput(config)  # f32 default
-        # the documented mixed-precision opt-in (TrainingConfig.
-        # train_compute_dtype="bfloat16"; f32 cell-state accumulation +
-        # f32 loss, accuracy re-measured in docs/ROADMAP.md): chip number
-        # recorded alongside so the roofline table stays current
+        # f32: the exact-parity escape hatch (train_compute_dtype=
+        # "float32"); kept first for round-over-round comparability with
+        # BENCH_r01-r03 where it was the default
+        st["train_samples_per_sec"] = train_throughput(config)
+        # bf16 scan (no stream kernel): the meshed-training path's rate
         wd.enter("train_step_bf16", 1800)
         try:
             st["train_samples_per_sec_bf16"] = train_throughput(config_bf16)
@@ -810,9 +818,13 @@ def main():
             st["train_samples_per_sec_bf16"] = None
             st["train_step_bf16_failed"] = True
             print(f"[bench] bf16 train stage failed ({exc})", file=sys.stderr)
-        # the PRODUCTION train path: bf16 compute + the streaming-grid
-        # Pallas BiLSTM (train_model auto-enables the kernel on single-
-        # device TPU runs; ops/pallas_bilstm_stream.py)
+        # the TRAINING DEFAULT since round 4: bf16 compute + the
+        # streaming-grid Pallas BiLSTM (TrainingConfig.train_compute_dtype
+        # defaults to bfloat16 and train_model auto-enables the kernel on
+        # single-device TPU runs; ops/pallas_bilstm_stream.py). Accuracy
+        # evidence for the flip: the production-recipe held-out bf16 run,
+        # docs/ACCURACY.md (recall 1.000 / precision 0.902 / 147/147 exact
+        # vs f32's 1.000 / 0.880 / 147/147)
         wd.enter("train_step_stream_bf16", 1800)
         try:
             st["train_samples_per_sec_stream_bf16"] = train_throughput(
@@ -820,6 +832,9 @@ def main():
                     config_bf16, use_pallas_stream_bilstm=True
                 )
             )
+            st["train_samples_per_sec_default"] = (
+                st["train_samples_per_sec_stream_bf16"])
+            st["train_default"] = "bfloat16+stream_kernel"
         except Exception as exc:
             st["train_samples_per_sec_stream_bf16"] = None
             st["train_step_stream_bf16_failed"] = True

@@ -145,9 +145,13 @@ def _bwd_kernel(x_ref, h_prev_ref, c_prev_ref, c_t_ref, dh_out_ref,
 
 def _pick_tile(n2: int) -> int:
     """Per-step VMEM residency is a handful of (tile, 512) blocks, so the
-    tile is MXU-width-bound, not VMEM-bound; 512 rows keeps the 128x128
-    MXU full while the per-direction tile count stays integral."""
-    for tile in (512, 256, 128, 64, 32, 16, 8):
+    tile is grid-overhead-bound more than VMEM-bound: at batch 10240 the
+    measured fwd+bwd legs are 8.27/12.03 ms at tile 512 and 7.93/11.73 at
+    1024 (lstm1/lstm2, tools/step_decomp.py) — fewer, fatter grid cells
+    amortize the per-cell dispatch. 2048 fails to compile (VMEM: the
+    backward streams five (tile, 128+) blocks plus f32 scratch). The
+    per-direction tile count must stay integral."""
+    for tile in (1024, 512, 256, 128, 64, 32, 16, 8):
         if (n2 // 2) % tile == 0:
             return tile
     return 8
@@ -291,7 +295,7 @@ def bilstm_train_stream(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
 
 def _bilstm_fwd(params: Dict, x: jnp.ndarray):
     b, t_len, feat = x.shape
-    pad_to = 512 if b >= 512 else 8
+    pad_to = 1024 if b >= 1024 else (512 if b >= 512 else 8)
     bp = ((b + pad_to - 1) // pad_to) * pad_to
     if bp != b:
         x = jnp.pad(x, ((0, bp - b), (0, 0), (0, 0)))

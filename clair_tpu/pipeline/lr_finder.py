@@ -67,8 +67,9 @@ def find_learning_rate(
     output_path: Optional[str] = None,
     seed: int = 0,
 ) -> LrFinderResult:
-    rng = jax.random.PRNGKey(seed)
-    rng, init_rng = jax.random.split(rng)
+    # rbg dropout stream, threefry init — matches pipeline/train.py
+    rng = jax.random.key(seed, impl="rbg")
+    init_rng = jax.random.PRNGKey(seed + 1)
     params = init_params(init_rng, model_config)
     optimizer = make_optimizer(model_config.optimizer_name, min_lr)
     opt_state = optimizer.init(params)

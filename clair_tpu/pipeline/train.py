@@ -85,15 +85,16 @@ class TrainingConfig:
     mesh: Optional[object] = None
     seed: int = 0
     evaluate_at_end: bool = True
-    # training defaults to float32 for exact-parity posture with converted
-    # reference checkpoints. bf16 compute (f32 master weights, f32 loss
-    # accumulation — losses.py upcasts logits) is a measured 1.67x at
-    # batch 10k on a v5e (72.2 -> 43.2 ms/step; 41.4 with the step remat)
-    # and, after the f32 loss fix, converges within ~1 recall point of
-    # f32 at demo scale (0.983/0.991 vs 0.991/1.000 recall/precision on
-    # the ONT held-out run — the earlier "~9 recall points" measurement
-    # predated the loss upcast). Flip per-run when throughput matters.
-    train_compute_dtype: str = "float32"
+    # bf16 compute is the TRAINING DEFAULT (f32 master weights, f32 loss
+    # accumulation — losses.py upcasts logits — and f32 cell state in the
+    # recurrence): measured 352k samples/s at batch 10k on a v5e with the
+    # stream kernel vs 170k for f32+remat, and the full production-recipe
+    # held-out run (2 Mb ONT, 19,986 variants, batch 10,000 + adaptive
+    # decay) scores recall 1.000 / precision 0.902 / 147/147 exact —
+    # matching-or-beating the f32 run's 1.000 / 0.880 / 147/147
+    # (docs/ACCURACY.md). "float32" remains the escape hatch for exact
+    # numeric parity with converted reference checkpoints.
+    train_compute_dtype: str = "bfloat16"
     # block-decompression threads for the epoch feed (None = one per spare
     # core, capped at 4; 0 = inline). One thread decodes ~173k samples/s
     # (int16 blocks) — below the bf16 step's 242k, so multi-core hosts
@@ -142,8 +143,14 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
         model_config = dataclasses.replace(
             model_config, use_pallas_stream_bilstm=True
         )
-    rng = jax.random.PRNGKey(config.seed)
-    rng, init_rng = jax.random.split(rng)
+    # param init stays on the default threefry stream (checkpoint-stable);
+    # the per-step dropout stream uses the rbg implementation — XLA's
+    # hardware RngBitGenerator. The lstm2 dropout mask is (B, 33, 256)
+    # ~86M bits/step at batch 10k, and threefry generation alone measured
+    # 4.25 ms of the 32 ms step on a v5e (tools/step_decomp.py); rbg cuts
+    # the mask cost to noise. Streams stay deterministic per seed.
+    rng = jax.random.key(config.seed, impl="rbg")
+    init_rng = jax.random.PRNGKey(config.seed + 1)
 
     shard = None
     pid, nproc = 0, 1

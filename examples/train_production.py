@@ -149,8 +149,11 @@ def main():
     parser.add_argument("--seed", type=int, default=21)
     parser.add_argument("--hard_max_epochs", type=int, default=200)
     parser.add_argument("--output", default=None)
-    parser.add_argument("--train_compute_dtype", default="float32",
-                        choices=["float32", "bfloat16"])
+    parser.add_argument("--train_compute_dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="default: the TrainingConfig default (bfloat16; "
+                             "both dtypes have a production-recipe held-out "
+                             "row in docs/ACCURACY.md)")
     parser.add_argument("--dataset_bin", default=None,
                         help="cache the built dataset at this path (loaded "
                              "if it exists — the 2 Mb dataset takes ~20 min "
@@ -197,7 +200,8 @@ def main():
             checkpoint_every=10,
             evaluate_at_end=True,
             seed=args.seed,
-            train_compute_dtype=args.train_compute_dtype,
+            **({"train_compute_dtype": args.train_compute_dtype}
+               if args.train_compute_dtype else {}),
         ),
     )
     train_secs = time.perf_counter() - t0

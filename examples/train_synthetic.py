@@ -155,10 +155,12 @@ def main():
     parser.add_argument("--n_variants", type=int, default=700)
     parser.add_argument("--seed", type=int, default=11)
     parser.add_argument("--output", default=None)
-    parser.add_argument("--train_compute_dtype", default="float32",
+    parser.add_argument("--train_compute_dtype", default=None,
                         choices=["float32", "bfloat16"],
-                        help="bfloat16 reproduces the docs/ROADMAP.md "
-                             "mixed-precision accuracy measurements")
+                        help="default: the TrainingConfig default (bfloat16 "
+                             "compute, f32 master/loss/cell state). The "
+                             "vendored examples/*_synthetic.ckpt were "
+                             "trained with float32")
     args = parser.parse_args()
 
     from clair_tpu.params import ModelConfig
@@ -181,7 +183,8 @@ def main():
             learning_rate=1e-3, train_batch_size=256, val_batch_size=32,
             schedule="fixed", max_epochs=args.epochs, checkpoint_every=100,
             evaluate_at_end=False, seed=args.seed, restore_best=False,
-            train_compute_dtype=args.train_compute_dtype,
+            **({"train_compute_dtype": args.train_compute_dtype}
+               if args.train_compute_dtype else {}),
         ),
     )
 
