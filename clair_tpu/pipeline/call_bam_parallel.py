@@ -51,6 +51,13 @@ class PipelineStats:
     wait_s: List[float] = dataclasses.field(default_factory=list)
     decode_s: List[float] = dataclasses.field(default_factory=list)
     prepare_s: List[float] = dataclasses.field(default_factory=list)
+    # byte accounting for the device legs, so "the residual is the link"
+    # is quantitative: uplink = padded int16 batches shipped at dispatch,
+    # downlink = stacked (k, B, 90) f32 probability fetches. uplink_mb /
+    # device_wait_s_total in summary() is the effective link rate the run
+    # saw; compare it to the raw tunnel rate to attribute e2e movement.
+    dispatch_bytes: List[int] = dataclasses.field(default_factory=list)
+    fetch_bytes: List[int] = dataclasses.field(default_factory=list)
 
     def summary(self) -> Dict[str, float]:
         import numpy as np
@@ -58,10 +65,16 @@ class PipelineStats:
         def pct(values, q):
             return round(float(np.percentile(values, q)) * 1e3, 3) if values else 0.0
 
+        uplink_mb = sum(self.dispatch_bytes) / 1e6
+        wait_total = sum(self.fetch_s)
         return {
             "batches": len(self.wait_s),
             "windows": len(self.prepare_s),
             "fetches": len(self.fetch_s),
+            "uplink_mb": round(uplink_mb, 2),
+            "downlink_mb": round(sum(self.fetch_bytes) / 1e6, 2),
+            "link_mb_per_s_effective": (
+                round(uplink_mb / wait_total, 2) if wait_total else 0.0),
             "fetch_ms_p50": pct(self.fetch_s, 50),
             "fetch_ms_p99": pct(self.fetch_s, 99),
             "device_wait_ms_p50": pct(self.wait_s, 50),
@@ -549,6 +562,8 @@ def call_bam_windows_threaded(
             fetch_elapsed = time.perf_counter() - t0
             if stats is not None:
                 stats.fetch_s.append(fetch_elapsed)
+                stats.fetch_bytes.append(
+                    len(to_fetch) * predictor.batch_size * 90 * 4)
         for i, (ws, batch) in enumerate(entries):
             if ws is not current[0]:
                 close_current()
@@ -680,6 +695,13 @@ def call_bam_windows_threaded(
                         work_q.put((ws, None))
                         break
                     ws.batches += 1
+                    if stats is not None:
+                        # what actually crossed the link: the padded int16
+                        # batch (Predictor.predict_async)
+                        per_row = 1
+                        for d in x.shape[1:]:
+                            per_row *= int(d)
+                        stats.dispatch_bytes.append(batch_size * per_row * 2)
                     work_q.put(
                         (ws, (infos, x, out, n, time.perf_counter() - t0))
                     )

@@ -95,6 +95,13 @@ def test_deep_inflight_matches_shallow_and_records_stats(tmp_path):
     assert sum(len(b) for b in [stats.wait_s]) > 0 and total > 0
     s = stats.summary()
     assert s["device_wait_ms_p99"] >= s["device_wait_ms_p50"] >= 0.0
+    # byte accounting: every dispatched batch ships the padded int16 block,
+    # every fetch returns stacked (k, B, 90) f32 probabilities
+    assert len(stats.dispatch_bytes) == s["batches"]
+    assert s["uplink_mb"] > 0 and s["downlink_mb"] > 0
+    # each batch ships batch_size x (33*8*4) int16 rows regardless of fill
+    assert all(b == stats.dispatch_bytes[0] and b % (33 * 8 * 4 * 2) == 0
+               for b in stats.dispatch_bytes)
 
 
 def test_pipelined_runner_survives_dispatch_failure(tmp_path):
