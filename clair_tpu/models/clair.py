@@ -108,15 +108,15 @@ def forward_logits(
     h = x.reshape(b, config.no_of_positions, config.feature_dim).astype(compute_dtype)
 
     lstm = bilstm
-    if config.use_pallas_bilstm and jax.default_backend() != "cpu":
+    if config.use_pallas_bilstm and jax.default_backend() == "tpu":
         from clair_tpu.ops.pallas_bilstm import bilstm_pallas
 
         lstm = bilstm_pallas
-    elif config.use_pallas_stream_bilstm and jax.default_backend() != "cpu":
+    elif config.use_pallas_stream_bilstm and jax.default_backend() == "tpu":
         from clair_tpu.ops.pallas_bilstm_stream import bilstm_train_stream
 
         lstm = bilstm_train_stream
-    elif config.use_pallas_train_bilstm and jax.default_backend() != "cpu":
+    elif config.use_pallas_train_bilstm and jax.default_backend() == "tpu":
         if compute_dtype != jnp.float32:
             raise ValueError(
                 "use_pallas_train_bilstm is float32-only (the kernel "

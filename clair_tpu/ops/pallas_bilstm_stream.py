@@ -295,7 +295,11 @@ def bilstm_train_stream(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
 
 def _bilstm_fwd(params: Dict, x: jnp.ndarray):
     b, t_len, feat = x.shape
-    pad_to = 1024 if b >= 1024 else (512 if b >= 512 else 8)
+    # pad to a 512 multiple: _pick_tile still selects 1024-row tiles
+    # whenever the padded batch divides (e.g. 10000 -> 10240), while a
+    # 1024 pad grain would waste up to 2x compute on batches just above
+    # a 1024 boundary (1025 -> 2048 instead of 1536)
+    pad_to = 512 if b >= 512 else 8
     bp = ((b + pad_to - 1) // pad_to) * pad_to
     if bp != b:
         x = jnp.pad(x, ((0, bp - b), (0, 0), (0, 0)))

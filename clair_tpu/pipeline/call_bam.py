@@ -620,26 +620,14 @@ def call_window(work: WindowWork, predictor: Predictor, writer: VcfWriter,
     In ensemble mode rows are tensor+probability dumps instead of VCF
     (ref callVarBam.py forwards --output_for_ensemble to call_var)."""
     config = work.config
-    ensemble = work.output_config.is_output_for_ensemble
     total = 0
     batch = predictor.batch_size
 
     def flush(pending):
-        infos, x, out, n = pending
-        if ensemble:
-            from clair_tpu.pipeline.call_var import write_ensemble_rows
+        from clair_tpu.pipeline.call_var import emit_batch
 
-            infos_list = [
-                (infos.contig, int(infos.positions[i]), infos.sequences[i])
-                for i in range(n)
-            ]
-            write_ensemble_rows(
-                x, infos_list, predictor.gather(out, n), n, writer._fh
-            )
-        else:
-            _decode_batch(pending, predictor, work.output_config, writer,
+        return emit_batch(pending, predictor, work.output_config, writer,
                           work.indel_sources, debug_fh)
-        return n
 
     # Keep several batches in flight: on a remote TPU link the round trip
     # per batch (dispatch + device->host copy) is the dominant cost, and

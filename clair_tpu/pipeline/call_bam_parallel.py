@@ -460,13 +460,11 @@ def call_bam_windows_threaded(
     total = 0
     failures = 0
     depth = WGS_INFLIGHT_DEPTH if inflight_depth is None else max(1, inflight_depth)
-    ensemble = getattr(base_config, "output_for_ensemble", False)
-
     import queue as queue_mod
     import threading
 
     from clair_tpu.data.tensor_stream import LazyTensorInfos
-    from clair_tpu.pipeline.call_var import _decode_batch, write_ensemble_rows
+    from clair_tpu.pipeline.call_var import emit_batch
 
     class _PreGathered:
         """gather() shim: the consumer fetches probabilities itself (to
@@ -579,21 +577,11 @@ def call_bam_windows_threaded(
             infos, x, out, n, dispatch_elapsed = batch
             try:
                 t1 = time.perf_counter()
-                if ensemble:
-                    infos_list = [
-                        (infos.contig, int(infos.positions[k]),
-                         infos.sequences[k])
-                        for k in range(n)
-                    ]
-                    write_ensemble_rows(
-                        x, infos_list, probs_by_index[i], n, writer._fh
-                    )
-                else:
-                    _decode_batch(
-                        (infos, x, probs_by_index[i], n), _PreGathered,
-                        ws.work.output_config, writer, ws.work.indel_sources,
-                        None,
-                    )
+                emit_batch(
+                    (infos, x, probs_by_index[i], n), _PreGathered,
+                    ws.work.output_config, writer, ws.work.indel_sources,
+                    None,
+                )
                 t2 = time.perf_counter()
                 if stats is not None:
                     stats.dispatch_s.append(dispatch_elapsed)
@@ -603,11 +591,15 @@ def call_bam_windows_threaded(
             except Exception as exc:
                 ws.failed = f"{type(exc).__name__}: {exc}"
 
+    done_seen = [False]  # set the moment _DONE leaves the queue, so the
+    # consumer_main drain loop never blocks on a sentinel already consumed
+
     def consume() -> None:
         done = False
         while not done:
             item = work_q.get()
             if item is _DONE:
+                done_seen[0] = True
                 break
             group = [item]
             while True:
@@ -616,6 +608,7 @@ def call_bam_windows_threaded(
                 except queue_mod.Empty:
                     break
                 if nxt is _DONE:
+                    done_seen[0] = True
                     done = True
                     break
                 group.append(nxt)
@@ -627,8 +620,12 @@ def call_bam_windows_threaded(
             consume()
         except BaseException as exc:  # keep the producer from deadlocking
             fatal.append(exc)
-            while work_q.get() is not _DONE:
-                pass
+            # drain until the sentinel — unless consume() already took it
+            # (e.g. close_current raised AFTER _DONE), where a blocking
+            # get() would never return and hang the producer's join()
+            while not done_seen[0]:
+                if work_q.get() is _DONE:
+                    break
 
     consumer = threading.Thread(
         target=consumer_main, name="wgs-decode", daemon=True
@@ -711,6 +708,16 @@ def call_bam_windows_threaded(
         if had_eager is not None:
             predictor.eager_host_copy = had_eager
     if fatal:
+        # finalize the audit trail and output stream before surfacing the
+        # error: an unclosed BgzfTextWriter has no EOF block (tabix rejects
+        # it) and buffered joblog records for COMPLETED windows would be
+        # lost, making --resume re-run work that already succeeded
+        if output_path:
+            try:
+                output_fh.close()
+            except Exception:
+                pass
+        joblog.close()
         raise fatal[0]
     if output_path:
         output_fh.close()

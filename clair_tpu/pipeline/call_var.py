@@ -223,6 +223,27 @@ def call_variants(
     return total
 
 
+def emit_batch(pending, gatherer, output_config, writer, indel_sources,
+               debug_fh=None) -> int:
+    """Decode ONE pending (infos, x, out, n) batch to the writer: VCF rows,
+    or tensor+probability dump rows when output_config is in ensemble mode.
+    The shared flush used by both the per-window runner (call_bam) and the
+    threaded WGS runner (call_bam_parallel) — `gatherer` is anything with
+    .gather(out, n) -> 4 head arrays (a Predictor, or a pre-gathered shim)."""
+    infos, x, out, n = pending
+    if output_config.is_output_for_ensemble:
+        infos_list = [
+            (infos.contig, int(infos.positions[i]), infos.sequences[i])
+            for i in range(n)
+        ]
+        write_ensemble_rows(x, infos_list, gatherer.gather(out, n), n,
+                            writer._fh)
+    else:
+        _decode_batch(pending, gatherer, output_config, writer,
+                      indel_sources, debug_fh)
+    return n
+
+
 def _decode_batch(pending, predictor, output_config, vcf_writer, indel_sources, debug_fh):
     from clair_tpu.pipeline.batch_decode import decode_batch
 

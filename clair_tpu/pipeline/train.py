@@ -134,7 +134,7 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
         # auto: single-device TPU training only — under a mesh the step is
         # GSPMD-partitioned and a pallas_call would not shard on its own
         use_stream = (
-            jax.default_backend() != "cpu"
+            jax.default_backend() == "tpu"
             and config.mesh is None
             and not model_config.use_pallas_bilstm
             and not model_config.use_pallas_train_bilstm

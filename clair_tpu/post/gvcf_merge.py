@@ -85,13 +85,27 @@ class GvcfSample:
         i = bisect.bisect_right(self._keys("blocks", chrom), pos) - 1
         if i >= 0 and blocks[i].position <= pos <= blocks[i].end:
             return blocks[i].gq, blocks[i].min_dp
+        # variant REF spans can nest/overlap (a long deletion followed by a
+        # SNP inside its span), so the nearest-preceding row is not enough:
+        # walk back while the running max span end still reaches pos (the
+        # prefix-max array bounds the scan — once it drops below pos no
+        # earlier row can cover it)
         variants = self.variants.get(chrom, ())
-        j = bisect.bisect_right(self._keys("variants", chrom), pos) - 1
-        if j >= 0 and variants[j].position <= pos < (
-            variants[j].position + len(variants[j].reference)
-        ):
-            v = variants[j]
-            return v.gq or 0, v.depth or 0
+        keys = self._keys("variants", chrom)
+        cache = self.__dict__.setdefault("_span_cache", {})
+        if chrom not in cache:
+            ends, running = [], -1
+            for v in variants:
+                running = max(running, v.position + len(v.reference) - 1)
+                ends.append(running)
+            cache[chrom] = ends
+        prefix_max_end = cache[chrom]
+        k = bisect.bisect_right(keys, pos) - 1
+        while k >= 0 and prefix_max_end[k] >= pos:
+            v = variants[k]
+            if v.position <= pos < v.position + len(v.reference):
+                return v.gq or 0, v.depth or 0
+            k -= 1
         return None
 
 
@@ -199,6 +213,50 @@ def _unify_site(rows: List[Optional[GvcfVariant]]) -> Tuple[str, List[str], List
     return reference, joint_alts, remaps
 
 
+def _combine_sample_rows(rows: List[GvcfVariant]) -> GvcfVariant:
+    """Collapse one sample's same-position rows (the split-multiallelic
+    form GATK/`bcftools norm` emit: one ALT per row) into a single row, so
+    no allele is silently dropped. Alleles are unified exactly like
+    cross-sample rows; the genotype is rebuilt from the union of called
+    alt alleles (two distinct alts -> het-alt a/b, one alt -> hom if any
+    source row was hom else 0/x); GQ/DP/QUAL take the max."""
+    if len(rows) == 1:
+        return rows[0]
+    reference = max((r.reference for r in rows), key=len)
+    alts: List[str] = []
+    called: List[int] = []
+    any_hom_alt = False
+    for r in rows:
+        suffix = reference[len(r.reference):]
+        local = {0: 0}
+        for i, alt in enumerate(r.alternates, start=1):
+            lifted = alt + suffix
+            if lifted not in alts:
+                alts.append(lifted)
+            local[i] = alts.index(lifted) + 1
+        a, b = r.genotype
+        row_called = [local[x] for x in (a, b)
+                      if x is not None and x in local and local[x] != 0]
+        if len(row_called) == 2 and row_called[0] == row_called[1]:
+            any_hom_alt = True
+        for j in row_called:
+            if j not in called:
+                called.append(j)
+    if not called:
+        genotype: Tuple[Optional[int], Optional[int]] = (0, 0)
+    elif len(called) == 1:
+        genotype = (called[0], called[0]) if any_hom_alt else (0, called[0])
+    else:
+        genotype = (called[0], called[1])
+    gqs = [r.gq for r in rows if r.gq is not None]
+    dps = [r.depth for r in rows if r.depth is not None]
+    return GvcfVariant(
+        rows[0].position, reference, alts,
+        max(r.qual for r in rows), genotype,
+        max(gqs) if gqs else None, max(dps) if dps else None,
+    )
+
+
 def merge_gvcfs(
     inputs: Iterable,
     output_fh: IO,
@@ -236,10 +294,14 @@ def merge_gvcfs(
         positions = sorted({
             v.position for s in samples for v in s.variants.get(chrom, ())
         })
-        by_sample = [
-            {v.position: v for v in s.variants.get(chrom, ())}
-            for s in samples
-        ]
+        by_sample = []
+        for s in samples:
+            grouped: Dict[int, List[GvcfVariant]] = {}
+            for v in s.variants.get(chrom, ()):
+                grouped.setdefault(v.position, []).append(v)
+            by_sample.append(
+                {p: _combine_sample_rows(vs) for p, vs in grouped.items()}
+            )
         for pos in positions:
             rows = [m.get(pos) for m in by_sample]
             reference, joint_alts, remaps = _unify_site(rows)

@@ -218,3 +218,65 @@ def test_merge_gvcf_cli(two_sample_gvcfs, tmp_path):
     assert text.startswith("##fileformat")
     assert "\tA\tB\n" in text
     assert any(not l.startswith("#") for l in text.splitlines())
+
+
+def test_coverage_at_sees_spanning_deletion_behind_nearer_row():
+    """A long deletion's REF span must provide reference evidence even
+    when a LATER variant row (inside the span) is the nearest-preceding
+    row at the queried position (review finding, round 4)."""
+    s = parse_gvcf(io.StringIO(_make_gvcf_text([
+        # deletion REF span covers 100-109
+        "chr1\t100\t.\tACGTACGTAC\tA,<NON_REF>\t60\t.\t.\tGT:GQ:DP:PL\t0/1:60:25:.",
+        # SNP inside the span: nearest-preceding row for pos 107
+        "chr1\t104\t.\tT\tG,<NON_REF>\t50\t.\t.\tGT:GQ:DP:PL\t0/1:50:24:.",
+    ])), name="A")
+    assert s.coverage_at("chr1", 107) == (60, 25)
+    assert s.coverage_at("chr1", 104) == (50, 24)  # the SNP row itself
+    assert s.coverage_at("chr1", 110) is None      # past the span
+
+    # and through the merge: sample B has a variant at 107; A must fill 0/0
+    b = parse_gvcf(io.StringIO(_make_gvcf_text([
+        "chr1\t107\t.\tG\tC,<NON_REF>\t70\t.\t.\tGT:GQ:DP:PL\t1/1:70:30:.",
+    ])), name="B")
+    out = io.StringIO()
+    merge_gvcfs([s, b], out)
+    row107 = [l for l in out.getvalue().splitlines()
+              if not l.startswith("#") and l.split("\t")[1] == "107"][0]
+    assert row107.split("\t")[9] == "0/0:60:25"
+
+
+def test_same_position_split_multiallelic_rows_keep_both_alleles():
+    """GATK/bcftools-norm split form: two rows at one POS, one ALT each.
+    Neither allele may vanish (review finding, round 4)."""
+    a = parse_gvcf(io.StringIO(_make_gvcf_text([
+        "chr1\t500\t.\tA\tG,<NON_REF>\t55\t.\t.\tGT:GQ:DP:PL\t0/1:55:30:.",
+        "chr1\t500\t.\tA\tT,<NON_REF>\t52\t.\t.\tGT:GQ:DP:PL\t0/1:52:30:.",
+    ])), name="A")
+    out = io.StringIO()
+    merge_gvcfs([a], out)
+    rows = [l for l in out.getvalue().splitlines() if not l.startswith("#")]
+    assert len(rows) == 1
+    f = rows[0].split("\t")
+    assert f[1] == "500" and sorted(f[4].split(",")) == ["G", "T"]
+    # both alts called -> het-alt genotype over the joint allele list
+    gt = f[9].split(":")[0]
+    assert sorted(gt.split("/")) == ["1", "2"]
+
+
+def test_same_position_hom_and_single_alt_combination():
+    from clair_tpu.post.gvcf_merge import GvcfVariant, _combine_sample_rows
+
+    # duplicate rows both calling the same alt, one hom -> stays hom
+    v = _combine_sample_rows([
+        GvcfVariant(10, "A", ["C"], 40.0, (1, 1), 40, 20),
+        GvcfVariant(10, "A", ["C"], 35.0, (0, 1), 35, 22),
+    ])
+    assert v.alternates == ["C"] and v.genotype == (1, 1)
+    assert v.gq == 40 and v.depth == 22 and v.qual == 40.0
+    # different-length REFs unify to the longest with suffix lifting
+    v = _combine_sample_rows([
+        GvcfVariant(10, "AT", ["A"], 30.0, (0, 1), 30, 18),   # del
+        GvcfVariant(10, "A", ["G"], 28.0, (0, 1), 28, 18),    # snp
+    ])
+    assert v.reference == "AT" and sorted(v.alternates) == ["A", "GT"]
+    assert sorted(v.genotype) == [1, 2]
