@@ -54,6 +54,14 @@ class VcfWriter:
     def end_window(self) -> None:
         """Window bracket hook (no-op here; GvcfWriter merges blocks)."""
 
+    def abandon_window(self) -> None:
+        """Discard an open window bracket WITHOUT emitting anything
+        (no-op here; GvcfWriter drops its buffered rows). Used when a
+        window fails mid-decode: emitting its partial rows — and, in gVCF
+        mode, hom-ref blocks over the undecoded remainder — would both
+        fabricate calls and double-cover the window once --resume re-runs
+        it."""
+
     def write_header(self) -> None:
         print(HEADER_BODY, file=self._fh)
         if self.header_extra:

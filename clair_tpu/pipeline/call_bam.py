@@ -637,24 +637,31 @@ def call_window(work: WindowWork, predictor: Predictor, writer: VcfWriter,
     from collections import deque
 
     writer.begin_window(work)
-    pending = deque()
-    for off in range(0, len(work.tensors), batch):
-        x = work.tensors[off:off + batch]  # pre-normalized; read-only use
-        infos = LazyTensorInfos(
-            config.contig,
-            work.centers[off:off + len(x)],
-            work.sequences[off:off + len(x)],
-        )
-        out, n = predictor.predict_async(x)
-        pending.append((infos, x, out, n))
-        if len(pending) > PIPELINE_DEPTH:
+    try:
+        pending = deque()
+        for off in range(0, len(work.tensors), batch):
+            x = work.tensors[off:off + batch]  # pre-normalized; read-only
+            infos = LazyTensorInfos(
+                config.contig,
+                work.centers[off:off + len(x)],
+                work.sequences[off:off + len(x)],
+            )
+            out, n = predictor.predict_async(x)
+            pending.append((infos, x, out, n))
+            if len(pending) > PIPELINE_DEPTH:
+                total += flush(pending.popleft())
+        while pending:
             total += flush(pending.popleft())
-    while pending:
-        total += flush(pending.popleft())
-    writer.end_window()
-    fasta = getattr(work, "_fasta_to_close", None)
-    if fasta is not None:
-        fasta.close()
+        writer.end_window()
+    except BaseException:
+        # a failed window must write NOTHING (partial rows / gVCF blocks
+        # over undecoded candidates would double-cover once it is retried)
+        writer.abandon_window()
+        raise
+    finally:
+        fasta = getattr(work, "_fasta_to_close", None)
+        if fasta is not None:
+            fasta.close()
     return total
 
 

@@ -527,7 +527,14 @@ def call_bam_windows_threaded(
             return
         if ws.began:
             try:
-                writer.end_window()
+                if ws.failed is not None:
+                    # never flush a failed window: partial variant rows
+                    # (and gVCF hom-ref blocks over undecoded candidates)
+                    # would land in the output, then --resume would append
+                    # the full window again — double coverage
+                    writer.abandon_window()
+                else:
+                    writer.end_window()
             except Exception as exc:
                 ws.failed = ws.failed or f"{type(exc).__name__}: {exc}"
         finish_window(ws)
@@ -552,11 +559,21 @@ def call_bam_windows_threaded(
                     [entries[i][1][3] for i in to_fetch],
                 )
                 probs_by_index = dict(zip(to_fetch, gathered))
-            except Exception as exc:
-                err = f"{type(exc).__name__}: {exc}"
+            except Exception:
+                # one grouped fetch can carry batches from up to `depth`
+                # windows; a single transient link error must not fail
+                # them all. Retry per batch so only batches that fail on
+                # their own mark their window failed.
                 for i in to_fetch:
-                    ws = entries[i][0]
-                    ws.failed = ws.failed or err
+                    ws, batch = entries[i]
+                    try:
+                        probs_by_index[i] = predictor.gather(
+                            batch[2], batch[3]
+                        )
+                    except Exception as exc:
+                        ws.failed = (
+                            ws.failed or f"{type(exc).__name__}: {exc}"
+                        )
             fetch_elapsed = time.perf_counter() - t0
             if stats is not None:
                 stats.fetch_s.append(fetch_elapsed)
@@ -624,8 +641,20 @@ def call_bam_windows_threaded(
             # (e.g. close_current raised AFTER _DONE), where a blocking
             # get() would never return and hang the producer's join()
             while not done_seen[0]:
-                if work_q.get() is _DONE:
+                item = work_q.get()
+                if item is _DONE:
                     break
+                # drained windows never reach finish_window; release their
+                # FASTA readers (close is idempotent — a window may have
+                # several batches queued)
+                ws = item[0]
+                f = getattr(ws.work, "_fasta_to_close", None) \
+                    if ws.work is not None else None
+                if f is not None:
+                    try:
+                        f.close()
+                    except Exception:
+                        pass
 
     consumer = threading.Thread(
         target=consumer_main, name="wgs-decode", daemon=True
@@ -702,6 +731,20 @@ def call_bam_windows_threaded(
                     work_q.put(
                         (ws, (infos, x, out, n, time.perf_counter() - t0))
                     )
+            # on a fatal abort the loop exits with prepare futures still
+            # pending; the pool exit completes them, so close the FASTA
+            # readers those windows opened (finish_window never sees them)
+            for _, future in pending:
+                try:
+                    work, _ = future.result()
+                except Exception:
+                    continue
+                f = getattr(work, "_fasta_to_close", None)
+                if f is not None:
+                    try:
+                        f.close()
+                    except Exception:
+                        pass
     finally:
         work_q.put(_DONE)
         consumer.join()

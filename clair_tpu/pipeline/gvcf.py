@@ -146,6 +146,14 @@ class GvcfWriter(VcfWriter):
         self._rows = []
         self._window = getattr(work, "gvcf_data", None)
 
+    def abandon_window(self) -> None:
+        # a failed window writes NOTHING: its buffered variant rows are
+        # partial and its confidence data covers candidates that were
+        # never decoded; --resume re-runs the whole window. _carry is kept
+        # — it belongs to the previous (successful) window's edge deletion
+        self._rows = None
+        self._window = None
+
     def write_raw(self, text: str) -> None:
         if self._rows is None:
             super().write_raw(text)

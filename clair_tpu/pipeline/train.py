@@ -132,10 +132,15 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
     use_stream = config.use_stream_bilstm
     if use_stream is None:
         # auto: single-device TPU training only — under a mesh the step is
-        # GSPMD-partitioned and a pallas_call would not shard on its own
+        # GSPMD-partitioned and a pallas_call would not shard on its own.
+        # float32 compute is the documented exact-parity escape hatch, so
+        # auto never swaps its accumulation order for the kernel's; f32
+        # users who want the kernel (216k vs 170k samples/s) opt in with
+        # use_stream_bilstm=True
         use_stream = (
             jax.default_backend() == "tpu"
             and config.mesh is None
+            and config.train_compute_dtype != "float32"
             and not model_config.use_pallas_bilstm
             and not model_config.use_pallas_train_bilstm
         )

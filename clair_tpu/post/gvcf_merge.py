@@ -20,8 +20,12 @@ Semantics (the "naive GLnexus" core):
    joint ALT list.
 3. **Reference filling** — a sample without a variant row at a unified
    site contributes ``0/0`` with GQ/DP from its reference block covering
-   the site, or from its own overlapping variant REF span (a deletion
-   whose span covers the site), else ``./.`` (no data).
+   the site. If instead one of its OWN variant rows spans the site (a
+   deletion whose REF span covers it), the fill is genotype-aware: REF
+   haplotypes contribute ``0``, called deletion haplotypes contribute the
+   VCF spanning-deletion allele ``*`` (GATK/GLnexus convention — never a
+   fabricated ``0/0`` under a hom-alt deletion), anything else ``.``.
+   With no coverage at all: ``./.`` (no data).
 4. **QUAL** — max of the contributing rows' QUALs.
 
 Output is one multi-sample VCF, rows in (contig-appearance, pos) order,
@@ -76,15 +80,15 @@ class GvcfSample:
             cache[key] = [r.position for r in rows]
         return cache[key]
 
-    def coverage_at(self, chrom: str, pos: int) -> Optional[Tuple[int, int]]:
-        """(gq, dp) of the reference evidence covering pos: a ref block,
-        or the REF span of one of this sample's own variant rows."""
+    def covering_at(self, chrom: str, pos: int):
+        """What covers pos for this sample: a RefBlock, a GvcfVariant
+        whose REF span contains pos, or None (no data)."""
         import bisect
 
         blocks = self.blocks.get(chrom, ())
         i = bisect.bisect_right(self._keys("blocks", chrom), pos) - 1
         if i >= 0 and blocks[i].position <= pos <= blocks[i].end:
-            return blocks[i].gq, blocks[i].min_dp
+            return blocks[i]
         # variant REF spans can nest/overlap (a long deletion followed by a
         # SNP inside its span), so the nearest-preceding row is not enough:
         # walk back while the running max span end still reaches pos (the
@@ -104,9 +108,20 @@ class GvcfSample:
         while k >= 0 and prefix_max_end[k] >= pos:
             v = variants[k]
             if v.position <= pos < v.position + len(v.reference):
-                return v.gq or 0, v.depth or 0
+                return v
             k -= 1
         return None
+
+    def coverage_at(self, chrom: str, pos: int) -> Optional[Tuple[int, int]]:
+        """(gq, dp) of the evidence covering pos: a ref block, or the REF
+        span of one of this sample's own variant rows (genotype-blind —
+        the merge uses covering_at to decide WHAT that evidence means)."""
+        cov = self.covering_at(chrom, pos)
+        if cov is None:
+            return None
+        if isinstance(cov, RefBlock):
+            return cov.gq, cov.min_dp
+        return cov.gq or 0, cov.depth or 0
 
 
 def _parse_gt(token: str) -> Tuple[Optional[int], Optional[int]]:
@@ -205,7 +220,8 @@ def _unify_site(rows: List[Optional[GvcfVariant]]) -> Tuple[str, List[str], List
         suffix = reference[len(v.reference):]
         remap = {0: 0}
         for i, alt in enumerate(v.alternates, start=1):
-            lifted = alt + suffix
+            # '*' (VCF spanning-deletion allele) is symbolic: never extend
+            lifted = alt if alt == "*" else alt + suffix
             if lifted not in joint_alts:
                 joint_alts.append(lifted)
             remap[i] = joint_alts.index(lifted) + 1
@@ -230,7 +246,7 @@ def _combine_sample_rows(rows: List[GvcfVariant]) -> GvcfVariant:
         suffix = reference[len(r.reference):]
         local = {0: 0}
         for i, alt in enumerate(r.alternates, start=1):
-            lifted = alt + suffix
+            lifted = alt if alt == "*" else alt + suffix
             if lifted not in alts:
                 alts.append(lifted)
             local[i] = alts.index(lifted) + 1
@@ -305,6 +321,14 @@ def merge_gvcfs(
         for pos in positions:
             rows = [m.get(pos) for m in by_sample]
             reference, joint_alts, remaps = _unify_site(rows)
+
+            def star_index() -> int:
+                # the VCF spanning-deletion allele; appended to the joint
+                # ALT list on first use at this site
+                if "*" not in joint_alts:
+                    joint_alts.append("*")
+                return joint_alts.index("*") + 1
+
             calls = []
             qual = 0.0
             for s, v, remap in zip(samples, rows, remaps):
@@ -319,12 +343,37 @@ def merge_gvcfs(
                     dp = v.depth if v.depth is not None else "."
                     calls.append(f"{gt}:{gq}:{dp}")
                     qual = max(qual, v.qual)
+                    continue
+                cov = s.covering_at(chrom, pos)
+                if cov is None:
+                    calls.append("./.:.:.")
+                elif isinstance(cov, RefBlock):
+                    calls.append(f"0/0:{cov.gq}:{cov.min_dp}")
                 else:
-                    cov = s.coverage_at(chrom, pos)
-                    if cov is None:
-                        calls.append("./.:.:.")
-                    else:
-                        calls.append(f"0/0:{cov[0]}:{cov[1]}")
+                    # the sample's own upstream variant row spans pos; its
+                    # REF span is reference evidence ONLY for haplotypes
+                    # that carry the REF allele. A called deletion allele
+                    # means pos is DELETED on that haplotype — the VCF
+                    # spanning-deletion allele '*' (GATK/GLnexus form),
+                    # never 0/0
+                    hap = []
+                    for x in cov.genotype:
+                        if x == 0:
+                            hap.append("0")
+                        elif (x is not None and 1 <= x <= len(cov.alternates)
+                              and cov.alternates[x - 1] != "*"
+                              and pos >= cov.position
+                              + len(cov.alternates[x - 1])):
+                            hap.append(str(star_index()))
+                        else:
+                            # unknown: uncalled haplotype, a nested '*',
+                            # or pos inside the alt's surviving bases
+                            # (complex substitution — base identity vs the
+                            # site REF is not derivable)
+                            hap.append(".")
+                    calls.append(
+                        f"{'/'.join(hap)}:{cov.gq or 0}:{cov.depth or 0}"
+                    )
             output_fh.write(
                 f"{chrom}\t{pos}\t.\t{reference}\t{','.join(joint_alts)}\t"
                 f"{qual:.0f}\t.\t.\tGT:GQ:DP\t" + "\t".join(calls) + "\n"

@@ -234,7 +234,9 @@ def test_coverage_at_sees_spanning_deletion_behind_nearer_row():
     assert s.coverage_at("chr1", 104) == (50, 24)  # the SNP row itself
     assert s.coverage_at("chr1", 110) is None      # past the span
 
-    # and through the merge: sample B has a variant at 107; A must fill 0/0
+    # and through the merge: sample B has a variant at 107; A (het del
+    # spanning 107) fills genotype-aware — REF haplotype 0, deleted
+    # haplotype the '*' spanning allele (never a fabricated 0/0)
     b = parse_gvcf(io.StringIO(_make_gvcf_text([
         "chr1\t107\t.\tG\tC,<NON_REF>\t70\t.\t.\tGT:GQ:DP:PL\t1/1:70:30:.",
     ])), name="B")
@@ -242,7 +244,11 @@ def test_coverage_at_sees_spanning_deletion_behind_nearer_row():
     merge_gvcfs([s, b], out)
     row107 = [l for l in out.getvalue().splitlines()
               if not l.startswith("#") and l.split("\t")[1] == "107"][0]
-    assert row107.split("\t")[9] == "0/0:60:25"
+    f = row107.split("\t")
+    alts = f[4].split(",")
+    assert "*" in alts
+    star = str(alts.index("*") + 1)
+    assert f[9] == f"0/{star}:60:25"
 
 
 def test_same_position_split_multiallelic_rows_keep_both_alleles():
@@ -280,3 +286,52 @@ def test_same_position_hom_and_single_alt_combination():
     ])
     assert v.reference == "AT" and sorted(v.alternates) == ["A", "GT"]
     assert sorted(v.genotype) == [1, 2]
+
+
+def test_hom_deletion_span_fills_star_not_homref():
+    """A sample hom-alt for a spanning deletion has ZERO reference alleles
+    at sites inside the span: the fill must be */* (spanning-deletion
+    allele), never 0/0 (review finding, round 4)."""
+    a = parse_gvcf(io.StringIO(_make_gvcf_text([
+        "chr1\t200\t.\tGATGG\tG,<NON_REF>\t80\t.\t.\tGT:GQ:DP:PL\t1/1:80:28:.",
+    ])), name="A")
+    b = parse_gvcf(io.StringIO(_make_gvcf_text([
+        "chr1\t202\t.\tT\tC,<NON_REF>\t66\t.\t.\tGT:GQ:DP:PL\t0/1:66:31:.",
+    ])), name="B")
+    out = io.StringIO()
+    merge_gvcfs([a, b], out)
+    row = [l for l in out.getvalue().splitlines()
+           if not l.startswith("#") and l.split("\t")[1] == "202"][0]
+    f = row.split("\t")
+    alts = f[4].split(",")
+    assert "*" in alts
+    star = str(alts.index("*") + 1)
+    assert f[9] == f"{star}/{star}:80:28"
+    assert f[10].startswith("0/1")
+
+
+def test_star_alt_is_never_suffix_extended():
+    """The symbolic '*' allele must pass through allele unification
+    unchanged — suffix-lifting would produce illegal alleles like '*C'
+    (review finding, round 4)."""
+    # sample A: deletion at 300 (REF 2bp); sample B: '*' ALT at 300 under
+    # some upstream deletion, REF 1bp -> suffix would be 1 base
+    a = parse_gvcf(io.StringIO(_make_gvcf_text([
+        "chr1\t300\t.\tAC\tA,<NON_REF>\t50\t.\t.\tGT:GQ:DP:PL\t0/1:50:20:.",
+    ])), name="A")
+    b = parse_gvcf(io.StringIO(_make_gvcf_text([
+        "chr1\t300\t.\tA\t*,<NON_REF>\t44\t.\t.\tGT:GQ:DP:PL\t0/1:44:19:.",
+    ])), name="B")
+    out = io.StringIO()
+    merge_gvcfs([a, b], out)
+    row = [l for l in out.getvalue().splitlines()
+           if not l.startswith("#") and l.split("\t")[1] == "300"][0]
+    alts = row.split("\t")[4].split(",")
+    assert "*" in alts and all("*" not in x or x == "*" for x in alts)
+    # same invariant inside one sample's split rows
+    from clair_tpu.post.gvcf_merge import GvcfVariant, _combine_sample_rows
+    v = _combine_sample_rows([
+        GvcfVariant(10, "AT", ["A"], 30.0, (0, 1), 30, 18),
+        GvcfVariant(10, "A", ["*"], 25.0, (0, 1), 25, 18),
+    ])
+    assert "*" in v.alternates and "*T" not in v.alternates

@@ -138,13 +138,21 @@ def test_pipelined_runner_survives_dispatch_failure(tmp_path):
     assert body and body[-1].endswith("\n")
 
 
-def test_pipelined_runner_survives_fetch_failure(tmp_path):
-    """A failed grouped fetch poisons the windows in that group (the
-    transfer is all-or-nothing) but the run continues, every window is
-    audited, and the output stays complete."""
+def test_transient_fetch_failure_recovers_via_per_batch_retry(tmp_path):
+    """One grouped fetch can carry batches from many windows; a TRANSIENT
+    link error must not fail them all — the runner retries per batch and
+    the whole run completes with zero failed windows, byte-identical to a
+    clean run."""
     import json
 
     config = _simulated_flowcell(tmp_path)
+
+    clean = str(tmp_path / "clean.vcf")
+    call_bam_windows_threaded(
+        config, OraclePredictor(), clean,
+        chunk_size=1500, include_all_contigs=True, pileup_workers=2,
+        inflight_depth=8,
+    )
 
     class FailOnceGather(OraclePredictor):
         def __init__(self):
@@ -153,10 +161,10 @@ def test_pipelined_runner_survives_fetch_failure(tmp_path):
         def gather(self, out, n):
             self.gathers += 1
             if self.gathers == 2:
-                raise RuntimeError("injected gather failure")
+                raise RuntimeError("injected transient gather failure")
             return super().gather(out, n)
 
-    out = str(tmp_path / "partial.vcf")
+    out = str(tmp_path / "retried.vcf")
     call_bam_windows_threaded(
         config, FailOnceGather(), out,
         chunk_size=1500, include_all_contigs=True, pileup_workers=2,
@@ -164,9 +172,105 @@ def test_pipelined_runner_survives_fetch_failure(tmp_path):
     )
     entries = [json.loads(l) for l in open(out + ".joblog")]
     assert len(entries) == 4
-    statuses = [e["status"] for e in entries]
-    assert statuses.count("failed") >= 1
-    assert any(
-        "injected gather failure" in e.get("error", "") for e in entries
+    assert [e["status"] for e in entries].count("failed") == 0
+    assert ([r for r in open(out) if not r.startswith("#")]
+            == [r for r in open(clean) if not r.startswith("#")])
+
+
+def test_persistent_fetch_failure_poisons_only_its_window(tmp_path):
+    """A batch whose fetch fails on the retry too marks ONLY its own
+    window failed; other windows in the same grouped fetch still land."""
+    import json
+
+    config = _simulated_flowcell(tmp_path)
+
+    class FailOneBatchGather(OraclePredictor):
+        def __init__(self):
+            self.dispatches = 0
+            self.poisoned = None
+
+        def predict_async(self, x):
+            out, n = super().predict_async(x)
+            self.dispatches += 1
+            if self.dispatches == 2:
+                self.poisoned = out
+            return out, n
+
+        def gather(self, out, n):
+            if out is self.poisoned:
+                raise RuntimeError("injected persistent gather failure")
+            return super().gather(out, n)
+
+    out = str(tmp_path / "partial.vcf")
+    call_bam_windows_threaded(
+        config, FailOneBatchGather(), out,
+        chunk_size=1500, include_all_contigs=True, pileup_workers=2,
+        inflight_depth=8,
     )
-    assert open(out).read().endswith("\n")
+    entries = [json.loads(l) for l in open(out + ".joblog")]
+    assert len(entries) == 4
+    statuses = [e["status"] for e in entries]
+    assert statuses.count("failed") == 1
+    assert "injected persistent gather failure" in next(
+        e for e in entries if e["status"] == "failed"
+    )["error"]
+    body = [r for r in open(out) if not r.startswith("#")]
+    assert body and body[-1].endswith("\n")
+
+
+def test_failed_gvcf_window_writes_nothing(tmp_path):
+    """gVCF mode: a window that fails mid-decode must contribute ZERO
+    output rows — flushing its partial rows would fill the undecoded
+    remainder with hom-ref blocks (false calls) and a --resume re-run
+    would then cover the window twice."""
+    config = _simulated_flowcell(tmp_path)
+    import dataclasses as _dc
+    config = _dc.replace(config, gvcf=True)
+
+    clean = str(tmp_path / "clean.gvcf")
+    call_bam_windows_threaded(
+        config, OraclePredictor(), clean,
+        chunk_size=1500, include_all_contigs=True, pileup_workers=2,
+        inflight_depth=8,
+    )
+
+    class FailOneBatchGather(OraclePredictor):
+        def __init__(self):
+            self.dispatches = 0
+            self.poisoned = None
+
+        def predict_async(self, x):
+            out, n = super().predict_async(x)
+            self.dispatches += 1
+            if self.dispatches == 2:
+                self.poisoned = out
+            return out, n
+
+        def gather(self, out, n):
+            if out is self.poisoned:
+                raise RuntimeError("injected persistent gather failure")
+            return super().gather(out, n)
+
+    out = str(tmp_path / "partial.gvcf")
+    call_bam_windows_threaded(
+        config, FailOneBatchGather(), out,
+        chunk_size=1500, include_all_contigs=True, pileup_workers=2,
+        inflight_depth=8,
+    )
+
+    import json
+    entries = [json.loads(l) for l in open(out + ".joblog")]
+    failed = [e for e in entries if e["status"] == "failed"]
+    assert len(failed) == 1
+    _, lo, hi = failed[0]["window"]
+
+    def body(path):
+        return [r for r in open(path) if not r.startswith("#")]
+
+    # no row of the failed window appears; every other window's rows match
+    # the clean run exactly
+    in_window = [r for r in body(out) if lo <= int(r.split("\t")[1]) <= hi]
+    assert in_window == []
+    expected = [r for r in body(clean)
+                if not (lo <= int(r.split("\t")[1]) <= hi)]
+    assert body(out) == expected
