@@ -775,21 +775,24 @@ def main():
         st["stage_cpu_s"][name] = round(_cpu_seconds() - cpu0, 3)
 
     def _finish(wedged=None):
-        # steady-state pipeline rate in the headline (ONT) regime
+        # steady-state pipeline rate in the headline (ONT) regime, composed
+        # from the DEFAULT calling pipeline: bfloat16 device forward
+        # (params.PREDICT_COMPUTE_DTYPE since r04; decode decisions guarded
+        # f32-identical by tests/test_bf16.py) + host decode
         decode_ont = st["host_decode_tps_ont_real"]
-        device = (st["device_forward_tps_f32_stable"]
-                  or st["device_forward_tps_f32"])
-        if device_ok and device > 0:
-            pipeline_tps = min(device, decode_ont)
-        else:
-            pipeline_tps = decode_ont
-        # the documented bf16 opt-in (--dtype bfloat16; decode decisions
-        # guarded f32-identical by tests/test_bf16.py) lifts the device leg,
-        # so its steady-state pipeline rate is recorded alongside
         device_bf16 = (st["device_forward_tps_bf16_stable"]
                        or st["device_forward_tps_bf16"])
         if device_ok and device_bf16 > 0:
-            st["pipeline_tps_bf16_opt_in"] = min(device_bf16, decode_ont)
+            pipeline_tps = min(device_bf16, decode_ont)
+        else:
+            pipeline_tps = decode_ont
+        st["pipeline_device_dtype"] = "bfloat16 (calling default since r04)"
+        # the --dtype float32 exact-probability escape hatch, recorded so
+        # r02/r03 headlines (f32-composed) stay comparable
+        device_f32 = (st["device_forward_tps_f32_stable"]
+                      or st["device_forward_tps_f32"])
+        if device_ok and device_f32 > 0:
+            st["pipeline_tps_f32_escape"] = min(device_f32, decode_ont)
         cpu_tps = cpu_tps_box[0] or 2500.0
         stages = {k: (round(v, 3) if isinstance(v, float) else v)
                   for k, v in st.items()}
@@ -896,7 +899,7 @@ def main():
         wd.enter("wgs_ont_host_ceiling", budget(2400))
         cpu0 = _cpu_seconds()
         st["wgs_ont_host_ceiling_mbp_per_min"] = wgs_host_ceiling(
-            params_ont, config, ont_bam, ont_fa, ont_len / 1e6,
+            params_ont, config_bf16, ont_bam, ont_fa, ont_len / 1e6,
             minimum_af=0.2,
         )
         _stage_cpu("wgs_ont_host_ceiling", cpu0)
@@ -907,7 +910,8 @@ def main():
         cpu0 = _cpu_seconds()
         st["wgs_ont_end_to_end_mbp_per_min"], st["wgs_ont_e2e_decompose"] = (
             wgs_throughput(
-                params_ont, config, ont_bam, ont_fa, ont_len / 1e6,
+                # the calling pipelines' default dtype (bfloat16 since r04)
+                params_ont, config_bf16, ont_bam, ont_fa, ont_len / 1e6,
                 minimum_af=0.2, out_name="ont.vcf",
             )
         )
@@ -923,7 +927,7 @@ def main():
         cpu0 = _cpu_seconds()
         st["wgs_ont_highcov_mbp_per_min"], st["wgs_ont_highcov_decompose"] = (
             wgs_throughput(
-                params_ont, config, hc_bam, hc_fa, hc_len / 1e6,
+                params_ont, config_bf16, hc_bam, hc_fa, hc_len / 1e6,
                 minimum_af=0.2, out_name="ont_hc.vcf",
             )
         )
@@ -935,7 +939,7 @@ def main():
         cpu0 = _cpu_seconds()
         st["wgs_end_to_end_mbp_per_min"], st["wgs_e2e_decompose"] = (
             wgs_throughput(
-                params_ilmn, config, clean_bam, clean_fa, clean_len / 1e6,
+                params_ilmn, config_bf16, clean_bam, clean_fa, clean_len / 1e6,
                 minimum_af=0.2, out_name="clean.vcf",
             )
         )
@@ -952,7 +956,7 @@ def main():
         ont_cram = os.path.join(tmp, "ont_bench.cram")
         bam_to_cram(ont_bam, ont_cram, ont_fa)
         st["wgs_ont_host_ceiling_cram_mbp_per_min"] = wgs_host_ceiling(
-            params_ont, config, ont_cram, ont_fa, ont_len / 1e6,
+            params_ont, config_bf16, ont_cram, ont_fa, ont_len / 1e6,
             minimum_af=0.2,
         )
     except Exception as exc:

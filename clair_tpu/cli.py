@@ -25,11 +25,13 @@ def _predictor_from(checkpoint_path, batch_size=None, dtype=None,
     topology; the reference scales inference with GNU parallel over
     share-nothing CPU processes instead (callVarBamParallel.py:90-119)."""
     from clair_tpu.models.checkpoint import load_checkpoint
-    from clair_tpu.params import PREDICT_BATCH_SIZE, ModelConfig
+    from clair_tpu.params import (
+        PREDICT_BATCH_SIZE, PREDICT_COMPUTE_DTYPE, ModelConfig,
+    )
     from clair_tpu.pipeline.call_var import Predictor
 
     params, _ = load_checkpoint(checkpoint_path)
-    config = ModelConfig(compute_dtype=dtype) if dtype else ModelConfig()
+    config = ModelConfig(compute_dtype=dtype or PREDICT_COMPUTE_DTYPE)
     batch = batch_size or PREDICT_BATCH_SIZE
     if num_devices and num_devices > 1:
         from clair_tpu.parallel.mesh import make_mesh
@@ -87,8 +89,9 @@ def cmd_call_var(argv):
     parser.add_argument("--bam_for_all_indel_bases", "--pysam_for_all_indel_bases",
                         action="store_true", dest="bam_for_all_indel_bases")
     parser.add_argument("--dtype", choices=("float32", "bfloat16"), default=None,
-                        help="inference compute dtype (default float32; bf16 "
-                             "is decision-identical on confident outputs)")
+                        help="inference compute dtype (default bfloat16, whose "
+                             "decode decisions are guarded f32-identical; "
+                             "float32 is the exact-probability escape hatch)")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="shard the inference batch over this many "
                              "devices of the attached slice (data-parallel "
@@ -193,7 +196,8 @@ def cmd_call_bam(argv):
     parser.add_argument("--bam_for_all_indel_bases", "--pysam_for_all_indel_bases",
                         action="store_true", dest="bam_for_all_indel_bases")
     parser.add_argument("--dtype", choices=("float32", "bfloat16"), default=None,
-                        help="inference compute dtype (default float32)")
+                        help="inference compute dtype (default bfloat16; "
+                             "float32 = exact-probability escape hatch)")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="shard the inference batch over this many "
                              "devices of the attached slice (data-parallel "
@@ -291,7 +295,8 @@ def cmd_call_bam_parallel(argv):
     parser.add_argument("--gq_bin_size", type=int, default=5,
                         help="GQ bin width for merging gVCF reference blocks")
     parser.add_argument("--dtype", choices=("float32", "bfloat16"), default=None,
-                        help="inference compute dtype (default float32)")
+                        help="inference compute dtype (default bfloat16; "
+                             "float32 = exact-probability escape hatch)")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="shard the inference batch over this many "
                              "devices of the attached slice (single-process "

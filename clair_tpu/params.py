@@ -37,6 +37,16 @@ TRAIN_BATCH_SIZE = 10_000
 # spills beyond it — batch 512 measured ~2x the tensors/sec of batch 1000
 # (0.35 vs 1.38 ms/batch). Batch size does not change outputs, only speed.
 PREDICT_BATCH_SIZE = 512
+# compute dtype the CALLING pipelines build their predictors with when the
+# user passes no --dtype. bfloat16: measured 1.51M vs 1.34M tensors/s f32
+# at batch 512 under the stable in-jit protocol (hoisted step form, v5e),
+# and decode DECISIONS (site, alleles, genotype) are guarded identical to
+# f32 on confident outputs (tests/test_bf16.py, incl. the demo-trained
+# model end to end). `--dtype float32` is the exact-probability escape
+# hatch (e.g. when diffing QUAL against a converted reference checkpoint).
+# ModelConfig.compute_dtype itself stays float32: raw model/convert/audit
+# contexts default to exact parity.
+PREDICT_COMPUTE_DTYPE = "bfloat16"
 INITIAL_LEARNING_RATE = 1e-3
 LEARNING_RATE_DECAY = 0.1
 MAX_LEARNING_RATE_SWITCH = 3
@@ -104,15 +114,14 @@ class ModelConfig:
     l2_regularization_lambda: float = L2_REGULARIZATION_LAMBDA
     optimizer_name: str = DEFAULT_OPTIMIZER
     loss_function: str = DEFAULT_LOSS_FUNCTION
-    # compute dtype for matmuls; params are kept in float32 (casts happen at
-    # use). Measured on a v5e chip (in-jit scan timing): with the fully
-    # unrolled BiLSTM recurrence, f32 and bf16 are within noise at every
-    # batch size tried (0.64 ms both at batch 1000; 16 ms both at 10000) —
-    # the 2.1x bf16 win existed only under the rolled scan. float32 is
-    # therefore the default (exact probability parity with converted
-    # reference checkpoints); bf16 remains a supported option and its
-    # decode decisions are guarded identical on confident outputs
-    # (tests/test_bf16.py).
+    # compute dtype for matmuls; params are kept in float32 (casts happen
+    # at use). float32 here = exact probability parity with converted
+    # reference checkpoints, the right default for raw model / convert /
+    # audit contexts. Under the r04 stable protocol (hoisted step form,
+    # batch 512) bf16 measures 1.51M vs 1.34M tensors/s, so the CALLING
+    # pipelines default to bfloat16 via PREDICT_COMPUTE_DTYPE (decode
+    # decisions guarded f32-identical, tests/test_bf16.py); training
+    # defaults to bf16 via TrainingConfig.train_compute_dtype.
     compute_dtype: str = "float32"
     # use the fused Pallas BiLSTM kernel (TPU backends only; the lax.scan
     # path is used automatically elsewhere)

@@ -226,11 +226,13 @@ def _run_window(args_tuple):
     started = time.perf_counter()
     try:
         from clair_tpu.models.checkpoint import load_checkpoint
-        from clair_tpu.params import ModelConfig
+        from clair_tpu.params import PREDICT_COMPUTE_DTYPE, ModelConfig
         from clair_tpu.pipeline.call_var import Predictor
 
         params, _ = load_checkpoint(checkpoint_path)
-        predictor = Predictor(params, ModelConfig())
+        predictor = Predictor(
+            params, ModelConfig(compute_dtype=PREDICT_COMPUTE_DTYPE)
+        )
         config = dataclasses.replace(
             base_config, contig=contig, ctg_start=start, ctg_end=end
         )

@@ -173,3 +173,24 @@ def test_call_bam_reference_flag_surface(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     rows = [l for l in open(out) if not l.startswith("#")]
     assert len(rows) >= len(variants) - 1
+
+
+def test_calling_predictor_defaults_to_bf16_with_f32_escape(tmp_path):
+    """The calling pipelines build their predictors in bfloat16 by default
+    (params.PREDICT_COMPUTE_DTYPE; decode decisions guarded f32-identical
+    in tests/test_bf16.py); --dtype float32 is the exact-probability
+    escape hatch."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from clair_tpu.cli import _predictor_from
+    from clair_tpu.models.checkpoint import save_checkpoint
+    from clair_tpu.models.clair import init_params
+    from clair_tpu.params import PREDICT_COMPUTE_DTYPE
+
+    assert PREDICT_COMPUTE_DTYPE == "bfloat16"
+    path = str(tmp_path / "m-000001")
+    save_checkpoint(path, init_params(jax.random.PRNGKey(0)))
+    assert _predictor_from(path).config.compute_dtype == "bfloat16"
+    assert (_predictor_from(path, dtype="float32").config.compute_dtype
+            == "float32")

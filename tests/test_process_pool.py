@@ -98,13 +98,19 @@ def test_process_pool_partitions_windows_without_overlap_or_loss(
     assert len(pool_rows) == len(all_positions) > 0
 
     from clair_tpu.models.checkpoint import load_checkpoint
-    from clair_tpu.params import ModelConfig
+    from clair_tpu.params import PREDICT_COMPUTE_DTYPE, ModelConfig
     from clair_tpu.pipeline.call_var import Predictor
 
+    # same compute dtype as the pool workers build with (the calling
+    # default) — this test checks the window partition, not dtype parity
     params, _ = load_checkpoint(ckpt)
     one_prefix = str(tmp_path / "one")
     one_paths = call_bam_parallel(
-        base, lambda: Predictor(params, ModelConfig()), one_prefix,
+        base,
+        lambda: Predictor(
+            params, ModelConfig(compute_dtype=PREDICT_COMPUTE_DTYPE)
+        ),
+        one_prefix,
         chunk_size=2_000, include_all_contigs=True,
     )
     one_merged = str(tmp_path / "one_merged.vcf")
