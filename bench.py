@@ -531,10 +531,11 @@ def wgs_host_ceiling(params, config, bam_path, fasta_path, genome_mb,
 
 
 def train_feed_throughput() -> float:
-    """Host epoch-feed samples/s, one decompress thread (zstd block
-    inflate + batch concat; blocks stay int16-packed as the train loop
-    consumes them — the jitted step casts on device). Link-immune; the
-    number the training step's samples/s is gated by per feed thread
+    """Host epoch-feed samples/s, one decompress thread (block inflate +
+    batch concat; LZ4S byte-shuffled LZ4-HC blocks since bin format v3,
+    zstd on hosts without liblz4; blocks stay int16-packed as the train
+    loop consumes them — the jitted step casts on device). Link-immune;
+    the number the training step's samples/s is gated by per feed thread
     (TrainingConfig.decompress_workers scales it across spare cores)."""
     from clair_tpu.data.bins import BinDataset, EpochBatches, _pack
 
@@ -890,6 +891,10 @@ def main():
     try:
         cpu0 = _cpu_seconds()
         st["train_feed_samples_per_sec_1thread"] = train_feed_throughput()
+        from clair_tpu.io import lz4 as _lz4
+
+        st["train_feed_codec"] = ("lz4s" if _lz4.available()
+                                  else "zstd (liblz4 missing)")
         _stage_cpu("train_feed", cpu0)
     except Exception as exc:
         st["train_feed_samples_per_sec_1thread"] = None
