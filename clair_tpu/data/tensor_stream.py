@@ -67,10 +67,22 @@ class LazyTensorInfos:
     def center_bases(self) -> np.ndarray:
         if self._center_bases is None:
             mid = NO_OF_POSITIONS // 2
-            joined = "".join(s[mid] for s in self.sequences)
-            self._center_bases = np.frombuffer(
-                joined.encode("ascii", "replace"), dtype="S1"
-            )
+            try:
+                # one C-loop ascii encode of the whole list, then a strided
+                # byte pick — the per-site genexpr+join this replaces was
+                # the single largest cost of the ONT decode loop (~60%)
+                arr = np.asarray(self.sequences, dtype="S")
+                self._center_bases = (
+                    arr.view(np.uint8)
+                    .reshape(len(arr), arr.itemsize)[:, mid]
+                    .copy()
+                    .view("S1")
+                )
+            except (UnicodeEncodeError, IndexError):
+                joined = "".join(s[mid] for s in self.sequences)
+                self._center_bases = np.frombuffer(
+                    joined.encode("ascii", "replace"), dtype="S1"
+                )
         return self._center_bases
 
     def __len__(self) -> int:
