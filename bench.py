@@ -237,7 +237,10 @@ DEVICE_FORWARD_PROTOCOL = (
     "LEGACY (device_forward_tps_*, kept verbatim for r02/r03 "
     "comparability): scan diff (51-1 iters, best/median of 5); its 10 ms "
     "delta is jitter-order, which is the measured cause of the r02-r04 "
-    "1.66M/1.39M/2.5M drift. Both: hoisted BiLSTM step form, batch "
+    "1.66M/1.39M/2.5M drift. f32/bf16 fields: hoisted BiLSTM step form. "
+    "bf16_stream field (the CALLING default since the Predictor "
+    "auto-picks the streaming Pallas kernel, r04): same timing protocol, "
+    "streaming-grid kernel step form. All: batch "
     f"{BATCH}, int16 device-resident input, concat-free 4-head forward"
 )
 
@@ -744,6 +747,7 @@ def main():
         "device_forward_tps_bf16": 0.0,
         "device_forward_tps_f32_stable": 0.0,
         "device_forward_tps_bf16_stable": 0.0,
+        "device_forward_tps_bf16_stream_stable": 0.0,
         "host_decode_tps_ont_real": 0.0,
         "ont_indel_winner_fraction": 0.0,
         "host_decode_tps": 0.0,
@@ -781,7 +785,8 @@ def main():
         # (params.PREDICT_COMPUTE_DTYPE since r04; decode decisions guarded
         # f32-identical by tests/test_bf16.py) + host decode
         decode_ont = st["host_decode_tps_ont_real"]
-        device_bf16 = (st["device_forward_tps_bf16_stable"]
+        device_bf16 = (st["device_forward_tps_bf16_stream_stable"]
+                       or st["device_forward_tps_bf16_stable"]
                        or st["device_forward_tps_bf16"])
         if device_ok and device_bf16 > 0:
             pipeline_tps = min(device_bf16, decode_ont)
@@ -832,6 +837,14 @@ def main():
         st["device_forward_tps_bf16"], st["device_forward_tps_bf16_stable"], \
             detail = device_throughput(params, config_bf16)
         st["device_forward_ms_bf16"] = detail
+        # the CALLING default since the Predictor auto-picks the streaming
+        # Pallas kernel for reduced-precision TPU prediction (r04): the
+        # number the pipeline headline composes from
+        wd.enter("device_forward_bf16_stream", 1200)
+        _, st["device_forward_tps_bf16_stream_stable"], detail = (
+            device_throughput(params, dataclasses.replace(
+                config_bf16, use_pallas_stream_bilstm=True)))
+        st["device_forward_ms_bf16_stream"] = detail
     # decode over a REAL ONT-regime window (trained ONT checkpoint output +
     # event-indexed recovery sources): the HEADLINE decode leg — the
     # reference is an ONT caller first.  The forward that produces the
@@ -970,7 +983,8 @@ def main():
 
     print(
         f"[bench] device f32 {st['device_forward_tps_f32_stable']:.0f} t/s "
-        f"(bf16 {st['device_forward_tps_bf16_stable']:.0f}; stable "
+        f"(bf16 {st['device_forward_tps_bf16_stable']:.0f}, bf16+stream "
+        f"{st['device_forward_tps_bf16_stream_stable']:.0f}; stable "
         f"protocol), "
         f"host decode ONT-real {decode_ont_tps:.0f} t/s "
         f"({ont_indel_frac:.0%} indel winners; clean {decode_clean_tps:.0f} "

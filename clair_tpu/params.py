@@ -38,12 +38,13 @@ TRAIN_BATCH_SIZE = 10_000
 # (0.35 vs 1.38 ms/batch). Batch size does not change outputs, only speed.
 PREDICT_BATCH_SIZE = 512
 # compute dtype the CALLING pipelines build their predictors with when the
-# user passes no --dtype. bfloat16: measured 1.51M vs 1.34M tensors/s f32
-# at batch 512 under the stable in-jit protocol (hoisted step form, v5e),
-# and decode DECISIONS (site, alleles, genotype) are guarded identical to
-# f32 on confident outputs (tests/test_bf16.py, incl. the demo-trained
-# model end to end). `--dtype float32` is the exact-probability escape
-# hatch (e.g. when diffing QUAL against a converted reference checkpoint).
+# user passes no --dtype. bfloat16: measured 1.97M tensors/s (streaming
+# Pallas kernel, auto-picked by Predictor on TPU) vs 1.34M f32 at batch
+# 512 under the stable in-jit protocol (v5e), and decode DECISIONS (site,
+# alleles, genotype) are guarded identical to f32 on confident outputs
+# (tests/test_bf16.py, incl. the demo-trained model end to end).
+# `--dtype float32` is the exact-probability escape hatch (e.g. when
+# diffing QUAL against a converted reference checkpoint).
 # ModelConfig.compute_dtype itself stays float32: raw model/convert/audit
 # contexts default to exact parity.
 PREDICT_COMPUTE_DTYPE = "bfloat16"
@@ -131,12 +132,15 @@ class ModelConfig:
     # VMEM across all 33 steps instead of streaming per-step gate tensors
     # through HBM. f32 only; TPU backends only.
     use_pallas_train_bilstm: bool = False
-    # use the streaming-grid Pallas forward+backward BiLSTM for TRAINING
+    # use the streaming-grid Pallas forward+backward BiLSTM
     # (ops/pallas_bilstm_stream.py): time is a grid dimension, only the
     # (tile, H) h/c carry persists in VMEM, per-step blocks stream from
     # HBM and the backward recomputes gates. Unlike the fused-VMEM kernel
     # it has no batch-tile cap (512-row tiles, full MXU) and supports
-    # bf16 compute. Measured 2x over the lax.scan at batch 10k. TPU only.
+    # bf16 compute. Measured 2x over the lax.scan at train batch 10k and
+    # 1.3x at predict batch 512 bf16; train_model and the single-device
+    # Predictor auto-enable it on TPU (pjit paths keep the scan — a
+    # pallas_call is opaque to the partitioner). TPU only.
     use_pallas_stream_bilstm: bool = False
 
     @property

@@ -34,6 +34,32 @@ logger = logging.getLogger(__name__)
 DECODE_THREADS = None
 
 
+def _auto_stream_kernel(config: ModelConfig, backend: str) -> ModelConfig:
+    """Pick the streaming-grid Pallas BiLSTM for reduced-precision
+    single-device prediction on TPU: at the production batch (512, bf16)
+    it measures 0.26 vs the hoisted scan's 0.34 ms/batch (1.97M vs 1.50M
+    tensors/s, stable in-jit protocol, v5e). float32 keeps the scan — the
+    exact-parity escape hatch stays byte-stable with prior rounds — and an
+    explicitly requested kernel always wins. ShardedPredictor keeps the
+    scan too: a pallas_call is opaque to pjit's partitioner, which would
+    gather the full batch onto every device."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    if (
+        backend == "tpu"
+        and jnp.dtype(config.compute_dtype) != jnp.float32
+        and not (
+            config.use_pallas_bilstm
+            or config.use_pallas_train_bilstm
+            or config.use_pallas_stream_bilstm
+        )
+    ):
+        return dataclasses.replace(config, use_pallas_stream_bilstm=True)
+    return config
+
+
 @dataclass
 class BatchSource:
     """Pre-built (x, infos) batches bypassing the text parser — the shape
@@ -63,6 +89,7 @@ class Predictor:
 
         enable_jax_cache()
         self._stack_fns = {}
+        self.config = _auto_stream_kernel(self.config, jax.default_backend())
 
         # one (B, 90) output instead of four arrays: a single device->host
         # transfer per batch (each fetch pays a full round trip on remote

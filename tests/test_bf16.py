@@ -132,3 +132,20 @@ def test_bf16_cell_state_accumulates_in_f32():
     old = all_bf16_carry(p16, jnp.asarray(x, jnp.bfloat16))
     err_old = np.abs(np.asarray(old, np.float32) - ref).mean()
     assert err_fixed <= err_old * 1.02, (err_fixed, err_old)
+
+
+def test_predictor_auto_picks_stream_kernel_on_tpu_only():
+    """The single-device Predictor flips use_pallas_stream_bilstm for
+    reduced-precision TPU prediction (measured 1.97M vs 1.50M tensors/s at
+    batch 512 bf16); f32, non-TPU backends, and explicit kernel choices
+    are left alone."""
+    from clair_tpu.pipeline.call_var import _auto_stream_kernel
+
+    bf16 = ModelConfig(compute_dtype="bfloat16")
+    assert _auto_stream_kernel(bf16, "tpu").use_pallas_stream_bilstm
+    assert not _auto_stream_kernel(bf16, "cpu").use_pallas_stream_bilstm
+    f32 = ModelConfig()
+    assert not _auto_stream_kernel(f32, "tpu").use_pallas_stream_bilstm
+    explicit = dataclasses.replace(bf16, use_pallas_bilstm=True)
+    picked = _auto_stream_kernel(explicit, "tpu")
+    assert picked.use_pallas_bilstm and not picked.use_pallas_stream_bilstm
