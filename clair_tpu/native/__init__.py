@@ -19,6 +19,8 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libclair_native.so")
 _lib = None
 _build_failed = False
+# cached: os.cpu_count() syscalls showed up in the per-batch decode profile
+_DEFAULT_DECODE_THREADS = min(os.cpu_count() or 1, 8)
 
 
 class _EventBuffers(ctypes.Structure):
@@ -179,11 +181,12 @@ def _bind_symbols(lib) -> None:
         ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(_EventBuffers), ctypes.POINTER(_EventBuffers),
     ]
-    lib.clair_decode_fast.restype = ctypes.c_int
-    lib.clair_decode_fast.argtypes = [
+    lib.clair_decode_fast2.restype = ctypes.c_int
+    lib.clair_decode_fast2.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p, ctypes.c_char_p,
         ctypes.c_int64, ctypes.c_char_p,
         ctypes.c_int32,
@@ -334,11 +337,21 @@ def decode_fast_native(
         a = np.ascontiguousarray(a, dtype=np.float32)
         return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
+    def fpv(a):
+        """Zero-copy when the rows are float32 and last-axis contiguous
+        (incl. strided views into the (n, 90) forward output — the
+        production case); returns (keepalive, ptr, row_stride_in_floats)."""
+        a = np.asarray(a)
+        if (a.ndim != 2 or a.dtype != np.float32
+                or a.strides[1] != 4 or a.strides[0] % 4 or a.strides[0] < 0):
+            a = np.ascontiguousarray(a, dtype=np.float32)
+        return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), a.strides[0] // 4
+
     x_c, x_p = fp(x)
-    g_c, g_p = fp(gt21)
-    ge_c, ge_p = fp(geno)
-    v1_c, v1_p = fp(vl1)
-    v2_c, v2_p = fp(vl2)
+    g_c, g_p, g_s = fpv(gt21)
+    ge_c, ge_p, ge_s = fpv(geno)
+    v1_c, v1_p, v1_s = fpv(vl1)
+    v2_c, v2_p, v2_s = fpv(vl2)
     pos = np.ascontiguousarray(positions, dtype=np.int64)
     bases = np.asarray(center_bases, dtype="S1").tobytes()
     seq_buf = None
@@ -354,14 +367,15 @@ def decode_fast_native(
     fallback_ptr = ctypes.POINTER(ctypes.c_int64)()
     n_fallback = ctypes.c_int64()
 
-    rc = lib.clair_decode_fast(
+    rc = lib.clair_decode_fast2(
         x_p, g_p, ge_p, v1_p, v2_p,
+        g_s, ge_s, v1_s, v2_s,
         pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         bases, seq_buf, len(pos), contig.encode(),
         int(has_insertion_source),
         int(show_ref), int(haploid_precision), int(haploid_sensitive),
         -(2 ** 31) if qual_cutoff is None else int(qual_cutoff),
-        int(threads if threads is not None else min(os.cpu_count() or 1, 8)),
+        int(threads if threads is not None else _DEFAULT_DECODE_THREADS),
         ctypes.byref(rows_ptr), ctypes.byref(rows_len),
         ctypes.byref(row_sites_ptr), ctypes.byref(n_rows),
         ctypes.byref(fallback_ptr), ctypes.byref(n_fallback),

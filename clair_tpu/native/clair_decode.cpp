@@ -120,12 +120,17 @@ extern "C" {
 // Returns 0 on success. rows_out: malloc'd '\n'-joined VCF rows;
 // row_sites: site index of each row (ascending); fallback: site indices
 // needing the Python lattice. Free all three with clair_decode_free.
-int clair_decode_fast(
+// The four probability arrays carry explicit row strides (in floats) so
+// Python can pass views into one (n, 90) forward-output buffer without
+// copying each head out (strides 90/90/90/90 with offset pointers);
+// dense arrays pass their own widths (21/3/33/33).
+int clair_decode_fast2(
     const float* x,            // (n, 33, 8, 4) channel-normalized
-    const float* gt21,         // (n, 21)
-    const float* geno,         // (n, 3)
-    const float* vl1,          // (n, 33)
-    const float* vl2,          // (n, 33)
+    const float* gt21,         // (n, 21) rows, stride s_g
+    const float* geno,         // (n, 3) rows, stride s_gn
+    const float* vl1,          // (n, 33) rows, stride s_v1
+    const float* vl2,          // (n, 33) rows, stride s_v2
+    int32_t s_g, int32_t s_gn, int32_t s_v1, int32_t s_v2,
     const int64_t* positions,  // 1-based
     const char* center_bases,  // (n,)
     const char* sequences,     // (n, 33) ref windows, NULL -> indels fall back
@@ -207,10 +212,10 @@ int clair_decode_fast(
     for (int r = 0; r < 8; r++) depth += xi[center * 32 + r * 4 + 2] + xi[center * 32 + r * 4 + 0];
     if (depth == 0.0) continue;
 
-    const float* g21 = gt21 + i * 21;
-    const float* gn = geno + i * 3;
-    const float* v1 = vl1 + i * 33;
-    const float* v2 = vl2 + i * 33;
+    const float* g21 = gt21 + i * s_g;
+    const float* gn = geno + i * s_gn;
+    const float* v1 = vl1 + i * s_v1;
+    const float* v2 = vl2 + i * s_v2;
 
     const double p_ref = gn[0], p_homo = gn[1], p_het = gn[2];
     const double z1 = v1[16], z2 = v2[16];
@@ -651,6 +656,26 @@ int clair_decode_fast(
   *n_rows_out = (int64_t)total_rows;
   *n_fallback_out = (int64_t)total_fallback;
   return 0;
+}
+
+// Dense-stride compatibility entry (the pre-stride ABI).
+int clair_decode_fast(
+    const float* x, const float* gt21, const float* geno,
+    const float* vl1, const float* vl2,
+    const int64_t* positions, const char* center_bases,
+    const char* sequences, int64_t n, const char* contig,
+    int32_t has_insertion_source,
+    int32_t show_ref, int32_t haploid_precision, int32_t haploid_sensitive,
+    int32_t qual_cutoff, int32_t n_threads,
+    char** rows_out, int64_t* rows_len,
+    int64_t** row_sites_out, int64_t* n_rows_out,
+    int64_t** fallback_out, int64_t* n_fallback_out) {
+  return clair_decode_fast2(
+      x, gt21, geno, vl1, vl2, 21, 3, 33, 33,
+      positions, center_bases, sequences, n, contig, has_insertion_source,
+      show_ref, haploid_precision, haploid_sensitive, qual_cutoff, n_threads,
+      rows_out, rows_len, row_sites_out, n_rows_out,
+      fallback_out, n_fallback_out);
 }
 
 void clair_decode_free(char* rows, int64_t* row_sites, int64_t* fallback) {
