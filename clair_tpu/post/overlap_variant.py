@@ -1,19 +1,29 @@
 """Overlapping-variant filter.
 
 Drops the lower-quality call when a deletion's span overlaps a following
-SNP or deletion, matching the reference filter's interval algebra and
-tie-breaking (/root/reference/clair/post_processing/overlap_variant.py:
-29-152, 228-267; only the deletion-vs-SNP and deletion-vs-deletion checks
-are active there).
+SNP or deletion, matching the reference filter's decision
+(/root/reference/clair/post_processing/overlap_variant.py:29-152,
+228-267; only the deletion-vs-SNP and deletion-vs-deletion checks are
+active there). The decision is computed directly in genome coordinates
+rather than through the reference's per-kind interval constructions: for
+sorted a, b the active checks reduce to
+
+    longest_deletion(a) > 0
+    and b.position <= a.position + longest_deletion(a)
+    and (b is SNP-like or longest_deletion(b) > 0)
+
+where longest_deletion = max over present ALT alleles of
+len(REF) - len(ALT) (the half-open deletion span [pos-1,
+pos+longest_deletion) starts at pos-1 for every variant kind, so the
+"does some interval start inside the deletion" question is just the
+position bound above).
 """
 
 from __future__ import annotations
 
 import sys
 from dataclasses import dataclass
-from typing import Iterable, List, Optional, TextIO, Tuple
-
-EMPTY_INTERVAL = (-1, -1)
+from typing import Iterable, List, Optional, TextIO
 
 
 @dataclass
@@ -59,45 +69,36 @@ class Variant:
         )
 
 
-def _maximum_deletion_length(variant: Variant) -> int:
-    return len(variant.reference_base) - min(
-        len(variant.alternate_base),
-        1024 if variant.alternate_base_multi is None else len(variant.alternate_base_multi),
-    )
+def _alt_lengths(variant: Variant) -> List[int]:
+    lengths = [len(variant.alternate_base)]
+    if variant.alternate_base_multi is not None:
+        lengths.append(len(variant.alternate_base_multi))
+    return lengths
 
 
-def _snp_interval(variant: Variant) -> Tuple[int, int]:
-    is_snp = len(variant.reference_base) == len(variant.alternate_base) or (
-        variant.alternate_base_multi is not None
-        and len(variant.reference_base) == len(variant.alternate_base_multi)
-    )
-    return EMPTY_INTERVAL if not is_snp else (variant.position - 1, variant.position)
+def _longest_deletion(variant: Variant) -> int:
+    """Longest deletion among the present ALT alleles, in reference bases
+    (<= 0 when no allele deletes anything)."""
+    ref_len = len(variant.reference_base)
+    return max(ref_len - alt_len for alt_len in _alt_lengths(variant))
 
 
-def _deletion_interval(variant: Variant) -> Tuple[int, int]:
-    maximum = _maximum_deletion_length(variant)
-    if maximum <= 0:
-        return EMPTY_INTERVAL
-    return (variant.position - 1, variant.position + maximum)
-
-
-def _overlaps(interval_1: Tuple[int, int], interval_2: Tuple[int, int]) -> bool:
-    if interval_1 is EMPTY_INTERVAL or interval_2 is EMPTY_INTERVAL:
-        return False
-    begin_1, end_1 = interval_1
-    begin_2, _ = interval_2
-    return begin_1 <= begin_2 < end_1
+def _is_snp_like(variant: Variant) -> bool:
+    ref_len = len(variant.reference_base)
+    return any(alt_len == ref_len for alt_len in _alt_lengths(variant))
 
 
 def variants_overlap(variant_1: Variant, variant_2: Variant) -> bool:
     if variant_1.chromosome != variant_2.chromosome:
         return False
     if variant_1.position > variant_2.position:
-        return variants_overlap(variant_2, variant_1)
-    deletion = _deletion_interval(variant_1)
-    return _overlaps(deletion, _snp_interval(variant_2)) or _overlaps(
-        deletion, _deletion_interval(variant_2)
-    )
+        variant_1, variant_2 = variant_2, variant_1
+    deletion_span = _longest_deletion(variant_1)
+    if deletion_span <= 0:
+        return False
+    if variant_2.position > variant_1.position + deletion_span:
+        return False
+    return _is_snp_like(variant_2) or _longest_deletion(variant_2) > 0
 
 
 def filter_overlapping_variants(variants: Iterable[Variant]) -> List[Variant]:

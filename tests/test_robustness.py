@@ -184,3 +184,45 @@ def test_build_bai_with_unmapped_tail(tmp_path):
     with BamReader(path) as reader:
         got = list(reader.fetch("chr1", 0, 2000, min_mapq=1))
     assert len(got) == 20
+
+
+def test_overlap_filter_edge_semantics():
+    def variant(pos, ref, alt, qual, multi=None):
+        return Variant(
+            chromosome="chr1", position=pos, reference_base=ref,
+            alternate_base=alt, alternate_base_multi=multi,
+            quality_score=qual, genotype="1/1", depth="30",
+            allele_frequency="0.9",
+        )
+
+    # deletion span is INCLUSIVE of pos + longest_deletion (ref's
+    # half-open [pos-1, pos+maxdel) against the next variant's pos-1)
+    deletion = variant(100, "GAAA", "G", 300)  # spans through 103
+    at_boundary = variant(103, "T", "C", 50)
+    past_boundary = variant(104, "T", "C", 50)
+    assert [v.position for v in
+            filter_overlapping_variants([deletion, at_boundary])] == [100]
+    assert [v.position for v in
+            filter_overlapping_variants([deletion, past_boundary])] == [100, 104]
+
+    # multiallelic: the LONGEST deleting allele sets the span (1/2 with an
+    # insertion allele and a 2-base deletion allele)
+    multi_del = variant(100, "GAA", "GAAT", 300, multi="G")  # del span 2
+    snp_in = variant(102, "A", "T", 50)
+    snp_out = variant(103, "A", "T", 50)
+    assert [v.position for v in
+            filter_overlapping_variants([multi_del, snp_in])] == [100]
+    assert [v.position for v in
+            filter_overlapping_variants([multi_del, snp_out])] == [100, 103]
+
+    # insertion-only variants never open a deletion span
+    insertion = variant(100, "G", "GTTT", 300)
+    snp_next = variant(101, "A", "T", 5)
+    assert [v.position for v in
+            filter_overlapping_variants([insertion, snp_next])] == [100, 101]
+
+    # a second variant that is SNP-like via its multiallelic allele
+    # still counts as overlapping
+    multi_snp = variant(102, "A", "AT", 50, multi="T")
+    assert [v.position for v in
+            filter_overlapping_variants([deletion, multi_snp])] == [100]
