@@ -28,6 +28,35 @@ from clair_tpu.utils.genomics import BASE2NUM
 TensorInfo = Tuple[str, str, str]  # (ctg_name, position_str, sequence)
 
 
+class PackedSequences:
+    """Reference 33-mer windows kept as one (n, 33) uint8 array end to
+    end. The native pileup engine produces the windows as packed ascii
+    bytes; keeping them packed lets the decode fast path take center
+    bases as an array column and ship the window blob to C++ as one
+    memcpy, instead of round-tripping n Python strings per batch (the
+    str-list encode was ~20% of the ONT decode stage). Indexing keeps the
+    str contract consumers expect: [int] decodes one window, [slice]
+    stays packed."""
+
+    __slots__ = ("packed",)
+
+    def __init__(self, packed: np.ndarray):
+        self.packed = packed  # (n, NO_OF_POSITIONS) uint8, C-contiguous
+
+    def __len__(self) -> int:
+        return len(self.packed)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return PackedSequences(self.packed[i])
+        return self.packed[i].tobytes().decode("ascii")
+
+    def __iter__(self):
+        blob = self.packed.tobytes().decode("ascii")
+        w = self.packed.shape[1]
+        return (blob[k * w:(k + 1) * w] for k in range(len(self.packed)))
+
+
 class TensorInfos(list):
     """Batch info list of (ctg, pos_str, seq) tuples that also carries
     vectorized metadata, so the native decode fast path needn't re-walk
@@ -67,6 +96,10 @@ class LazyTensorInfos:
     def center_bases(self) -> np.ndarray:
         if self._center_bases is None:
             mid = NO_OF_POSITIONS // 2
+            packed = getattr(self.sequences, "packed", None)
+            if packed is not None:
+                self._center_bases = packed[:, mid].copy().view("S1")
+                return self._center_bases
             try:
                 # one C-loop ascii encode of the whole list, then a strided
                 # byte pick — the per-site genexpr+join this replaces was

@@ -356,7 +356,11 @@ def decode_fast_native(
     bases = np.asarray(center_bases, dtype="S1").tobytes()
     seq_buf = None
     if sequences is not None:
-        seq_buf = "".join(sequences).encode("ascii")
+        packed = getattr(sequences, "packed", None)
+        if packed is not None:
+            seq_buf = np.ascontiguousarray(packed).tobytes()
+        else:
+            seq_buf = "".join(sequences).encode("ascii")
         if len(seq_buf) != 33 * len(pos):
             seq_buf = None
 
@@ -749,8 +753,12 @@ def finalize_windows_native(tensor_ints, centers, ref_bytes, ref_seq_start,
         kept.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         seqs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     ))
-    blob = seqs[:m * 33].tobytes().decode("ascii")
-    sequences = [blob[i * 33:(i + 1) * 33] for i in range(m)]
+    from clair_tpu.data.tensor_stream import PackedSequences
+
+    # windows stay packed (n, 33) uint8 end to end: center bases become
+    # an array column and the decode fast path ships the blob as one
+    # memcpy; PackedSequences decodes strs only where a consumer indexes
+    sequences = PackedSequences(seqs[:m * 33].reshape(m, 33).copy())
     # out[:m] stays a view: m is n minus a handful of dropped edge sites,
     # so slicing avoids a second full-buffer copy at negligible overhang
     return out[:m], centers[kept[:m]], sequences
