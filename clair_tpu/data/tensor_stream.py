@@ -56,6 +56,22 @@ class PackedSequences:
         w = self.packed.shape[1]
         return (blob[k * w:(k + 1) * w] for k in range(len(self.packed)))
 
+    def __eq__(self, other):
+        """List semantics: equal to any sequence holding the same window
+        strings, so native-vs-Python engine equivalence guards compare
+        the two return types directly."""
+        if isinstance(other, PackedSequences):
+            return np.array_equal(self.packed, other.packed)
+        if isinstance(other, (list, tuple)):
+            return len(other) == len(self) and all(
+                a == b for a, b in zip(self, other)
+            )
+        return NotImplemented
+
+    def __ne__(self, other):
+        eq = self.__eq__(other)
+        return NotImplemented if eq is NotImplemented else not eq
+
 
 class TensorInfos(list):
     """Batch info list of (ctg, pos_str, seq) tuples that also carries

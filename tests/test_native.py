@@ -346,3 +346,24 @@ def test_fused_open_counts_matches_counts_pass(tmp_path):
     assert plain.n_records == fused.n_records
     assert np.array_equal(plain.counts(0, 8_000), fused.counts(0, 8_000))
     assert np.array_equal(plain.counts(100, 500), fused.counts(100, 500))
+
+
+def test_packed_sequences_list_equality():
+    """PackedSequences compares equal to a list of the same window
+    strings in both directions, to another PackedSequences with the same
+    bytes, and unequal otherwise — the contract the native-vs-Python
+    engine equivalence guards rely on."""
+    from clair_tpu.data.tensor_stream import PackedSequences
+
+    rs = np.random.RandomState(3)
+    packed = rs.choice(np.frombuffer(b"ACGT", np.uint8), size=(5, 33))
+    ps = PackedSequences(packed.astype(np.uint8))
+    as_list = [packed[i].tobytes().decode("ascii") for i in range(5)]
+
+    assert ps == as_list
+    assert as_list == ps
+    assert ps == PackedSequences(packed.copy())
+    assert not (ps != as_list)
+    assert ps != as_list[:-1]
+    assert ps != as_list[:-1] + ["G" * 33]
+    assert (ps == 7) is False and (ps != 7) is True
