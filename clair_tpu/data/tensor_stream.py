@@ -171,6 +171,20 @@ def normalize_channels(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def normalized_f32(x: np.ndarray) -> np.ndarray:
+    """Channel-normalized float32 copy of a tensor batch.
+
+    Identity (no copy) when x is already normalized float; converts a
+    raw-uint8 counts batch (the device-normalized uplink representation)
+    to the normalized form the host decode lattice and the ensemble dump
+    expect. Counts are small integers, so the float arithmetic is exact
+    and the result is bit-identical to normalizing before the float cast
+    (ref utils.py:96-98 semantics)."""
+    if x.dtype == np.uint8:
+        return normalize_channels(x.astype(np.float32))
+    return x
+
+
 def tensor_batches_from(
     source, batch_size: int, show_progress: bool = False
 ) -> Iterator[Tuple[np.ndarray, List[TensorInfo]]]:

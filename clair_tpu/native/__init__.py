@@ -277,6 +277,14 @@ def _bind_symbols(lib) -> None:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.clair_finalize_windows_u8.restype = ctypes.c_int64
+    lib.clair_finalize_windows_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.clair_rans_decompress.restype = ctypes.c_int
     lib.clair_rans_decompress.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
@@ -761,6 +769,41 @@ def finalize_windows_native(tensor_ints, centers, ref_bytes, ref_seq_start,
     sequences = PackedSequences(seqs[:m * 33].reshape(m, 33).copy())
     # out[:m] stays a view: m is n minus a handful of dropped edge sites,
     # so slicing avoids a second full-buffer copy at negligible overhang
+    return out[:m], centers[kept[:m]], sequences
+
+
+def finalize_windows_raw_native(tensor_ints, centers, ref_bytes,
+                                ref_seq_start, minimum_coverage=0):
+    """Raw-count finalize (clair_finalize_windows_u8): keep filter +
+    33-mer extraction, counts kept as raw uint8 — channel normalization
+    happens on device inside the jitted forward (and lazily on host at
+    decode time). Halves the host->device uplink vs the int16 normalized
+    ship (the dominant e2e cost at remote-link speeds) and quarters host
+    window memory vs float32. Valid for dcov <= 255 (per-channel counts
+    are bounded by the depth cap, ref CreateTensor.py:267-274). Returns
+    (tensors uint8, kept centers, PackedSequences) or None when the
+    library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    tensor_ints = np.ascontiguousarray(tensor_ints, dtype=np.int32)
+    centers = np.ascontiguousarray(centers, dtype=np.int64)
+    n = len(tensor_ints)
+    out = np.empty((n, 33, 8, 4), dtype=np.uint8)
+    kept = np.empty(n, dtype=np.int64)
+    seqs = np.empty(n * 33, dtype=np.uint8)
+    m = int(lib.clair_finalize_windows_u8(
+        tensor_ints.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+        centers.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ref_bytes, len(ref_bytes), ref_seq_start,
+        float(minimum_coverage),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        kept.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        seqs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    ))
+    from clair_tpu.data.tensor_stream import PackedSequences
+
+    sequences = PackedSequences(seqs[:m * 33].reshape(m, 33).copy())
     return out[:m], centers[kept[:m]], sequences
 
 

@@ -1565,6 +1565,39 @@ int64_t clair_finalize_windows(const int32_t* tensors, int64_t n,
   return n_kept;
 }
 
+// Raw-count variant of clair_finalize_windows for the device-normalized
+// uplink: same keep filter + 33-mer extraction, but counts stay raw uint8
+// (no channel normalization, no float conversion) — the device subtracts
+// ch0 inside the jitted forward. Valid whenever the depth cap fits a byte
+// (dcov <= 255; per-channel counts are bounded by the per-position depth
+// cap, ref CreateTensor.py:267-274).
+int64_t clair_finalize_windows_u8(const int32_t* tensors, int64_t n,
+                                  const int64_t* centers, const char* ref,
+                                  int64_t ref_len, int64_t ref_seq_start,
+                                  double minimum_coverage,
+                                  uint8_t* out_tensors, int64_t* kept_idx,
+                                  uint8_t* seqs_out) {
+  const int64_t kFlank = 16, kSize = 33 * 8 * 4;
+  int64_t n_kept = 0;
+  for (int64_t i = 0; i < n; i++) {
+    const int32_t* t = tensors + i * kSize;
+    int64_t center_depth = 0;
+    for (int r = 0; r < 8; r++) center_depth += t[kFlank * 32 + r * 4];
+    int64_t c = centers[i] - ref_seq_start;
+    if ((double)center_depth < minimum_coverage) continue;
+    if (c - (kFlank + 1) < 0 || c + kFlank > ref_len) continue;
+    uint8_t* o = out_tensors + n_kept * kSize;
+    for (int64_t p = 0; p < kSize; p++) {
+      int32_t v = t[p];
+      o[p] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+    memcpy(seqs_out + n_kept * 33, ref + c - (kFlank + 1), 33);
+    kept_idx[n_kept] = i;
+    n_kept++;
+  }
+  return n_kept;
+}
+
 void clair_free_events(EventBuffers* buffers) {
   free(buffers->match_pos);
   free(buffers->match_qcol);

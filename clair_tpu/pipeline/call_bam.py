@@ -432,9 +432,13 @@ class CallBamConfig:
 class WindowWork:
     """Host-side pileup result for one region, ready for device inference.
 
-    ``tensors`` are channel-NORMALIZED (ch1..3 -= ch0), done once for the
-    whole window at prepare time — batches slice it read-only, so the
-    per-batch copy+normalize pass disappears from the hot loop. The
+    ``tensors`` are RAW uint8 counts when the depth cap fits a byte
+    (dcov <= 255, the default 250): the predictor ships the bytes as-is
+    (half the int16 uplink, the dominant e2e cost at remote-link speeds)
+    and channel normalization (ch1..3 -= ch0, ref utils.py:96-98) happens
+    on device inside the jitted forward; the host decode lattice
+    normalizes lazily per batch (tensor_stream.normalized_f32). With
+    dcov > 255 they are channel-normalized float32 as before. The
     text-tensor CLI (create_tensor) keeps raw counts: it goes through
     data/pileup.create_tensors directly, not through prepare_window."""
 
@@ -536,19 +540,31 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
                 centers, reference_sequence, ref_seq_start, dcov=config.dcov
             )
         ref_bytes = reference_sequence.encode("ascii")
-        from clair_tpu.native import finalize_windows_native
+        raw_uplink = config.dcov <= 255
+        if raw_uplink:
+            from clair_tpu.native import finalize_windows_raw_native
 
-        finalized = finalize_windows_native(
-            tensor_ints, centers, ref_bytes, ref_seq_start
-        )
+            finalized = finalize_windows_raw_native(
+                tensor_ints, centers, ref_bytes, ref_seq_start
+            )
+        else:
+            from clair_tpu.native import finalize_windows_native
+
+            finalized = finalize_windows_native(
+                tensor_ints, centers, ref_bytes, ref_seq_start
+            )
         if finalized is not None:
             tensors, centers, sequences = finalized
         else:
             ref_raw = np.frombuffer(ref_bytes, dtype=np.uint8)
             tensors, centers, sequences = finalize_window_tensors(
-                tensor_ints.astype(np.float32), centers, ref_raw, ref_seq_start
+                tensor_ints, centers, ref_raw, ref_seq_start
             )
-            normalize_channels(tensors)
+            if raw_uplink:
+                tensors = np.clip(tensors, 0, 255).astype(np.uint8)
+            else:
+                tensors = tensors.astype(np.float32)
+                normalize_channels(tensors)
     else:
         candidate_counts, tensor_events = load_region_counts(
             config.bam_path, config.contig, ctg_start - 1, ctg_end,
@@ -568,7 +584,10 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
             minimum_coverage=0,
             consider_left_edge=not config.stop_consider_left_edge,
         )
-        normalize_channels(tensors)
+        if config.dcov <= 255:
+            tensors = np.clip(tensors, 0, 255).astype(np.uint8)
+        else:
+            normalize_channels(tensors)
 
     gvcf_data = None
     if config.gvcf and region_counts is not None:
@@ -640,7 +659,7 @@ def call_window(work: WindowWork, predictor: Predictor, writer: VcfWriter,
     try:
         pending = deque()
         for off in range(0, len(work.tensors), batch):
-            x = work.tensors[off:off + batch]  # pre-normalized; read-only
+            x = work.tensors[off:off + batch]  # raw u8 or normalized f32; read-only
             infos = LazyTensorInfos(
                 config.contig,
                 work.centers[off:off + len(x)],

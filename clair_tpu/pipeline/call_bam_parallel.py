@@ -724,12 +724,16 @@ def call_bam_windows_threaded(
                         break
                     ws.batches += 1
                     if stats is not None:
-                        # what actually crossed the link: the padded int16
-                        # batch (Predictor.predict_async)
+                        # what actually crossed the link: the padded batch
+                        # in its ship dtype — raw uint8 counts (1 B/elem)
+                        # on the default path, int16 (2 B/elem) for
+                        # normalized float batches (call_var._pack_uplink)
                         per_row = 1
                         for d in x.shape[1:]:
                             per_row *= int(d)
-                        stats.dispatch_bytes.append(batch_size * per_row * 2)
+                        elem_bytes = 1 if x.dtype.itemsize == 1 else 2
+                        stats.dispatch_bytes.append(
+                            batch_size * per_row * elem_bytes)
                     work_q.put(
                         (ws, (infos, x, out, n, time.perf_counter() - t0))
                     )

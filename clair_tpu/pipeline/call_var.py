@@ -68,6 +68,35 @@ class BatchSource:
     batches: Iterator[Tuple[np.ndarray, List[Tuple[str, str, str]]]]
 
 
+def _pack_uplink(x: np.ndarray, batch_size: int) -> np.ndarray:
+    """Padded batch in link dtype: raw uint8 counts ship as-is (half the
+    int16 cost; the device normalizes), anything else ships int16 —
+    normalized pileup counts are integer-valued so the cast is exact
+    within int16 range; extreme-depth columns (chrM, amplicons) are
+    clipped at the limits, where the signal is saturated anyway."""
+    n = x.shape[0]
+    packed = x if x.dtype == np.uint8 else np.clip(x, -32767, 32767).astype(np.int16)
+    if n < batch_size:
+        pad = np.zeros((batch_size - n,) + x.shape[1:], dtype=packed.dtype)
+        packed = np.concatenate([packed, pad], axis=0)
+    return packed
+
+
+def _device_input(x):
+    """float32 model input from a link batch, inside jit. Raw uint8
+    batches get the channel normalization (ch1..3 -= ch0, ref
+    utils.py:96-98) here on device — counts are small integers so this is
+    bit-identical to host normalization; int16/float batches arrive
+    already normalized. The dtype check is trace-time (one compile per
+    link dtype)."""
+    import jax.numpy as jnp
+
+    xf = x.astype(jnp.float32)
+    if x.dtype == jnp.uint8:
+        xf = jnp.concatenate([xf[..., :1], xf[..., 1:] - xf[..., :1]], axis=-1)
+    return xf
+
+
 @dataclass
 class Predictor:
     """Fixed-shape jitted forward pass over padded batches."""
@@ -96,7 +125,7 @@ class Predictor:
         # links, and four round trips per batch dominated the WGS runner)
         def fn(p, x):
             return jnp.concatenate(
-                forward(p, x.astype(jnp.float32), self.config), axis=-1
+                forward(p, _device_input(x), self.config), axis=-1
             )
 
         self._fn = jax.jit(fn)
@@ -105,18 +134,16 @@ class Predictor:
     def predict_async(self, x: np.ndarray):
         """Dispatch one (possibly short) batch; returns device arrays + n.
 
-        Tensors ship as int16: normalized pileup counts are integer-valued,
-        so the cast is exact within int16 range and halves the host->device
-        transfer (the dominant per-batch cost; compute is ~0.1 ms while an
-        f32 transfer is ~4 ms through this link). Extreme-depth columns
-        (chrM, amplicons) are clipped at the int16 limits — the signal is
-        saturated there anyway and wrapping would corrupt the tensor.
+        Raw uint8 count batches ship as-is — a quarter of the float32
+        link bytes, half of int16 — and the device normalizes channels
+        inside the jitted forward (_device_input). Normalized float
+        batches (text-tensor path, dcov > 255) ship as int16
+        (see _pack_uplink). Link bytes are the dominant per-batch cost:
+        compute is ~0.1 ms while an f32 transfer is ~4 ms through a
+        remote link.
         """
         n = x.shape[0]
-        x_int = np.clip(x, -32767, 32767).astype(np.int16)
-        if n < self.batch_size:
-            pad = np.zeros((self.batch_size - n,) + x.shape[1:], dtype=np.int16)
-            x_int = np.concatenate([x_int, pad], axis=0)
+        x_int = _pack_uplink(x, self.batch_size)
         out = self._fn(self.params, x_int)
         # start the device->host copy NOW: on remote TPU links the blocking
         # np.asarray in gather() pays a full round trip per batch; kicking
@@ -185,7 +212,7 @@ class ShardedPredictor(Predictor):
         self._out_sharding = NamedSharding(self.mesh, P("data", None))
         fn = jax.jit(
             lambda p, x: jnp.concatenate(
-                forward(p, x.astype(jnp.float32), self.config), axis=-1
+                forward(p, _device_input(x), self.config), axis=-1
             ),
             out_shardings=self._out_sharding,
         )
@@ -199,10 +226,7 @@ class ShardedPredictor(Predictor):
 
     def predict_async(self, x: np.ndarray):
         n = x.shape[0]
-        x_int = np.clip(x, -32767, 32767).astype(np.int16)
-        if n < self.batch_size:
-            pad = np.zeros((self.batch_size - n,) + x.shape[1:], dtype=np.int16)
-            x_int = np.concatenate([x_int, pad], axis=0)
+        x_int = _pack_uplink(x, self.batch_size)
         x_dev = self._jax.device_put(x_int, self._x_sharding)
         out = self._fn(self.params, x_dev)
         if self.eager_host_copy:
@@ -258,6 +282,14 @@ def emit_batch(pending, gatherer, output_config, writer, indel_sources,
     threaded WGS runner (call_bam_parallel) — `gatherer` is anything with
     .gather(out, n) -> 4 head arrays (a Predictor, or a pre-gathered shim)."""
     infos, x, out, n = pending
+    if x is not None and x.dtype == np.uint8:
+        # raw-uint8 uplink batches (WindowWork.tensors): the decode
+        # lattice and the ensemble dump both expect the channel-normalized
+        # form — normalize the one batch here (exact; see normalized_f32)
+        from clair_tpu.data.tensor_stream import normalized_f32
+
+        pending = (infos, normalized_f32(x), out, n)
+        infos, x, out, n = pending
     if output_config.is_output_for_ensemble:
         infos_list = [
             (infos.contig, int(infos.positions[i]), infos.sequences[i])

@@ -41,6 +41,11 @@ class OraclePredictor:
     batch_size = 64
 
     def predict_async(self, x):
+        # the real Predictor normalizes raw-uint8 uplink batches on device
+        # (call_var._device_input); this model stand-in does the same
+        from clair_tpu.data.tensor_stream import normalized_f32
+
+        x = normalized_f32(x)
         n = len(x)
         c = FLANKING_BASE_NUM
         gt21 = np.full((n, 21), 1e-6, np.float32)

@@ -1,0 +1,116 @@
+"""Raw-uint8 uplink: windows ship raw counts and the device normalizes.
+
+Guards for the r05 link optimization: the default calling path stores
+WindowWork.tensors as raw uint8 counts (dcov <= 255), ships the bytes
+as-is (half the int16 link cost), and performs channel normalization
+(ref clair/utils.py:96-98) inside the jitted forward. These tests pin
+(a) the device-normalized forward bit-identical to the host-normalized
+one, and (b) decode decisions identical between the raw path and the
+forced float32 host-normalized path.
+"""
+
+import numpy as np
+import pytest
+
+from clair_tpu.pipeline.call_bam import CallBamConfig, call_bam, prepare_window
+from clair_tpu.utils.simulate import (
+    plant_variants,
+    random_reference,
+    simulate_bam,
+    write_fasta,
+)
+from tests.test_pipeline_e2e import OraclePredictor
+
+
+def _flowcell(tmp_path, seed=11, length=6000, coverage=25):
+    rs = np.random.RandomState(seed)
+    reference = random_reference(rs, length)
+    variants = plant_variants(rs, reference, n_variants=20, spacing=200)
+    fasta_path = str(tmp_path / "ref.fa")
+    bam_path = str(tmp_path / "s.bam")
+    write_fasta(fasta_path, reference, contig="chr1")
+    simulate_bam(bam_path, reference, variants, rs, coverage=coverage)
+    return bam_path, fasta_path
+
+
+def test_prepare_window_ships_raw_uint8(tmp_path):
+    """Default dcov (250) stores raw uint8 counts; dcov > 255 falls back
+    to normalized float32; the two agree after normalization."""
+    from clair_tpu.data.tensor_stream import normalized_f32
+
+    bam, fasta = _flowcell(tmp_path)
+    raw_cfg = CallBamConfig(
+        bam_path=bam, fasta_path=fasta, contig="chr1",
+        minimum_af=0.2, minimum_coverage=4,
+    )
+    f32_cfg = CallBamConfig(
+        bam_path=bam, fasta_path=fasta, contig="chr1",
+        minimum_af=0.2, minimum_coverage=4, dcov=256,
+    )
+    raw = prepare_window(raw_cfg)
+    f32 = prepare_window(f32_cfg)
+    assert raw.tensors.dtype == np.uint8
+    assert f32.tensors.dtype == np.float32
+    assert len(raw.tensors) > 0
+    # coverage 25 << either cap, so the counts are cap-independent and the
+    # raw path must reproduce the normalized tensors exactly
+    assert np.array_equal(raw.centers, f32.centers)
+    assert np.array_equal(normalized_f32(raw.tensors), f32.tensors)
+    assert raw.sequences == f32.sequences
+
+
+def test_raw_and_f32_paths_call_identical_vcf(tmp_path):
+    """End-to-end guard: the raw-uint8 uplink path produces byte-identical
+    VCF rows to the host-normalized float32 path."""
+    import io
+
+    bam, fasta = _flowcell(tmp_path)
+    outputs = []
+    for dcov in (250, 256):
+        out = io.StringIO()
+        config = CallBamConfig(
+            bam_path=bam, fasta_path=fasta, contig="chr1",
+            minimum_af=0.2, minimum_coverage=4, dcov=dcov,
+        )
+        total = call_bam(config, OraclePredictor(), output_fh=out)
+        assert total > 0
+        outputs.append(out.getvalue())
+    assert outputs[0] == outputs[1]
+
+
+def test_device_normalization_bit_identical():
+    """The jitted forward on a raw uint8 batch matches the forward on the
+    host-normalized float batch bit-for-bit (counts are small integers;
+    f32 arithmetic on them is exact)."""
+    jax = pytest.importorskip("jax")
+    from clair_tpu.models.checkpoint import load_checkpoint
+    from clair_tpu.params import ModelConfig
+    from clair_tpu.pipeline.call_var import Predictor
+
+    params, _ = load_checkpoint("examples/ont_synthetic.ckpt")
+    predictor = Predictor(params=params, config=ModelConfig(), batch_size=16)
+    rs = np.random.RandomState(0)
+    raw = rs.randint(0, 250, size=(16, 33, 8, 4)).astype(np.uint8)
+    norm = raw.astype(np.float32)
+    norm[..., 1:] -= norm[..., :1]
+
+    out_raw, n1 = predictor.predict_async(raw)
+    out_norm, n2 = predictor.predict_async(norm)
+    assert n1 == n2 == 16
+    assert np.array_equal(np.asarray(out_raw), np.asarray(out_norm))
+
+
+def test_pack_uplink_dtypes():
+    """Raw uint8 ships as-is (with uint8 padding); normalized floats ship
+    int16-clipped; short batches pad to the fixed shape."""
+    from clair_tpu.pipeline.call_var import _pack_uplink
+
+    raw = np.arange(2 * 33 * 8 * 4, dtype=np.uint8).reshape(2, 33, 8, 4)
+    packed = _pack_uplink(raw, 4)
+    assert packed.dtype == np.uint8 and packed.shape[0] == 4
+    assert np.array_equal(packed[:2], raw) and not packed[2:].any()
+
+    norm = np.full((2, 33, 8, 4), -40000.0, dtype=np.float32)
+    packed = _pack_uplink(norm, 2)
+    assert packed.dtype == np.int16
+    assert packed.min() == -32767  # clipped, not wrapped
