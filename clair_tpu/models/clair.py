@@ -88,8 +88,15 @@ def forward_logits(
     *,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Forward pass returning pre-softmax (SELU-activated) head outputs."""
+    """Forward pass returning pre-softmax (SELU-activated) head outputs.
+
+    ``mesh``: pass the active jax.sharding.Mesh when the surrounding step
+    is batch-sharded AND a Pallas BiLSTM kernel is selected — pallas_call
+    is opaque to GSPMD, so the kernel runs under shard_map over the
+    mesh's 'data' axis instead (bilstm_train_stream_meshed). The GSPMD
+    scan path ignores it."""
     if not deterministic and rng is None:
         raise ValueError("training-mode forward needs an rng for dropout")
     if rng is None:
@@ -112,10 +119,16 @@ def forward_logits(
         from clair_tpu.ops.pallas_bilstm import bilstm_pallas
 
         lstm = bilstm_pallas
-    elif config.use_pallas_stream_bilstm and jax.default_backend() == "tpu":
-        from clair_tpu.ops.pallas_bilstm_stream import bilstm_train_stream
+    elif config.use_pallas_stream_bilstm:
+        from clair_tpu.ops import pallas_bilstm_stream as _stream
 
-        lstm = bilstm_train_stream
+        # engages on TPU, or anywhere in interpret mode (CPU-mesh tests
+        # and the multichip dryrun flip _stream._INTERPRET)
+        if jax.default_backend() == "tpu" or _stream._INTERPRET:
+            lstm = (
+                _stream.bilstm_train_stream if mesh is None
+                else _stream.bilstm_train_stream_meshed(mesh)
+            )
     elif config.use_pallas_train_bilstm and jax.default_backend() == "tpu":
         if compute_dtype != jnp.float32:
             raise ValueError(
@@ -174,10 +187,13 @@ def forward(
     *,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Forward pass returning the four softmax probability tensors (always
     float32 — the decode lattice consumes them on host)."""
-    logits = forward_logits(params, x, config, deterministic=deterministic, rng=rng)
+    logits = forward_logits(
+        params, x, config, deterministic=deterministic, rng=rng, mesh=mesh
+    )
     return tuple(
         jax.nn.softmax(l.astype(jnp.float32), axis=-1) for l in logits
     )

@@ -349,3 +349,65 @@ def _bilstm_bwd(residual, dout):
 
 
 bilstm_train_stream.defvjp(_bilstm_fwd, _bilstm_bwd)
+
+
+def bilstm_train_stream_meshed(mesh, axis: str = "data"):
+    """Mesh-shardable streaming kernel: shard_map over the batch axis.
+
+    A pallas_call is opaque to GSPMD — under a mesh the partitioner would
+    gather the full batch onto every device, so meshed training and
+    sharded inference used to fall back to the ~2x-slower scan. This
+    wrapper runs the kernel per-device on the local batch shard instead:
+
+    - forward: x arrives sharded on ``axis``; each device pads its own
+      shard, stacks directions, and runs _fwd_pallas locally. Outputs and
+      residuals stay sharded (residual arrays are (T, 2bp, .), sharded on
+      the stacked-batch axis 1).
+    - backward: per-device _bwd_pallas on the local residuals; dx stays
+      sharded, parameter gradients psum over ``axis`` (params are
+      replicated, so their cotangent is the cross-shard sum).
+
+    Mesh axes not named here (e.g. 'model') are untouched: the BiLSTM is
+    replicated over them, exactly as under the GSPMD scan path. Numerics
+    match the single-device kernel per shard; the psum changes dparam
+    accumulation order across shards only (same tolerance family as the
+    scan's all-reduce). Returns a drop-in for models.bilstm.bilstm.
+    """
+    pspec = jax.sharding.PartitionSpec()
+    xspec = jax.sharding.PartitionSpec(axis)
+    rspec = jax.sharding.PartitionSpec(None, axis)
+
+    def fwd_local(params, x):
+        out, (_, xs, h_out, c_out, _b) = _bilstm_fwd(params, x)
+        return out, xs, h_out, c_out
+
+    def bwd_local(params, xs, h_out, c_out, dout):
+        dparams, dx = _bilstm_bwd(
+            (params, xs, h_out, c_out, dout.shape[0]), dout
+        )
+        return jax.lax.psum(dparams, axis), dx
+
+    sm_fwd = jax.shard_map(
+        fwd_local, mesh=mesh, in_specs=(pspec, xspec),
+        out_specs=(xspec, rspec, rspec, rspec), check_vma=False,
+    )
+    sm_bwd = jax.shard_map(
+        bwd_local, mesh=mesh,
+        in_specs=(pspec, rspec, rspec, rspec, xspec),
+        out_specs=(pspec, xspec), check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def meshed(params, x):
+        return sm_fwd(params, x)[0]
+
+    def meshed_fwd(params, x):
+        out, xs, h_out, c_out = sm_fwd(params, x)
+        return out, (params, xs, h_out, c_out)
+
+    def meshed_bwd(residual, dout):
+        params, xs, h_out, c_out = residual
+        return sm_bwd(params, xs, h_out, c_out, dout)
+
+    meshed.defvjp(meshed_fwd, meshed_bwd)
+    return meshed

@@ -92,8 +92,10 @@ def set_learning_rate(opt_state, learning_rate: float):
 
 
 def loss_fn(params, x, y, rng, config: ModelConfig, l2_lambda, deterministic=False,
-            sample_weights=None):
-    logits = forward_logits(params, x, config, deterministic=deterministic, rng=rng)
+            sample_weights=None, mesh=None):
+    logits = forward_logits(
+        params, x, config, deterministic=deterministic, rng=rng, mesh=mesh
+    )
     return total_loss(
         logits,
         y,
@@ -119,7 +121,7 @@ def make_train_step(
 
     def step(params, opt_state, x, y, rng, l2_lambda, sample_weights=None):
         (loss, components), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, x, y, rng, config, l2_lambda, False, sample_weights
+            params, x, y, rng, config, l2_lambda, False, sample_weights, mesh
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -132,13 +134,13 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0, 1))
 
 
-def make_eval_step(config: ModelConfig):
+def make_eval_step(config: ModelConfig, mesh: Optional[Mesh] = None):
     """Jitted validation step: loss components without gradient/update."""
 
     def step(params, x, y, l2_lambda, sample_weights=None):
         loss, components = loss_fn(
             params, x, y, jax.random.PRNGKey(0), config, l2_lambda,
-            deterministic=True, sample_weights=sample_weights,
+            deterministic=True, sample_weights=sample_weights, mesh=mesh,
         )
         return loss, components
 

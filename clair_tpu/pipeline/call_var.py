@@ -40,9 +40,10 @@ def _auto_stream_kernel(config: ModelConfig, backend: str) -> ModelConfig:
     it measures 0.26 vs the hoisted scan's 0.34 ms/batch (1.97M vs 1.50M
     tensors/s, stable in-jit protocol, v5e). float32 keeps the scan — the
     exact-parity escape hatch stays byte-stable with prior rounds — and an
-    explicitly requested kernel always wins. ShardedPredictor keeps the
-    scan too: a pallas_call is opaque to pjit's partitioner, which would
-    gather the full batch onto every device."""
+    explicitly requested kernel always wins. ShardedPredictor uses it too:
+    its forward passes the mesh so the kernel runs under shard_map over
+    the 'data' axis (a bare pallas_call is opaque to pjit's partitioner,
+    which would gather the full batch onto every device)."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -203,6 +204,7 @@ class ShardedPredictor(Predictor):
         self._stack_fns = {}
         if self.mesh is None:
             raise ValueError("ShardedPredictor needs a mesh")
+        self.config = _auto_stream_kernel(self.config, jax.default_backend())
         data_size = self.mesh.shape["data"]
         if self.batch_size % data_size != 0:
             raise ValueError(
@@ -212,7 +214,8 @@ class ShardedPredictor(Predictor):
         self._out_sharding = NamedSharding(self.mesh, P("data", None))
         fn = jax.jit(
             lambda p, x: jnp.concatenate(
-                forward(p, _device_input(x), self.config), axis=-1
+                forward(p, _device_input(x), self.config, mesh=self.mesh),
+                axis=-1,
             ),
             out_shardings=self._out_sharding,
         )

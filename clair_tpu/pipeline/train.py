@@ -107,10 +107,11 @@ class TrainingConfig:
     restore_best: bool = True
     # streaming-grid Pallas BiLSTM for the train/val steps
     # (ops/pallas_bilstm_stream.py, measured ~2x over the lax.scan at the
-    # production batch). None = auto: on for single-device TPU training
-    # unless the model config already picked another BiLSTM kernel (a
-    # meshed step is GSPMD-partitioned, where a pallas_call would not
-    # shard on its own); True forces it on; False forces the scan.
+    # production batch). None = auto: on for reduced-precision TPU
+    # training — meshed steps run it under shard_map over the 'data' axis
+    # (bilstm_train_stream_meshed) — unless the model config already
+    # picked another BiLSTM kernel; True forces it on; False forces the
+    # scan.
     use_stream_bilstm: Optional[bool] = None
 
 
@@ -131,15 +132,15 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
     )
     use_stream = config.use_stream_bilstm
     if use_stream is None:
-        # auto: single-device TPU training only — under a mesh the step is
-        # GSPMD-partitioned and a pallas_call would not shard on its own.
+        # auto: reduced-precision TPU training — single-device AND meshed
+        # (the meshed step runs the kernel under shard_map over 'data',
+        # models/clair.py forward_logits + bilstm_train_stream_meshed).
         # float32 compute is the documented exact-parity escape hatch, so
         # auto never swaps its accumulation order for the kernel's; f32
         # users who want the kernel (216k vs 170k samples/s) opt in with
         # use_stream_bilstm=True
         use_stream = (
             jax.default_backend() == "tpu"
-            and config.mesh is None
             and config.train_compute_dtype != "float32"
             and not model_config.use_pallas_bilstm
             and not model_config.use_pallas_train_bilstm
@@ -200,7 +201,7 @@ def train_model(dataset: BinDataset, config: TrainingConfig) -> TrainResult:
     optimizer = make_optimizer(model_config.optimizer_name, config.learning_rate)
     opt_state = optimizer.init(params)
     train_step = make_train_step(model_config, optimizer, config.mesh)
-    eval_step = make_eval_step(model_config)
+    eval_step = make_eval_step(model_config, config.mesh)
 
     if config.mesh is not None:
         params = jax.device_put(params, param_shardings(params, config.mesh))

@@ -111,3 +111,103 @@ def test_train_step_converges_with_stream_kernel():
     l_str = run(PS.bilstm_train_stream)
     assert l_str[-1] < l_str[0]
     np.testing.assert_allclose(l_str, l_ref, rtol=1e-3)
+
+
+def test_meshed_kernel_matches_scan_on_virtual_mesh():
+    """shard_map'd streaming kernel over an 8-device CPU mesh: forward and
+    every gradient (params + input) match the scan reference, and a jitted
+    run with batch-sharded inputs compiles + executes (the multi-chip
+    configuration the single-device kernel used to fall back from)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = jax.devices()
+    if len(devices) < 4:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    mesh = Mesh(np.array(devices[:4]), ("data",))
+
+    b, t, f, h = 16, 33, 32, 64
+    params = init_bilstm_params(jax.random.PRNGKey(5), f, h)
+    x = jax.random.normal(jax.random.PRNGKey(6), (b, t, f), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(7), (b, t, 2 * h), jnp.float32)
+    meshed = PS.bilstm_train_stream_meshed(mesh)
+
+    out_ref = bilstm(params, x)
+    out_meshed = meshed(params, x)
+    np.testing.assert_allclose(out_meshed, out_ref, rtol=2e-5, atol=2e-5)
+
+    g_ref = jax.grad(_loss_ref, argnums=(0, 1))(params, x, w)
+    g_meshed = jax.grad(
+        lambda p, xx, ww: jnp.sum(meshed(p, xx) * ww), argnums=(0, 1)
+    )(params, x, w)
+    for ref_leaf, meshed_leaf in zip(
+        jax.tree.leaves(g_ref), jax.tree.leaves(g_meshed)
+    ):
+        np.testing.assert_allclose(meshed_leaf, ref_leaf, rtol=3e-4, atol=3e-5)
+
+    # jitted, with inputs actually laid out batch-sharded over the mesh
+    x_sharded = jax.device_put(x, NamedSharding(mesh, P("data")))
+    p_repl = jax.device_put(
+        params, jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+    )
+    out_jit = jax.jit(meshed)(p_repl, x_sharded)
+    np.testing.assert_allclose(np.asarray(out_jit), out_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_meshed_train_step_matches_single_device_losses():
+    """A meshed bf16 train step with the stream kernel produces the same
+    loss trajectory as the single-device stream-kernel step (same batch,
+    same seed), within the kernel-vs-scan tolerance family."""
+    from jax.sharding import Mesh
+
+    from clair_tpu.params import ModelConfig
+    from clair_tpu.models.clair import init_params
+    from clair_tpu.parallel.sharding import (
+        batch_sharding,
+        make_optimizer,
+        make_train_step,
+        param_shardings,
+        replicate,
+    )
+
+    devices = jax.devices()
+    if len(devices) < 4:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    mesh = Mesh(np.array(devices[:4]).reshape(4, 1), ("data", "model"))
+
+    config = ModelConfig(use_pallas_stream_bilstm=True)
+    params = init_params(jax.random.PRNGKey(0), config)
+    optimizer = make_optimizer("Adam", 1e-3)
+
+    rs = np.random.RandomState(0)
+    x = rs.randint(0, 50, size=(16, 33, 8, 4)).astype(np.float32)
+    x[..., 1:] -= x[..., :1]
+    y = np.zeros((16, 90), np.float32)
+    y[:, rs.randint(0, 21, 16)] = 1.0
+    y[:, 21 + rs.randint(0, 3, 16)] = 1.0
+    y[:, 24 + rs.randint(0, 33, 16)] = 1.0
+    y[:, 57 + rs.randint(0, 33, 16)] = 1.0
+    rng = jax.random.PRNGKey(3)
+
+    losses = {}
+    for name, m in (("single", None), ("meshed", mesh)):
+        step = make_train_step(config, optimizer, m)
+        p = jax.tree.map(jnp.asarray, params)
+        opt_state = optimizer.init(p)
+        if m is not None:
+            p = jax.device_put(p, param_shardings(p, m))
+            opt_state = jax.device_put(
+                opt_state, jax.tree.map(lambda _: replicate(m), opt_state)
+            )
+            xs = jax.device_put(x, batch_sharding(m, 4))
+            ys = jax.device_put(y, batch_sharding(m, 2))
+        else:
+            xs, ys = x, y
+        run = []
+        for _ in range(3):
+            p, opt_state, loss, _ = step(p, opt_state, xs, ys, rng, 0.0)
+            run.append(float(loss))
+        losses[name] = run
+
+    np.testing.assert_allclose(
+        losses["meshed"], losses["single"], rtol=3e-4, atol=3e-5
+    )
