@@ -181,13 +181,16 @@ def _make_ont_bam(tmp, genome_kb=1200, coverage=35):
     return bam_path, fasta_path, length
 
 
-def _make_ont_highcov_bam(tmp, genome_kb=100, coverage=550):
+def _make_ont_highcov_bam(tmp, genome_kb=800, coverage=550):
     """BASELINE config-5 regime (578x HG002HD): the same ONT error model
-    at ~550x coverage over a smaller genome (total base-event volume stays
-    comparable to the 400 kb / 35x standard flowcell, so the stage budget
-    holds). The per-start-position depth cap and dense pileup columns are
-    what this regime uniquely exercises (tests/test_highcov.py proves the
-    cap semantics; this stage records the throughput)."""
+    at ~550x coverage. 800 kb since r05 (r04 used 100 kb, which filled
+    only 3 predict batches — below the >=10-batch steady-state bar r04
+    itself established for the standard e2e stage, so the recorded number
+    measured tunnel latency, not the 250+-depth regime; at the measured
+    ~14 candidates/kb, 800 kb fills 20+ batches). The per-start-position
+    depth cap and dense pileup columns are what this regime uniquely
+    exercises (tests/test_highcov.py proves the cap semantics; this stage
+    records the throughput)."""
     from clair_tpu.io.bai import build_bai
     from clair_tpu.utils.simulate import simulate_ont_fast, write_fasta
 
@@ -198,6 +201,34 @@ def _make_ont_highcov_bam(tmp, genome_kb=100, coverage=550):
     reference, _variants = simulate_ont_fast(
         bam_path, rs, length=length, coverage=coverage,
         mean_read_length=700.0,
+    )
+    write_fasta(fasta_path, reference)
+    build_bai(bam_path, bam_path + ".bai")
+    return bam_path, fasta_path, length
+
+
+def _make_ccs_bam(tmp, genome_kb=3000, coverage=30):
+    """PacBio CCS/HiFi flowcell: the vectorized simulator's 'ccs' recipe
+    (~2 kb reads, ~0.5% indel-leaning error with mild systematic
+    hotspots — utils/simulate.PLATFORM_FAST_RECIPES) at the reference's
+    ~30x CCS operating point (/root/reference/README.md:391-395, HG005
+    ~30x). Variants every 600 bp: the clean error model yields few
+    noise candidates, so density comes from planted variants and the
+    flowcell must be sized for e2e steady state (>=10 predict batches)."""
+    from clair_tpu.io.bai import build_bai
+    from clair_tpu.utils.simulate import (
+        platform_fast_kwargs,
+        simulate_platform_fast,
+        write_fasta,
+    )
+
+    rs = np.random.RandomState(11)
+    length = genome_kb * 1000
+    fasta_path = os.path.join(tmp, "ccs_ref.fa")
+    bam_path = os.path.join(tmp, "ccs.bam")
+    kwargs = platform_fast_kwargs("ccs", coverage=coverage)
+    reference, _variants = simulate_platform_fast(
+        bam_path, rs, length=length, variant_spacing=600, **kwargs
     )
     write_fasta(fasta_path, reference)
     build_bai(bam_path, bam_path + ".bai")
@@ -472,7 +503,7 @@ def wgs_throughput(params, config, bam_path, fasta_path, genome_mb,
     for _ in range(2):
         stats = PipelineStats()
         start = time.perf_counter()
-        call_bam_windows_threaded(
+        sites = call_bam_windows_threaded(
             base, predictor, out,
             chunk_size=250_000, include_all_contigs=True,
             pileup_workers=workers, stats=stats,
@@ -483,6 +514,11 @@ def wgs_throughput(params, config, bam_path, fasta_path, genome_mb,
             decompose = stats.summary()
             decompose["wall_s"] = round(wall, 3)
             decompose["inflight_depth"] = WGS_INFLIGHT_DEPTH
+            # candidate density: batches alone under-describe the regime
+            # (a depth-capped flowcell packs more candidates per kb)
+            decompose["candidate_sites"] = sites
+            decompose["candidates_per_kb"] = round(
+                sites / (genome_mb * 1000), 2)
     return genome_mb / (elapsed / 60.0), decompose
 
 
@@ -531,6 +567,77 @@ def wgs_host_ceiling(params, config, bam_path, fasta_path, genome_mb,
         )
         elapsed = min(elapsed, time.perf_counter() - start)
     return genome_mb / (elapsed / 60.0)
+
+
+def wgs_colocated(params, config, bam_path, fasta_path, genome_mb,
+                  compute_ms_fast, minimum_af=0.2,
+                  host_ceiling_mbp_per_min=0.0):
+    """MEASURE (not infer) the co-located overlap claim: replay the exact
+    in-flight WGS pipeline against an in-process simulated device
+    (pipeline/device_sim.py) honoring a per-batch device-leg cost at
+    PCIe-class byte rates, twice:
+
+      fast: compute_ms_fast = the measured stable ms/batch of the
+            bf16 streaming-kernel forward (the calling default) — the
+            co-located-chip model. Expected: wall ~= host leg.
+      slow: a per-batch cost chosen AFTER the fast run so the modelled
+            device leg is ~4x the fast wall — the device-bound regime.
+            Expected: wall ~= device leg.
+
+    Together the two runs substantiate wall ~= max(host leg, device leg)
+    for the same runner, queue depths, and decode path the remote-link
+    e2e stage measures. Probability rows come from one real forward of
+    the vendored checkpoint (host-ceiling realism trick)."""
+    from clair_tpu.pipeline.call_bam import CallBamConfig
+    from clair_tpu.pipeline.call_bam_parallel import (
+        PipelineStats,
+        call_bam_windows_threaded,
+    )
+    from clair_tpu.pipeline.call_var import Predictor
+    from clair_tpu.pipeline.device_sim import SimulatedDevicePredictor
+
+    real = Predictor(params, config, batch_size=BATCH)
+    x = np.random.RandomState(0).rand(BATCH, 33, 8, 4).astype(np.float32) * 20
+    out, _ = real.predict_async(x)
+    rows = np.asarray(out)
+
+    base = CallBamConfig(
+        bam_path=bam_path, fasta_path=fasta_path,
+        minimum_af=minimum_af, minimum_coverage=4,
+    )
+    workers = max(os.cpu_count() or 1, 1)
+    result = {"device_model": "serial queue + DMA at 12 GB/s "
+                              "(pipeline/device_sim.py)"}
+
+    def run(name, ms):
+        sim = SimulatedDevicePredictor(rows, ms, batch_size=BATCH)
+        stats = PipelineStats()
+        out_path = os.path.join(os.path.dirname(bam_path),
+                                f"coloc_{name}.vcf")
+        start = time.perf_counter()
+        call_bam_windows_threaded(
+            base, sim, out_path,
+            chunk_size=250_000, include_all_contigs=True,
+            pileup_workers=workers, stats=stats,
+        )
+        wall = time.perf_counter() - start
+        result[f"device_ms_per_batch_{name}"] = round(ms, 4)
+        result[f"wall_s_{name}"] = round(wall, 3)
+        result[f"device_leg_s_{name}"] = round(sim.device_busy_s, 3)
+        result[f"batches_{name}"] = sim.batches
+        result[f"mbp_per_min_{name}"] = round(genome_mb / (wall / 60.0), 2)
+        return wall, sim
+
+    wall_fast, sim_fast = run("fast", compute_ms_fast)
+    if host_ceiling_mbp_per_min > 0:
+        host_wall = genome_mb / host_ceiling_mbp_per_min * 60.0
+        result["host_ceiling_wall_s"] = round(host_wall, 3)
+        result["fast_wall_vs_host_ceiling"] = round(wall_fast / host_wall, 3)
+    slow_ms = max(25.0, 4.0 * wall_fast * 1e3 / max(sim_fast.batches, 1))
+    wall_slow, sim_slow = run("slow", slow_ms)
+    result["slow_wall_vs_device_leg"] = round(
+        wall_slow / max(sim_slow.device_busy_s, 1e-9), 3)
+    return result
 
 
 def train_feed_throughput() -> float:
@@ -725,6 +832,7 @@ def main():
     # the model's real output, not hand-crafted vectors
     params_ont = _load_vendored("ont")
     params_ilmn = _load_vendored("ilmn")
+    params_ccs = _load_vendored("ccs")
     if params_ont is None or params_ilmn is None:
         print("[bench] vendored checkpoints missing; falling back to "
               "biased init params", file=sys.stderr)
@@ -734,6 +842,7 @@ def main():
         fallback["head_len2"]["b"] = fallback["head_len2"]["b"].at[16].add(8.0)
         params_ont = params_ont or fallback
         params_ilmn = params_ilmn or fallback
+    params_ccs = params_ccs or params_ilmn
 
     tmp = tempfile.mkdtemp(prefix="clair_tpu_bench_")
     ont_bam, ont_fa, ont_len = _make_ont_bam(tmp)
@@ -751,6 +860,9 @@ def main():
         "host_decode_tps_ont_real": 0.0,
         "ont_indel_winner_fraction": 0.0,
         "host_decode_tps": 0.0,
+        "clean_indel_winner_fraction": 0.0,
+        "host_decode_tps_ccs_real": 0.0,
+        "ccs_indel_winner_fraction": 0.0,
         "train_samples_per_sec": 0.0,
         "train_samples_per_sec_bf16": 0.0,
         "train_samples_per_sec_stream_bf16": None,  # null until measured
@@ -760,6 +872,14 @@ def main():
         "wgs_ont_host_ceiling_mbp_per_min": 0.0,
         "wgs_ont_host_ceiling_cram_mbp_per_min": 0.0,
         "wgs_end_to_end_mbp_per_min": 0.0,
+        # per-platform stages (r05): the reference treats ONT / PacBio CCS
+        # / Illumina as first-class (README.md:374-401); ilmn runs the
+        # clean flowcell at the platform alt-AF default 0.1, ccs its own
+        # HiFi-profile flowcell at alt-AF 0.2
+        "wgs_ccs_end_to_end_mbp_per_min": 0.0,
+        "wgs_ccs_host_ceiling_mbp_per_min": 0.0,
+        "wgs_ilmn_end_to_end_mbp_per_min": 0.0,
+        "wgs_ilmn_host_ceiling_mbp_per_min": 0.0,
         "pileup_workers": os.cpu_count(),
         "device_unreachable_cpu_fallback": not device_ok,
         "device_forward_protocol": DEVICE_FORWARD_PROTOCOL,
@@ -862,6 +982,23 @@ def main():
         params_ilmn, config, clean_bam, clean_fa, minimum_af=0.2
     )
     st["host_decode_tps"] = decode_clean_tps
+    st["clean_indel_winner_fraction"] = clean_indel_frac
+    # CCS decode leg (r05): the third reference platform's regime — clean
+    # long reads whose residual error is indel-leaning, so its winner mix
+    # sits between ONT and Illumina
+    ccs_bam = ccs_fa = None
+    ccs_len = 0
+    try:
+        wd.enter("decode_ccs", budget(1800))
+        ccs_bam, ccs_fa, ccs_len = _make_ccs_bam(tmp)
+        decode_ccs_tps, ccs_indel_frac = decode_window_throughput(
+            params_ccs, config, ccs_bam, ccs_fa, minimum_af=0.2
+        )
+        st["host_decode_tps_ccs_real"] = decode_ccs_tps
+        st["ccs_indel_winner_fraction"] = ccs_indel_frac
+        st["wgs_flowcell"]["ccs_kb"] = ccs_len // 1000
+    except Exception as exc:
+        print(f"[bench] CCS decode stage failed ({exc})", file=sys.stderr)
     if device_ok:
         wd.enter("train_step", 1800)
         # f32: the exact-parity escape hatch (train_compute_dtype=
@@ -940,8 +1077,9 @@ def main():
         # high-coverage regime (BASELINE config 5, 578x HG002HD): ~550x
         # over a small genome — Mbp/min is naturally ~10x lower than the
         # 35x stage because every megabase carries ~16x the base events
-        wd.enter("wgs_ont_highcov", budget(2400))
+        wd.enter("wgs_ont_highcov", budget(3000))
         hc_bam, hc_fa, hc_len = _make_ont_highcov_bam(tmp)
+        st["wgs_flowcell"]["ont_highcov_kb"] = hc_len // 1000
         cpu0 = _cpu_seconds()
         st["wgs_ont_highcov_mbp_per_min"], st["wgs_ont_highcov_decompose"] = (
             wgs_throughput(
@@ -964,6 +1102,64 @@ def main():
         _stage_cpu("wgs_clean_e2e", cpu0)
     except Exception as exc:
         print(f"[bench] clean wgs stage failed ({exc})", file=sys.stderr)
+    # per-platform CCS / Illumina stages (r05): host ceiling + e2e
+    # decompose at each platform's alt-AF candidate default
+    # (/root/reference/README.md:374-381: Illumina 0.1, PacBio CCS 0.2)
+    if ccs_bam is not None:
+        try:
+            wd.enter("wgs_ccs_host_ceiling", budget(2400))
+            cpu0 = _cpu_seconds()
+            st["wgs_ccs_host_ceiling_mbp_per_min"] = wgs_host_ceiling(
+                params_ccs, config_bf16, ccs_bam, ccs_fa, ccs_len / 1e6,
+                minimum_af=0.2,
+            )
+            _stage_cpu("wgs_ccs_host_ceiling", cpu0)
+            wd.enter("wgs_ccs_e2e", budget(2400))
+            cpu0 = _cpu_seconds()
+            st["wgs_ccs_end_to_end_mbp_per_min"], st["wgs_ccs_e2e_decompose"] = (
+                wgs_throughput(
+                    params_ccs, config_bf16, ccs_bam, ccs_fa, ccs_len / 1e6,
+                    minimum_af=0.2, out_name="ccs.vcf",
+                )
+            )
+            _stage_cpu("wgs_ccs_e2e", cpu0)
+        except Exception as exc:
+            print(f"[bench] CCS wgs stage failed ({exc})", file=sys.stderr)
+    try:
+        wd.enter("wgs_ilmn_host_ceiling", budget(2400))
+        cpu0 = _cpu_seconds()
+        st["wgs_ilmn_host_ceiling_mbp_per_min"] = wgs_host_ceiling(
+            params_ilmn, config_bf16, clean_bam, clean_fa, clean_len / 1e6,
+            minimum_af=0.1,
+        )
+        _stage_cpu("wgs_ilmn_host_ceiling", cpu0)
+        wd.enter("wgs_ilmn_e2e", budget(2400))
+        cpu0 = _cpu_seconds()
+        st["wgs_ilmn_end_to_end_mbp_per_min"], st["wgs_ilmn_e2e_decompose"] = (
+            wgs_throughput(
+                params_ilmn, config_bf16, clean_bam, clean_fa, clean_len / 1e6,
+                minimum_af=0.1, out_name="ilmn.vcf",
+            )
+        )
+        _stage_cpu("wgs_ilmn_e2e", cpu0)
+    except Exception as exc:
+        print(f"[bench] Illumina wgs stage failed ({exc})", file=sys.stderr)
+    # co-located overlap measurement (r05): the e2e stage above proves the
+    # remote link is the wall; this stage proves the same runner sits at
+    # the host ceiling once the device leg costs PCIe-class time
+    try:
+        wd.enter("wgs_ont_colocated", budget(2400))
+        cpu0 = _cpu_seconds()
+        stream_ms = (st.get("device_forward_ms_bf16_stream") or {}).get(
+            "ms_per_batch_stable", 0.3)
+        st["wgs_ont_colocated"] = wgs_colocated(
+            params_ont, config_bf16, ont_bam, ont_fa, ont_len / 1e6,
+            compute_ms_fast=stream_ms, minimum_af=0.2,
+            host_ceiling_mbp_per_min=st["wgs_ont_host_ceiling_mbp_per_min"],
+        )
+        _stage_cpu("wgs_ont_colocated", cpu0)
+    except Exception as exc:
+        print(f"[bench] co-located stage failed ({exc})", file=sys.stderr)
     # CRAM-input host ceiling: same flowcell through the packed-array
     # bridge (clair_region_from_packed) — proves CRAM calling holds the
     # BAM-path rate instead of falling back to the Python events engine
@@ -993,7 +1189,12 @@ def main():
         f"(stream bf16 {st['train_samples_per_sec_stream_bf16'] or 0:.0f}), "
         f"wgs e2e ONT {st['wgs_ont_end_to_end_mbp_per_min']:.1f} "
         f"(host ceiling {st['wgs_ont_host_ceiling_mbp_per_min']:.1f}) / "
-        f"clean {st['wgs_end_to_end_mbp_per_min']:.1f} Mbp/min/core",
+        f"clean {st['wgs_end_to_end_mbp_per_min']:.1f} / "
+        f"ccs {st['wgs_ccs_end_to_end_mbp_per_min']:.1f} / "
+        f"ilmn {st['wgs_ilmn_end_to_end_mbp_per_min']:.1f} Mbp/min/core, "
+        f"colocated fast/slow "
+        f"{(st.get('wgs_ont_colocated') or {}).get('wall_s_fast', 0):.2f}/"
+        f"{(st.get('wgs_ont_colocated') or {}).get('wall_s_slow', 0):.2f} s",
         file=sys.stderr,
     )
 
