@@ -169,6 +169,188 @@ def main():
                 print(f"  {name} fwd+bwd tile={tile}: FAILED "
                       f"({type(exc).__name__}: {str(exc)[:160]})", flush=True)
 
+    # --- the residual: trunk alone + optimizer tail alone ----------------
+    # trunk = L3 slice-dense -> L4 -> stems -> heads -> loss, fwd+bwd+Adam,
+    # with the BiLSTM outputs precomputed (so this isolates the ~residual
+    # the full-step number carries above the two kernel legs)
+    import jax.numpy as _jnp
+
+    from clair_tpu.models.losses import total_loss
+
+    h2 = _jnp.asarray(rs.rand(batch, 33, 256), _jnp.bfloat16)
+
+    trunk_keys = ("l3", "l4", "l5_1", "l5_2", "l5_3", "l5_4",
+                  "head_gt21", "head_genotype", "head_len1", "head_len2")
+    tparams = {k: params[k] for k in trunk_keys}
+    topt = make_optimizer(config.optimizer_name, learning_rate=1e-3)
+    topt_state = topt.init(tparams)
+
+    def trunk_loss(tp, h, y, rng):
+        # the trunk math inlined to match forward_logits exactly
+        # (selu-on-logits contract included)
+        from clair_tpu.models.layers import alpha_dropout, selu
+
+        k_l4, k5 = jax.random.split(rng)
+        l3 = _jnp.einsum("btf,ftu->buf", h, tp["l3"]["w"].astype(h.dtype))
+        l3 = selu(l3 + tp["l3"]["b"].astype(h.dtype).T[None])
+        l3 = l3.reshape(h.shape[0], -1)
+        l4 = selu(l3 @ tp["l4"]["w"].astype(h.dtype)
+                  + tp["l4"]["b"].astype(h.dtype))
+        l4 = alpha_dropout(k_l4, l4, 0.5)
+        logits = []
+        for si, (stem_k, head_k) in enumerate((
+            ("l5_1", "head_gt21"), ("l5_2", "head_genotype"),
+            ("l5_3", "head_len1"), ("l5_4", "head_len2"),
+        )):
+            s = selu(l4 @ tp[stem_k]["w"].astype(h.dtype)
+                     + tp[stem_k]["b"].astype(h.dtype))
+            s = alpha_dropout(jax.random.fold_in(k5, si), s, 0.2)
+            logits.append(selu(s @ tp[head_k]["w"].astype(h.dtype)
+                               + tp[head_k]["b"].astype(h.dtype)))
+        return total_loss(tuple(logits), y, tp,
+                          loss_function=config.loss_function,
+                          l2_lambda=l2)[0]
+
+    @partial(jax.jit, static_argnums=(4,))
+    def trunk_loop(tp, ts, h, y, iters):
+        def body(carry, k):
+            tp, ts = carry
+            rng = jax.random.fold_in(jax.random.key(3, impl="rbg"), k)
+            loss, grads = jax.value_and_grad(trunk_loss)(tp, h, y, rng)
+            updates, ts = topt.update(grads, ts, tp)
+            import optax as _optax
+
+            tp = _optax.apply_updates(tp, updates)
+            return (tp, ts), loss
+        (_, _), losses = jax.lax.scan(body, (tp, ts), _jnp.arange(iters))
+        return losses[-1]
+
+    def trunk_run():
+        return float(trunk_loop(tparams, topt_state, h2, y, 20))
+
+    print(f"  trunk fwd+bwd+Adam (lstm outs precomputed): "
+          f"{step_ms(trunk_run):.2f} ms", flush=True)
+
+    # optimizer tail alone: clip-by-global-norm + Adam over the FULL pytree
+    import optax as _optax
+
+    grads0 = jax.tree.map(lambda p: _jnp.ones_like(p) * 1e-3, params)
+
+    @partial(jax.jit, static_argnums=(3,))
+    def opt_loop(p, s, g, iters):
+        def body(carry, _):
+            p, s = carry
+            updates, s = optimizer.update(g, s, p)
+            p = _optax.apply_updates(p, updates)
+            return (p, s), updates["l4"]["b"][0]
+        (_, _), u = jax.lax.scan(body, (p, s), None, length=iters)
+        return u[-1]
+
+    def opt_run():
+        return float(opt_loop(params, opt_state, grads0, 20))
+
+    print(f"  optimizer tail alone (clip + Adam, full pytree): "
+          f"{step_ms(opt_run):.2f} ms", flush=True)
+
+    # flattened optimizer: the tail is many-small-tensor bound, not
+    # byte bound (~30 MB of f32 state at HBM rate is ~0.1 ms) — flatten
+    # the pytree into one contiguous vector and the elementwise Adam math
+    # becomes a handful of big fused ops
+    fopt = _optax.flatten(optimizer)
+    fopt_state = fopt.init(params)
+
+    @partial(jax.jit, static_argnums=(3,))
+    def fopt_loop(p, s, g, iters):
+        def body(carry, _):
+            p, s = carry
+            updates, s = fopt.update(g, s, p)
+            p = _optax.apply_updates(p, updates)
+            return (p, s), updates["l4"]["b"][0]
+        (_, _), u = jax.lax.scan(body, (p, s), None, length=iters)
+        return u[-1]
+
+    def fopt_run():
+        return float(fopt_loop(params, fopt_state, grads0, 20))
+
+    print(f"  optimizer tail, optax.flatten:    {step_ms(fopt_run):.2f} ms",
+          flush=True)
+
+    # --- trunk internals: which piece owns the ~7 ms ---------------------
+    # each piece runs fwd+bwd in a 20-iter scan with a loop-carried param
+    # nudge so XLA cannot fold or dead-code the math
+    def piece_ms(f, inputs):
+        @partial(jax.jit, static_argnums=(1,))
+        def loop(carry, iters):
+            def body(c, _):
+                loss, g = jax.value_and_grad(f)(c)
+                c = jax.tree.map(
+                    lambda a, b: a - (1e-6 * b).astype(a.dtype), c, g)
+                return c, loss
+            c, losses = jax.lax.scan(body, carry, None, length=iters)
+            return losses[-1]
+
+        def run():
+            return float(loop(inputs, 20))
+
+        return step_ms(run)
+
+    w3 = params["l3"]["w"].astype(_jnp.bfloat16)
+    b3 = params["l3"]["b"].astype(_jnp.bfloat16)
+    w4 = params["l4"]["w"].astype(_jnp.bfloat16)
+    b4 = params["l4"]["b"].astype(_jnp.bfloat16)
+
+    def l3_buf(c):
+        # production layout: (B,33,256)x(256,33,30) -> (B,30,256) -> (B,7680)
+        from clair_tpu.models.layers import selu
+        l3 = _jnp.einsum("btf,ftu->buf", c["h"], c["w"])
+        l3 = selu(l3 + c["b"].T[None])
+        return _jnp.sum(l3.reshape(c["h"].shape[0], -1).astype(_jnp.float32))
+
+    def l3_bfu(c):
+        # candidate layout: output (B,256,30); the flatten to (B,7680) is
+        # then a free trailing-dims reshape (W4 rows permuted to match)
+        from clair_tpu.models.layers import selu
+        l3 = _jnp.einsum("btf,ftu->bfu", c["h"], c["w"])
+        l3 = selu(l3 + c["b"][None])
+        return _jnp.sum(l3.reshape(c["h"].shape[0], -1).astype(_jnp.float32))
+
+    print(f"  L3 einsum fwd+bwd, buf layout:    "
+          f"{piece_ms(l3_buf, dict(h=h2, w=w3, b=b3)):.2f} ms", flush=True)
+    print(f"  L3 einsum fwd+bwd, bfu layout:    "
+          f"{piece_ms(l3_bfu, dict(h=h2, w=w3, b=b3)):.2f} ms", flush=True)
+
+    l3_flat = _jnp.asarray(rs.rand(batch, 7680), _jnp.bfloat16)
+
+    def l4_only(c):
+        from clair_tpu.models.layers import selu
+        return _jnp.sum(selu(c["l3"] @ c["w"] + c["b"]).astype(_jnp.float32))
+
+    print(f"  L4 dense fwd+bwd (7680x192):      "
+          f"{piece_ms(l4_only, dict(l3=l3_flat, w=w4, b=b4)):.2f} ms",
+          flush=True)
+
+    l4_act = _jnp.asarray(rs.rand(batch, 192), _jnp.bfloat16)
+    head_p = {k: jax.tree.map(lambda a: a.astype(_jnp.bfloat16), params[k])
+              for k in ("l5_1", "l5_2", "l5_3", "l5_4", "head_gt21",
+                        "head_genotype", "head_len1", "head_len2")}
+
+    def heads_loss(c):
+        from clair_tpu.models.layers import selu
+        logits = []
+        for stem_k, head_k in (("l5_1", "head_gt21"),
+                               ("l5_2", "head_genotype"),
+                               ("l5_3", "head_len1"),
+                               ("l5_4", "head_len2")):
+            s = selu(c["l4"] @ c[stem_k]["w"] + c[stem_k]["b"])
+            logits.append(selu(s @ c[head_k]["w"] + c[head_k]["b"]))
+        return total_loss(tuple(logits), y, {},
+                          loss_function=config.loss_function,
+                          l2_lambda=_jnp.float32(0.0))[0]
+
+    print(f"  stems+heads+loss fwd+bwd:         "
+          f"{piece_ms(heads_loss, dict(l4=l4_act, **head_p)):.2f} ms",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()
