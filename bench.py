@@ -358,12 +358,12 @@ def decode_window_throughput(params, config, bam_path, fasta_path,
     import jax
     import jax.numpy as jnp
 
-    from clair_tpu.data.tensor_stream import LazyTensorInfos
+    from clair_tpu.data.tensor_stream import LazyTensorInfos, normalized_f32
     from clair_tpu.io.vcf import VcfWriter
     from clair_tpu.models.clair import forward
     from clair_tpu.pipeline.batch_decode import category_maxima
     from clair_tpu.pipeline.call_bam import CallBamConfig, prepare_window
-    from clair_tpu.pipeline.call_var import _decode_batch
+    from clair_tpu.pipeline.call_var import _decode_batch, _device_input, _pack_uplink
     from clair_tpu.task.gt21 import gt21_code_from_label
     from clair_tpu.utils.genomics import BASE2ACGT
 
@@ -374,12 +374,13 @@ def decode_window_throughput(params, config, bam_path, fasta_path,
     n = min(len(work.tensors), BATCH)
     if n == 0:
         return 0.0, 0.0
-    x = work.tensors[:n]  # prepare_window pre-normalizes channels
+    # raw uint8 counts (dcov <= 255) or channel-normalized float32 —
+    # ship in the production link dtype and let the device normalize
+    x = work.tensors[:n]
     infos = LazyTensorInfos("chr1", work.centers[:n], work.sequences[:n])
 
-    fn = jax.jit(lambda p, t: forward(p, t.astype(jnp.float32), config))
-    out = [np.asarray(a) for a in
-           fn(params, jax.device_put(np.clip(x, -32767, 32767).astype(np.int16)))]
+    fn = jax.jit(lambda p, t: forward(p, _device_input(t), config))
+    out = [np.asarray(a) for a in fn(params, jax.device_put(_pack_uplink(x, n)))]
 
     # regime characterization: fraction of sites whose winning category is
     # an indel (leaves the vectorized SNP/ref fast path)
@@ -397,7 +398,9 @@ def decode_window_throughput(params, config, bam_path, fasta_path,
         def gather(self, o, m):
             return o
 
-    pending = (infos, x, out, n)
+    # the decode lattice expects channel-normalized tensors (call_var's
+    # raw-uplink branch does the same one-batch conversion)
+    pending = (infos, normalized_f32(x) if x.dtype == np.uint8 else x, out, n)
     _decode_batch(pending, _Pre(), work.output_config, writer,
                   work.indel_sources, None)  # warmup
     start = time.perf_counter()
