@@ -779,10 +779,13 @@ def finalize_windows_raw_native(tensor_ints, centers, ref_bytes,
     happens on device inside the jitted forward (and lazily on host at
     decode time). Halves the host->device uplink vs the int16 normalized
     ship (the dominant e2e cost at remote-link speeds) and quarters host
-    window memory vs float32. Valid for dcov <= 255 (per-channel counts
-    are bounded by the depth cap, ref CreateTensor.py:267-274). Returns
-    (tensors uint8, kept centers, PackedSequences) or None when the
-    library is unavailable."""
+    window memory vs float32. dcov caps reads per START position (ref
+    CreateTensor.py:267-274), not column depth, so counts can exceed a
+    byte on >255x data even at dcov=250: the C pass aborts on the first
+    such cell (never saturates) and this wrapper re-finalizes through the
+    exact float32 path, so callers transparently get either
+    (tensors uint8 raw, ...) or (tensors float32 normalized, ...).
+    Returns None when the library is unavailable."""
     lib = load_library()
     if lib is None:
         return None
@@ -801,6 +804,11 @@ def finalize_windows_raw_native(tensor_ints, centers, ref_bytes,
         kept.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         seqs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     ))
+    if m < 0:  # a count didn't fit a byte: take the exact float32 path
+        return finalize_windows_native(
+            tensor_ints, centers, ref_bytes, ref_seq_start,
+            minimum_coverage=minimum_coverage,
+        )
     from clair_tpu.data.tensor_stream import PackedSequences
 
     sequences = PackedSequences(seqs[:m * 33].reshape(m, 33).copy())

@@ -1526,21 +1526,22 @@ int64_t clair_select_candidates(const int32_t* counts, int64_t region_length,
   return n_out;
 }
 
-// Fused finalize for filled (n, 33, 8, 4) int32 window tensors: one C
-// pass applies the keep filter (center coverage + complete flank context,
-// data/pileup.py finalize_window_tensors, ref CreateTensor.py:57-59),
-// gathers the kept rows, converts to float32, and channel-normalizes
-// (channels 1..3 -= channel 0, tensor_stream.py normalize_channels) —
-// replacing an astype + fancy-index + in-place subtract chain over the
-// full window in numpy. ref points at the reference bytes starting at
-// ref_seq_start. Writes the kept tensors (float32), the kept input
-// indices, and the kept 33-mer sequences concatenated (33 bytes each);
-// out buffers must have room for n entries. Returns the kept count.
-int64_t clair_finalize_windows(const int32_t* tensors, int64_t n,
-                               const int64_t* centers, const char* ref,
-                               int64_t ref_len, int64_t ref_seq_start,
-                               double minimum_coverage, float* out_tensors,
-                               int64_t* kept_idx, uint8_t* seqs_out) {
+// Shared finalize loop for filled (n, 33, 8, 4) int32 window tensors:
+// one pass applies the keep filter (center coverage + complete flank
+// context, data/pileup.py finalize_window_tensors, ref
+// CreateTensor.py:57-59), gathers the kept rows through the
+// store functor, and cuts the kept 33-mer sequences (33 bytes each).
+// A store may refuse a row (return false) to abort the whole finalize —
+// the u8 store uses this to reject counts that do not fit a byte instead
+// of silently saturating. Returns the kept count, or -1 on store refusal.
+}  // extern "C" (resumed below — templates need C++ linkage)
+namespace {
+template <typename StoreFn>
+int64_t finalize_windows_loop(const int32_t* tensors, int64_t n,
+                              const int64_t* centers, const char* ref,
+                              int64_t ref_len, int64_t ref_seq_start,
+                              double minimum_coverage, int64_t* kept_idx,
+                              uint8_t* seqs_out, StoreFn&& store) {
   const int64_t kFlank = 16, kSize = 33 * 8 * 4;
   int64_t n_kept = 0;
   for (int64_t i = 0; i < n; i++) {
@@ -1550,52 +1551,70 @@ int64_t clair_finalize_windows(const int32_t* tensors, int64_t n,
     int64_t c = centers[i] - ref_seq_start;
     if ((double)center_depth < minimum_coverage) continue;
     if (c - (kFlank + 1) < 0 || c + kFlank > ref_len) continue;
-    float* o = out_tensors + n_kept * kSize;
-    for (int64_t p = 0; p < kSize; p += 4) {
-      float v0 = (float)t[p];
-      o[p] = v0;
-      o[p + 1] = (float)t[p + 1] - v0;
-      o[p + 2] = (float)t[p + 2] - v0;
-      o[p + 3] = (float)t[p + 3] - v0;
-    }
+    if (!store(t, n_kept)) return -1;
     memcpy(seqs_out + n_kept * 33, ref + c - (kFlank + 1), 33);
     kept_idx[n_kept] = i;
     n_kept++;
   }
   return n_kept;
 }
+}  // namespace
+extern "C" {
+
+// float32 finalize: store converts to float32 and channel-normalizes
+// (channels 1..3 -= channel 0, tensor_stream.py normalize_channels) —
+// replacing an astype + fancy-index + in-place subtract chain over the
+// full window in numpy. ref points at the reference bytes starting at
+// ref_seq_start; out buffers must have room for n entries.
+int64_t clair_finalize_windows(const int32_t* tensors, int64_t n,
+                               const int64_t* centers, const char* ref,
+                               int64_t ref_len, int64_t ref_seq_start,
+                               double minimum_coverage, float* out_tensors,
+                               int64_t* kept_idx, uint8_t* seqs_out) {
+  const int64_t kSize = 33 * 8 * 4;
+  return finalize_windows_loop(
+      tensors, n, centers, ref, ref_len, ref_seq_start, minimum_coverage,
+      kept_idx, seqs_out, [&](const int32_t* t, int64_t n_kept) {
+        float* o = out_tensors + n_kept * kSize;
+        for (int64_t p = 0; p < kSize; p += 4) {
+          float v0 = (float)t[p];
+          o[p] = v0;
+          o[p + 1] = (float)t[p + 1] - v0;
+          o[p + 2] = (float)t[p + 2] - v0;
+          o[p + 3] = (float)t[p + 3] - v0;
+        }
+        return true;
+      });
+}
 
 // Raw-count variant of clair_finalize_windows for the device-normalized
 // uplink: same keep filter + 33-mer extraction, but counts stay raw uint8
 // (no channel normalization, no float conversion) — the device subtracts
-// ch0 inside the jitted forward. Valid whenever the depth cap fits a byte
-// (dcov <= 255; per-channel counts are bounded by the per-position depth
-// cap, ref CreateTensor.py:267-274).
+// ch0 inside the jitted forward. dcov caps reads per START position
+// (ref CreateTensor.py:267-274), NOT pileup column depth, so cell counts
+// can exceed 255 on >255x data (chrM, amplicons, the 550x highcov
+// regime) even at dcov=250. Rather than silently saturating — which
+// would change model inputs and therefore calls — any kept cell outside
+// [0, 255] aborts with -1 and the caller re-finalizes through the exact
+// float32 path.
 int64_t clair_finalize_windows_u8(const int32_t* tensors, int64_t n,
                                   const int64_t* centers, const char* ref,
                                   int64_t ref_len, int64_t ref_seq_start,
                                   double minimum_coverage,
                                   uint8_t* out_tensors, int64_t* kept_idx,
                                   uint8_t* seqs_out) {
-  const int64_t kFlank = 16, kSize = 33 * 8 * 4;
-  int64_t n_kept = 0;
-  for (int64_t i = 0; i < n; i++) {
-    const int32_t* t = tensors + i * kSize;
-    int64_t center_depth = 0;
-    for (int r = 0; r < 8; r++) center_depth += t[kFlank * 32 + r * 4];
-    int64_t c = centers[i] - ref_seq_start;
-    if ((double)center_depth < minimum_coverage) continue;
-    if (c - (kFlank + 1) < 0 || c + kFlank > ref_len) continue;
-    uint8_t* o = out_tensors + n_kept * kSize;
-    for (int64_t p = 0; p < kSize; p++) {
-      int32_t v = t[p];
-      o[p] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
-    }
-    memcpy(seqs_out + n_kept * 33, ref + c - (kFlank + 1), 33);
-    kept_idx[n_kept] = i;
-    n_kept++;
-  }
-  return n_kept;
+  const int64_t kSize = 33 * 8 * 4;
+  return finalize_windows_loop(
+      tensors, n, centers, ref, ref_len, ref_seq_start, minimum_coverage,
+      kept_idx, seqs_out, [&](const int32_t* t, int64_t n_kept) {
+        uint8_t* o = out_tensors + n_kept * kSize;
+        for (int64_t p = 0; p < kSize; p++) {
+          int32_t v = t[p];
+          if ((uint32_t)v > 255u) return false;  // does not fit a byte
+          o[p] = (uint8_t)v;
+        }
+        return true;
+      });
 }
 
 void clair_free_events(EventBuffers* buffers) {

@@ -432,13 +432,18 @@ class CallBamConfig:
 class WindowWork:
     """Host-side pileup result for one region, ready for device inference.
 
-    ``tensors`` are RAW uint8 counts when the depth cap fits a byte
-    (dcov <= 255, the default 250): the predictor ships the bytes as-is
-    (half the int16 uplink, the dominant e2e cost at remote-link speeds)
-    and channel normalization (ch1..3 -= ch0, ref utils.py:96-98) happens
-    on device inside the jitted forward; the host decode lattice
-    normalizes lazily per batch (tensor_stream.normalized_f32). With
-    dcov > 255 they are channel-normalized float32 as before. The
+    ``tensors`` are RAW uint8 counts when every count in the window fits
+    a byte (the common case at WGS depth with the default dcov=250): the
+    predictor ships the bytes as-is (half the int16 uplink, the dominant
+    e2e cost at remote-link speeds) and channel normalization
+    (ch1..3 -= ch0, ref utils.py:96-98) happens on device inside the
+    jitted forward; the host decode lattice normalizes lazily per batch
+    (tensor_stream.normalized_f32). dcov caps reads per START position
+    (ref CreateTensor.py:267-274), not column depth, so >255x pileups
+    (chrM, amplicons, the 550x highcov regime) can exceed a byte even at
+    dcov=250 — those windows, and any dcov > 255 run, ship
+    channel-normalized float32 exactly as before (per-window decision;
+    the predictor compiles once per link dtype). The
     text-tensor CLI (create_tensor) keeps raw counts: it goes through
     data/pileup.create_tensors directly, not through prepare_window."""
 
@@ -540,6 +545,10 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
                 centers, reference_sequence, ref_seq_start, dcov=config.dcov
             )
         ref_bytes = reference_sequence.encode("ascii")
+        # raw-uint8 uplink only when every count actually fits a byte:
+        # dcov caps reads per start position, not column depth, so the
+        # finalizers verify the counts and fall back to exact float32
+        # rather than saturate (which would change calls on >255x data)
         raw_uplink = config.dcov <= 255
         if raw_uplink:
             from clair_tpu.native import finalize_windows_raw_native
@@ -560,8 +569,8 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
             tensors, centers, sequences = finalize_window_tensors(
                 tensor_ints, centers, ref_raw, ref_seq_start
             )
-            if raw_uplink:
-                tensors = np.clip(tensors, 0, 255).astype(np.uint8)
+            if raw_uplink and (tensors.size == 0 or int(tensors.max()) <= 255):
+                tensors = tensors.astype(np.uint8)
             else:
                 tensors = tensors.astype(np.float32)
                 normalize_channels(tensors)
@@ -584,8 +593,10 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
             minimum_coverage=0,
             consider_left_edge=not config.stop_consider_left_edge,
         )
-        if config.dcov <= 255:
-            tensors = np.clip(tensors, 0, 255).astype(np.uint8)
+        if config.dcov <= 255 and (
+            tensors.size == 0 or float(tensors.max()) <= 255
+        ):
+            tensors = tensors.astype(np.uint8)
         else:
             normalize_channels(tensors)
 

@@ -114,3 +114,73 @@ def test_pack_uplink_dtypes():
     packed = _pack_uplink(norm, 2)
     assert packed.dtype == np.int16
     assert packed.min() == -32767  # clipped, not wrapped
+
+
+def test_raw_finalize_refuses_overbyte_counts():
+    """dcov caps reads per START position (ref CreateTensor.py:267-274),
+    not pileup column depth, so counts can exceed a byte on >255x data
+    even at dcov=250. The u8 finalize must ABORT on such a cell (never
+    silently saturate — that changed model inputs and therefore calls)
+    and the wrapper must return the exact float32 finalize instead."""
+    from clair_tpu.native import (
+        finalize_windows_native,
+        finalize_windows_raw_native,
+    )
+
+    rs = np.random.RandomState(3)
+    n = 6
+    tensor_ints = rs.randint(0, 200, size=(n, 33, 8, 4)).astype(np.int32)
+    tensor_ints[2, 10, 3, 1] = 300  # one >byte pileup cell
+    centers = (np.arange(n, dtype=np.int64) * 40 + 40)
+    ref = bytes(rs.choice(np.frombuffer(b"ACGT", np.uint8), 400).tobytes())
+
+    res_raw = finalize_windows_raw_native(tensor_ints, centers, ref, 0)
+    if res_raw is None:
+        pytest.skip("native library unavailable")
+    res_f32 = finalize_windows_native(tensor_ints, centers, ref, 0)
+    t_raw, c_raw, s_raw = res_raw
+    t_f32, c_f32, s_f32 = res_f32
+    assert t_raw.dtype == np.float32  # fell back to exact, not clamped
+    assert np.array_equal(t_raw, t_f32)
+    assert np.array_equal(c_raw, c_f32)
+    assert s_raw == s_f32
+
+    # without the over-byte cell the raw path still engages
+    tensor_ints[2, 10, 3, 1] = 255
+    t_ok, _, _ = finalize_windows_raw_native(tensor_ints, centers, ref, 0)
+    assert t_ok.dtype == np.uint8
+
+
+def test_highcov_window_ships_exact_f32(tmp_path):
+    """Flowcell-level guard for the same hazard: a >255x pileup at the
+    default dcov=250 must ship channel-normalized float32 (the exact
+    representation), matching the pure-Python engine cell for cell."""
+    import clair_tpu.native as nat
+    from clair_tpu.data.tensor_stream import PackedSequences
+
+    bam, fasta = _flowcell(tmp_path, seed=7, length=1500, coverage=420)
+    cfg = CallBamConfig(
+        bam_path=bam, fasta_path=fasta, contig="chr1",
+        minimum_af=0.2, minimum_coverage=4,
+    )
+    work = prepare_window(cfg)
+    assert len(work.tensors) > 0
+    # the regime precondition: channel-0 counts genuinely exceed a byte
+    assert float(work.tensors[..., 0].max()) > 255
+    assert work.tensors.dtype == np.float32
+
+    # pure-Python engine oracle (native library disabled)
+    lib, failed = nat._lib, nat._build_failed
+    nat._lib, nat._build_failed = None, True
+    try:
+        oracle = prepare_window(cfg)
+    finally:
+        nat._lib, nat._build_failed = lib, failed
+    assert oracle.tensors.dtype == np.float32
+    assert np.array_equal(work.centers, oracle.centers)
+    assert np.array_equal(work.tensors, oracle.tensors)
+    want = oracle.sequences
+    got = work.sequences
+    if isinstance(got, PackedSequences) != isinstance(want, PackedSequences):
+        got, want = list(got), list(want)
+    assert got == want
