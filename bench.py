@@ -181,13 +181,13 @@ def _make_ont_bam(tmp, genome_kb=1200, coverage=35):
     return bam_path, fasta_path, length
 
 
-def _make_ont_highcov_bam(tmp, genome_kb=800, coverage=550):
+def _make_ont_highcov_bam(tmp, genome_kb=1000, coverage=550):
     """BASELINE config-5 regime (578x HG002HD): the same ONT error model
-    at ~550x coverage. 800 kb since r05 (r04 used 100 kb, which filled
+    at ~550x coverage. Re-sized in r05 (r04 used 100 kb, which filled
     only 3 predict batches — below the >=10-batch steady-state bar r04
     itself established for the standard e2e stage, so the recorded number
-    measured tunnel latency, not the 250+-depth regime; at the measured
-    ~14 candidates/kb, 800 kb fills 20+ batches). The per-start-position
+    measured tunnel latency, not the 250+-depth regime; the measured
+    density is ~10.2 candidates/kb, so 1 Mb fills the 20-batch bar). The per-start-position
     depth cap and dense pileup columns are what this regime uniquely
     exercises (tests/test_highcov.py proves the cap semantics; this stage
     records the throughput)."""
