@@ -50,7 +50,12 @@ CHECKPOINTS = {
 
 def call_heldout(platform: str, genome_kb: int = 60, batch_size: int = 512):
     """Simulate a held-out flowcell, call it, return (truth_positions,
-    [(position, qual, in_truth)]) sorted by position."""
+    [(position, qual, is_tp)]) sorted by position. A call is a TP only
+    when position, REF, ALT, and genotype ALL match the planted truth
+    (the allele-aware matching of the hap.py-style methodology behind
+    the reference's published cutoffs) — a wrong-allele or
+    wrong-genotype call at a truth position is a false positive, and
+    its truth site can no longer be recalled by any cutoff."""
     from clair_tpu.io.bai import build_bai
     from clair_tpu.models.checkpoint import load_checkpoint
     from clair_tpu.params import ModelConfig
@@ -83,14 +88,20 @@ def call_heldout(platform: str, genome_kb: int = 60, batch_size: int = 512):
         Predictor(params, ModelConfig(), batch_size=batch_size),
         output_path=out,
     )
-    truth = {v.position for v in variants}
+    gt_str = {(0, 1): "0/1", (1, 1): "1/1"}
+    truth = {
+        v.position: (v.ref, v.alt, gt_str[tuple(v.genotype)])
+        for v in variants
+    }
     calls = []
     for row in open(out):
         if row.startswith("#"):
             continue
-        c = row.split("\t")
+        c = row.rstrip("\n").split("\t")
         position, qual = int(c[1]), float(c[5])
-        calls.append((position, qual, position in truth))
+        called_gt = c[9].split(":", 1)[0].replace("|", "/")
+        is_tp = truth.get(position) == (c[3], c[4], called_gt)
+        calls.append((position, qual, is_tp))
     return truth, calls
 
 
@@ -138,7 +149,8 @@ def run_platform(platform: str, genome_kb: int):
         "best": best,
         "fp_quals": sorted(q for _, q, is_tp in calls if not is_tp),
         "tp_qual_p10": float(np.percentile(
-            [q for _, q, is_tp in calls if is_tp], 10)) if calls else 0.0,
+            [q for _, q, is_tp in calls if is_tp], 10))
+        if any(is_tp for _, _, is_tp in calls) else 0.0,
         "sweep": rows,
     }
 
