@@ -184,3 +184,65 @@ def test_highcov_window_ships_exact_f32(tmp_path):
     if isinstance(got, PackedSequences) != isinstance(want, PackedSequences):
         got, want = list(got), list(want)
     assert got == want
+
+
+def test_mixed_depth_windows_one_run(tmp_path):
+    """A genome whose first half is >255x and second half 25x: windows
+    independently pick their ship dtype (f32 fallback vs raw uint8) and
+    one threaded run handles both, matching the sequential runner."""
+    from clair_tpu.io.bam import BamWriter
+    from clair_tpu.pipeline.call_bam_parallel import call_bam_windows_threaded
+    from clair_tpu.utils.simulate import (
+        _read_from_haplotype,
+        haplotype_sequences,
+    )
+
+    rs = np.random.RandomState(5)
+    reference = random_reference(rs, 6000)
+    variants = plant_variants(rs, reference, n_variants=20, spacing=250)
+    hap0, hap1 = haplotype_sequences(reference, variants)
+    half = len(reference) // 2
+    reads, i = [], 0
+    for lo, hi, cov in ((0, half, 420), (half, len(reference), 25)):
+        for _ in range(cov * (hi - lo) // 150):
+            start0 = int(rs.randint(lo, hi - 150))
+            cigar, seq = _read_from_haplotype(
+                reference, hap1 if i % 2 else hap0, start0, 150)
+            reads.append((f"sim{i}", start0, 16 if rs.rand() < 0.5 else 0,
+                          cigar, seq))
+            i += 1
+    bam = str(tmp_path / "mixed.bam")
+    fasta = str(tmp_path / "ref.fa")
+    write_fasta(fasta, reference, contig="chr1")
+    with BamWriter(bam, [("chr1", len(reference))]) as w:
+        for name, pos, flag, cigar, seq in sorted(reads, key=lambda r: r[1]):
+            w.write(name, 0, pos, 60, flag, cigar, seq)
+
+    base = dict(bam_path=bam, fasta_path=fasta, contig="chr1",
+                minimum_af=0.2, minimum_coverage=4)
+    deep = prepare_window(CallBamConfig(ctg_start=1, ctg_end=half, **base))
+    shallow = prepare_window(
+        CallBamConfig(ctg_start=half + 1, ctg_end=len(reference), **base))
+    assert deep.tensors.dtype == np.float32      # >255x: exact fallback
+    # the regime precondition: pileup depth genuinely exceeds a byte
+    # (individual cells split across the 8 strand/type rows, so the
+    # over-byte cell that triggered the refusal may be any channel)
+    assert float(deep.tensors[:, 16, :, 0].sum(axis=-1).max()) > 255
+    assert shallow.tensors.dtype == np.uint8     # raw fast path
+
+    import io as _io
+
+    seq_out = _io.StringIO()
+    total = call_bam(CallBamConfig(**base), OraclePredictor(),
+                     output_fh=seq_out)
+    assert total > 0
+    thr_out = str(tmp_path / "thr.vcf")
+    call_bam_windows_threaded(
+        CallBamConfig(**base), OraclePredictor(), thr_out,
+        chunk_size=half, include_all_contigs=True, pileup_workers=2,
+    )
+    seq_rows = [r for r in seq_out.getvalue().splitlines()
+                if not r.startswith("#")]
+    thr_rows = [r.rstrip("\n") for r in open(thr_out)
+                if not r.startswith("#")]
+    assert thr_rows == seq_rows and len(thr_rows) > 0
