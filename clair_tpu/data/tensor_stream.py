@@ -171,6 +171,16 @@ def normalize_channels(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def fits_byte(x: np.ndarray) -> bool:
+    """True when every count fits uint8 exactly — the raw-uplink gate.
+
+    Mirrors the native u8 store's per-cell predicate ((uint32_t)v > 255u
+    refuses, clair_native.cpp) for the Python engine paths: both bounds
+    are checked so an out-of-range value can never silently wrap through
+    astype(np.uint8). Empty batches trivially fit."""
+    return x.size == 0 or (float(x.max()) <= 255 and float(x.min()) >= 0)
+
+
 def normalized_f32(x: np.ndarray) -> np.ndarray:
     """Channel-normalized float32 copy of a tensor batch.
 

@@ -29,7 +29,11 @@ from clair_tpu.data.pileup import (
     events_from_reads,
     soft_clip_fraction_ok,
 )
-from clair_tpu.data.tensor_stream import LazyTensorInfos, normalize_channels
+from clair_tpu.data.tensor_stream import (
+    LazyTensorInfos,
+    fits_byte,
+    normalize_channels,
+)
 from clair_tpu.io.bam import BamReader
 from clair_tpu.io.cram import CramReader, is_cram, open_alignment
 from clair_tpu.io.fasta import FastaReader
@@ -569,7 +573,7 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
             tensors, centers, sequences = finalize_window_tensors(
                 tensor_ints, centers, ref_raw, ref_seq_start
             )
-            if raw_uplink and (tensors.size == 0 or int(tensors.max()) <= 255):
+            if raw_uplink and fits_byte(tensors):
                 tensors = tensors.astype(np.uint8)
             else:
                 tensors = tensors.astype(np.float32)
@@ -593,9 +597,7 @@ def prepare_window(config: CallBamConfig, fasta: Optional[FastaReader] = None) -
             minimum_coverage=0,
             consider_left_edge=not config.stop_consider_left_edge,
         )
-        if config.dcov <= 255 and (
-            tensors.size == 0 or float(tensors.max()) <= 255
-        ):
+        if config.dcov <= 255 and fits_byte(tensors):
             tensors = tensors.astype(np.uint8)
         else:
             normalize_channels(tensors)

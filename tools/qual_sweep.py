@@ -49,8 +49,9 @@ CHECKPOINTS = {
 
 
 def call_heldout(platform: str, genome_kb: int = 60, batch_size: int = 512):
-    """Simulate a held-out flowcell, call it, return (truth_positions,
-    [(position, qual, is_tp)]) sorted by position. A call is a TP only
+    """Simulate a held-out flowcell, call it, return (truth, calls):
+    truth maps position -> (REF, ALT, genotype_string) for every planted
+    variant, calls is [(position, qual, is_tp)]. A call is a TP only
     when position, REF, ALT, and genotype ALL match the planted truth
     (the allele-aware matching of the hap.py-style methodology behind
     the reference's published cutoffs) — a wrong-allele or
